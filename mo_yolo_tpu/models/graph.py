@@ -1,0 +1,175 @@
+"""YAML-driven model graph builder.
+
+TPU-native counterpart of the reference's `parse_model`
+(`ultralytics/nn/tasks.py:881-956`): reads ultralytics-style model yamls
+(backbone/head rows of `[from, repeats, module, args]`) and materializes a
+flax module that executes the DAG with a save-list cache for skip
+connections. Reference yamls like `yolo_track.yaml` load unmodified.
+
+The head row (`MOTRTrack` / `RTDETRDecoder` / `Detect`) is *not* executed
+here — the graph stops at the multi-scale feature taps and returns them; the
+tracking/detection head is a separate module composed by the task model
+(`mo_yolo_tpu.models.tracking_model`). This keeps the CNN graph a pure
+feature extractor that can be jitted/fused independently.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import yaml
+from flax import linen as nn
+
+from mo_yolo_tpu.models.layers import C2f, ConvBnAct, SPPF, concat, upsample2x
+
+HEAD_MODULES = {"MOTRTrack", "RTDETRDecoder", "MYDecoder", "Detect", "Segment",
+                "Pose", "Classify"}
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+@dataclasses.dataclass(frozen=True)
+class NodeSpec:
+    index: int
+    frm: Tuple[int, ...]     # input node indices (-1 = previous)
+    module: str              # 'Conv' | 'C2f' | 'SPPF' | 'Upsample' | 'Concat'
+    repeats: int
+    args: Tuple[Any, ...]
+    out_channels: int
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphSpec:
+    nodes: Tuple[NodeSpec, ...]
+    out_indices: Tuple[int, ...]   # feature taps consumed by the head
+    out_channels: Tuple[int, ...]
+    out_strides: Tuple[int, ...]
+    nc: int
+    head_module: str
+    head_args: Tuple[Any, ...]
+
+
+def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSpec:
+    """Parse an ultralytics-style model yaml into a static GraphSpec.
+
+    Accepts a path or an already-loaded dict. `nc` overrides the yaml's class
+    count (like the reference's dataset-driven override, `tasks.py:243-247`).
+    """
+    if isinstance(cfg, str):
+        with open(cfg) as f:
+            cfg = yaml.safe_load(f)
+    nc = nc if nc is not None else int(cfg.get("nc", 80))
+    depth = float(cfg.get("depth_multiple", 1.0))
+    width = float(cfg.get("width_multiple", 1.0))
+    max_channels = float("inf")
+    if "scales" in cfg and cfg["scales"] and cfg.get("scale"):
+        depth, width, max_channels = cfg["scales"][cfg["scale"]]
+
+    rows = list(cfg["backbone"]) + list(cfg["head"])
+    ch: List[int] = [3]
+    nodes: List[NodeSpec] = []
+    strides: List[int] = [1]  # stride of the *input* of node i is strides[frm+1]
+    node_stride: List[int] = []
+    head_row = None
+
+    for i, (frm, n, mod, args) in enumerate(rows):
+        mod = str(mod)
+        frm_t = tuple(frm) if isinstance(frm, (list, tuple)) else (frm,)
+        args = [nc if a == "nc" else a for a in (args or [])]
+        n_rep = max(round(n * depth), 1) if n > 1 else n
+
+        if mod in HEAD_MODULES:
+            head_row = (frm_t, mod, tuple(args))
+            break  # head is always the last row in these yamls
+
+        def in_ch(f):
+            return ch[f + 1] if f >= 0 else ch[len(ch) + f]  # ch[0] is input
+
+        def in_stride(f):
+            return node_stride[f] if f >= 0 else node_stride[len(node_stride) + f]
+
+        if mod == "Conv":
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            k = args[1] if len(args) > 1 else 1
+            s = args[2] if len(args) > 2 else 1
+            nodes.append(NodeSpec(i, frm_t, "Conv", 1, (c2, k, s), c2))
+            st = (in_stride(frm_t[0]) if node_stride else 1) * s
+        elif mod == "C2f":
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            shortcut = bool(args[1]) if len(args) > 1 else False
+            nodes.append(NodeSpec(i, frm_t, "C2f", n_rep, (c2, shortcut), c2))
+            st = in_stride(frm_t[0]) if node_stride else 1
+        elif mod == "SPPF":
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            k = args[1] if len(args) > 1 else 5
+            nodes.append(NodeSpec(i, frm_t, "SPPF", 1, (c2, k), c2))
+            st = in_stride(frm_t[0])
+        elif mod in ("nn.Upsample", "Upsample"):
+            c2 = in_ch(frm_t[0])
+            nodes.append(NodeSpec(i, frm_t, "Upsample", 1, (), c2))
+            st = in_stride(frm_t[0]) // 2
+        elif mod == "Concat":
+            c2 = sum(in_ch(f) for f in frm_t)
+            nodes.append(NodeSpec(i, frm_t, "Concat", 1, (), c2))
+            st = in_stride(frm_t[0])
+        else:
+            raise ValueError(f"unsupported module in yaml graph: {mod}")
+        ch.append(c2)
+        node_stride.append(st)
+
+    if head_row is None:
+        raise ValueError("model yaml has no head row (Detect/MOTRTrack/...)")
+    frm_t, head_mod, head_args = head_row
+    out_idx = tuple(frm_t)
+    out_ch = tuple(ch[f + 1] for f in out_idx)
+    out_st = tuple(node_stride[f] for f in out_idx)
+    return GraphSpec(tuple(nodes), out_idx, out_ch, out_st, nc, head_mod, head_args)
+
+
+class BackboneNeck(nn.Module):
+    """Executes the parsed CNN graph and returns the head's feature taps.
+
+    For `yolo_track.yaml` this is the YOLOv8-l backbone (rows 0-9) + PAN neck
+    (rows 10-21), returning (P3, P4, P5) NHWC features at strides 8/16/32.
+    """
+
+    spec: GraphSpec
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # which intermediate outputs must be cached
+        needed = set(self.spec.out_indices)
+        for node in self.spec.nodes:
+            for f in node.frm:
+                if f >= 0:
+                    needed.add(f)
+        outputs: Dict[int, jnp.ndarray] = {}
+        prev = x
+        for node in self.spec.nodes:
+            ins = [prev if f == -1 else outputs[f] for f in node.frm]
+            if node.module == "Conv":
+                c2, k, s = node.args
+                y = ConvBnAct(c2, k, s, dtype=self.dtype, name=f"n{node.index}")(ins[0], train)
+            elif node.module == "C2f":
+                c2, shortcut = node.args
+                y = C2f(c2, node.repeats, shortcut, dtype=self.dtype,
+                        name=f"n{node.index}")(ins[0], train)
+            elif node.module == "SPPF":
+                c2, k = node.args
+                y = SPPF(c2, k, dtype=self.dtype, name=f"n{node.index}")(ins[0], train)
+            elif node.module == "Upsample":
+                y = upsample2x(ins[0])
+            elif node.module == "Concat":
+                y = concat(ins)
+            else:  # pragma: no cover
+                raise AssertionError(node.module)
+            if node.index in needed:
+                outputs[node.index] = y
+            prev = y
+        return tuple(outputs[i] for i in self.spec.out_indices)

@@ -1,0 +1,99 @@
+"""Multi-scale deformable attention — pure-XLA reference implementation.
+
+This is the TPU-native equivalent of the reference's sampling core
+(`ultralytics/nn/modules/utils.py:multi_scale_deformable_attn_pytorch`, and
+the CUDA kernels under `MOTR/models/ops/src/cuda/`). Semantics follow
+`F.grid_sample(mode='bilinear', padding_mode='zeros', align_corners=False)`
+applied per level, then an attention-weighted reduction over
+(levels x points).
+
+Two execution paths:
+  * `ms_deform_attn_xla` (this module): vectorized corner gathers + lerp.
+    Fully differentiable through XLA; serves as the oracle for the Pallas
+    kernel (mirroring the reference's `MOTR/models/ops/test.py` methodology).
+  * `mo_yolo_tpu.ops.deform_attn_pallas`: fused Pallas kernel for the hot path.
+
+Shapes (all static under jit):
+  value:              [B, S, H, D]    S = sum(h*w over levels)
+  sampling_locations: [B, Q, H, L, P, 2]   normalized to [0, 1]
+  attention_weights:  [B, Q, H, L, P]      softmaxed over (L*P)
+  output:             [B, Q, H*D]
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sample_level(value_l: jnp.ndarray, loc_l: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear zero-padded sampling at one feature level.
+
+    value_l: [B, h*w, H, D]; loc_l: [B, Q, H, P, 2] in [0,1].
+    Returns [B, Q, H, P, D].
+    """
+    B, _, H, D = value_l.shape
+    Q, P = loc_l.shape[1], loc_l.shape[3]
+    # grid_sample(align_corners=False) with grid = 2*loc - 1 maps to pixel
+    # coordinates loc * size - 0.5
+    x = loc_l[..., 0] * w - 0.5  # [B, Q, H, P]
+    y = loc_l[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+
+    # 4 corners with bilinear weights; zero contribution outside the map
+    def corner(ix, iy, wgt):
+        inb = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+        ii = jnp.clip(iy, 0, h - 1).astype(jnp.int32) * w + jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        return ii, jnp.where(inb, wgt, 0.0)
+
+    i00, w00 = corner(x0, y0, (1 - tx) * (1 - ty))
+    i01, w01 = corner(x0 + 1, y0, tx * (1 - ty))
+    i10, w10 = corner(x0, y0 + 1, (1 - tx) * ty)
+    i11, w11 = corner(x0 + 1, y0 + 1, tx * ty)
+
+    idx = jnp.stack([i00, i01, i10, i11], axis=-1)  # [B, Q, H, P, 4]
+    wts = jnp.stack([w00, w01, w10, w11], axis=-1)  # [B, Q, H, P, 4]
+
+    # gather per (batch, head): value_l -> [B, H, h*w, D]; idx -> [B, H, Q*P*4]
+    v = jnp.swapaxes(value_l, 1, 2)  # [B, H, hw, D]
+    flat_idx = jnp.transpose(idx, (0, 2, 1, 3, 4)).reshape(B, H, Q * P * 4)
+    g = jnp.take_along_axis(v, flat_idx[..., None], axis=2)  # [B, H, Q*P*4, D]
+    g = g.reshape(B, H, Q, P, 4, D)
+    wts = jnp.transpose(wts, (0, 2, 1, 3, 4))[..., None]  # [B, H, Q, P, 4, 1]
+    out = jnp.sum(g * wts.astype(g.dtype), axis=4)  # [B, H, Q, P, D]
+    return jnp.transpose(out, (0, 2, 1, 3, 4))  # [B, Q, H, P, D]
+
+
+def ms_deform_attn_xla(value: jnp.ndarray,
+                       shapes: Sequence[Tuple[int, int]],
+                       sampling_locations: jnp.ndarray,
+                       attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """Pure-XLA multi-scale deformable attention (see module docstring)."""
+    B, S, H, D = value.shape
+    Q = sampling_locations.shape[1]
+    L = len(shapes)
+    assert sum(h * w for h, w in shapes) == S, (shapes, S)
+
+    out = jnp.zeros((B, Q, H, D), dtype=value.dtype)
+    offset = 0
+    for lvl, (h, w) in enumerate(shapes):
+        value_l = jax.lax.dynamic_slice_in_dim(value, offset, h * w, axis=1)
+        offset += h * w
+        sampled = _sample_level(value_l, sampling_locations[:, :, :, lvl], h, w)
+        aw = attention_weights[:, :, :, lvl]  # [B, Q, H, P]
+        out = out + jnp.sum(sampled * aw[..., None].astype(sampled.dtype), axis=3)
+    return out.reshape(B, Q, H * D)
+
+
+def ms_deform_attn(value, shapes, sampling_locations, attention_weights,
+                   impl: str = "xla"):
+    """Dispatch between the XLA oracle and the Pallas kernel."""
+    if impl == "pallas":
+        from mo_yolo_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+        return ms_deform_attn_pallas(value, shapes, sampling_locations, attention_weights)
+    return ms_deform_attn_xla(value, shapes, sampling_locations, attention_weights)
