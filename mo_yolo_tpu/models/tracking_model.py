@@ -1,0 +1,128 @@
+"""TrackingModel — the flagship per-frame model (backbone + decoder + tracker).
+
+Task-model equivalent of the reference `TrackingModel`
+(`ultralytics/nn/tasks.py:299-517`) + `MOTRTrack` head
+(`ultralytics/nn/modules/head.py:90-513`), re-composed TPU-first:
+
+  * ONE jitted step `stream_step(params, state, frames) -> (state, outputs)`
+    serves both streaming inference and (scanned over a clip) training —
+    the reference's `is_first` flag becomes an explicit `init_track_state`;
+  * all tracker logic runs on-device inside the step (the reference's
+    Python ID loops forced a host sync every frame);
+  * fixed shapes everywhere: [dn | track(N) | detect(nq)] query layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mo_yolo_tpu.models.decoder import TrackDecoder
+from mo_yolo_tpu.models.graph import BackboneNeck, GraphSpec, parse_model_yaml
+from mo_yolo_tpu.models.tracker import (
+    QIM, TrackerConfig, TrackState, init_track_state, runtime_update,
+)
+
+
+class TrackingModel(nn.Module):
+    """Backbone/neck + TrackDecoder + QIM, with tracker state threading."""
+
+    spec: GraphSpec
+    tracker: TrackerConfig = TrackerConfig()
+    hd: int = 256
+    nq: int = 300
+    ndl: int = 6
+    d_ffn: int = 1024
+    impl: str = "xla"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = BackboneNeck(self.spec, dtype=self.dtype)
+        self.decoder = TrackDecoder(
+            nc=self.spec.nc, hd=self.hd, nq=self.nq,
+            n_track=self.tracker.n_slots, ndl=self.ndl, d_ffn=self.d_ffn,
+            impl=self.impl, dtype=self.dtype)
+        self.qim = QIM(d_model=self.hd, d_ffn=self.hd * 2, dtype=self.dtype)
+
+    # ------------------------------------------------------------------ #
+    def frame_forward(self, images, state: Optional[TrackState] = None,
+                      dn_embed=None, dn_bbox_logit=None, dn_attn_mask=None,
+                      train: bool = False):
+        """Raw decoder outputs for one frame. images [B,H,W,3] float in [0,1]."""
+        feats = self.backbone(images, train=train)
+        if state is None:
+            return self.decoder(feats, train=train), feats
+        track_mask = state.obj_id != -1  # -2 FP tracks participate as queries
+        out = self.decoder(
+            feats,
+            track_query_pos=state.query_pos,
+            track_ref_logit=state.ref_logit,
+            track_cls=state.cls,
+            track_mask=track_mask,
+            dn_embed=dn_embed, dn_bbox_logit=dn_bbox_logit,
+            dn_attn_mask=dn_attn_mask, train=train)
+        return out, feats
+
+    def __call__(self, images, state: Optional[TrackState] = None,
+                 train: bool = False):
+        """Default apply: detection/track forward, used for init + export."""
+        out, _ = self.frame_forward(images, state, train=train)
+        if state is not None:  # materialize QIM params during init
+            _ = self.qim(state.embedding, state.query_pos, state.obj_id >= 0)
+        return out
+
+    # ------------------------------------------------------------------ #
+    def stream_step(self, state: TrackState, images):
+        """One inference frame: decoder -> ID lifecycle -> QIM refresh.
+
+        Returns (new_state, outputs) where outputs hold the fixed-shape
+        combined [track|detect] detections (box/score/cls/obj_id/valid).
+        """
+        out, _ = self.frame_forward(images, state, train=False)
+        N = self.tracker.n_slots
+        boxes = out["dec_bboxes"][-1]                     # [B,Qt,4]
+        logits = out["dec_scores"][-1]                    # [B,Qt,nc]
+        scores = jax.nn.sigmoid(logits).max(axis=-1)
+        cls = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        embed = out["embed"]
+        qpos = out["query_pos"]
+
+        def part(a, lo, hi):
+            return a[:, lo:hi]
+
+        track_out = {"box": part(boxes, 0, N), "score": part(scores, 0, N),
+                     "cls": part(cls, 0, N), "embed": part(embed, 0, N),
+                     "query_pos": part(qpos, 0, N)}
+        det_out = {"box": part(boxes, N, None), "score": part(scores, N, None),
+                   "cls": part(cls, N, None), "embed": part(embed, N, None),
+                   "query_pos": part(qpos, N, None)}
+
+        new_state, outputs = jax.vmap(
+            lambda s, t, d: runtime_update(s, self.tracker, t, d)
+        )(state, track_out, det_out)
+
+        emb, qp = self.qim(new_state.embedding, new_state.query_pos,
+                           new_state.obj_id >= 0)
+        new_state = new_state._replace(embedding=emb, query_pos=qp)
+        return new_state, outputs
+
+
+def build_tracking_model(cfg_path: str, nc: Optional[int] = None,
+                         impl: str = "xla", dtype=jnp.float32,
+                         tracker: Optional[TrackerConfig] = None) -> TrackingModel:
+    """Build the flagship model from an ultralytics-style yaml
+    (drop-in for the reference's `yolo_track.yaml` and variants)."""
+    spec = parse_model_yaml(cfg_path, nc=nc)
+    return TrackingModel(spec=spec, tracker=tracker or TrackerConfig(),
+                         impl=impl, dtype=dtype)
+
+
+def init_variables(model: TrackingModel, key, image_size=(640, 640), batch=1):
+    """Initialize all parameter collections with a dummy frame + state."""
+    state = init_track_state(batch, model.tracker.n_slots, model.hd,
+                             dtype=model.dtype)
+    imgs = jnp.zeros((batch, *image_size, 3), model.dtype)
+    return model.init(key, imgs, state, train=False)

@@ -1,8 +1,10 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration: everything runs on a virtual 8-device CPU mesh.
 
 The reference has no distributed tests at all (SURVEY.md §4); we test
 multi-chip sharding on host CPU with XLA's virtual device count, which is
-how JAX code is validated without a pod.
+how JAX code is validated without a pod. The re-exec that disables the
+harness's TPU tunnel for unit tests lives in tests/axon_guard.py (loaded
+early via pytest.ini) — by conftest time those env vars are already clean.
 """
 
 import os
