@@ -54,7 +54,7 @@ class TrackDecoder(nn.Module):
                  track_ref_logit: Optional[jnp.ndarray] = None,  # [B,Nt,4]
                  track_cls: Optional[jnp.ndarray] = None,        # [B,Nt] int
                  track_mask: Optional[jnp.ndarray] = None,       # [B,Nt] bool
-                 dn_embed: Optional[jnp.ndarray] = None,         # [B,Ndn,hd]
+                 dn_cls: Optional[jnp.ndarray] = None,           # [B,Ndn] int
                  dn_bbox_logit: Optional[jnp.ndarray] = None,    # [B,Ndn,4]
                  dn_attn_mask: Optional[jnp.ndarray] = None,     # [Qt,Qt] bool
                  train: bool = False):
@@ -114,9 +114,9 @@ class TrackDecoder(nn.Module):
 
         parts_embed, parts_ref, parts_pos = [], [], []
         n_dn = 0
-        if dn_embed is not None:
-            n_dn = dn_embed.shape[1]
-            parts_embed.append(dn_embed)
+        if dn_cls is not None:
+            n_dn = dn_cls.shape[1]
+            parts_embed.append(class_embed(dn_cls))
             parts_ref.append(dn_bbox_logit)
             parts_pos.append(pos2posemb(jax.nn.sigmoid(dn_bbox_logit), self.hd // 4))
         n_track = 0

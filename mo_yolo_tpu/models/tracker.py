@@ -186,6 +186,87 @@ def runtime_update(state: TrackState,
     return new_state, outputs
 
 
+def track_train_assign(obj_id: jnp.ndarray,       # [N] current track ids
+                       gt_track_id: jnp.ndarray,  # [G]
+                       gt_mask: jnp.ndarray,      # [G]
+                       det_boxes: jnp.ndarray,    # [Nd,4]
+                       det_logits: jnp.ndarray,   # [Nd,nc]
+                       gt_boxes: jnp.ndarray,     # [G,4]
+                       gt_cls: jnp.ndarray):      # [G]
+    """Training-time track<->GT association (single stream).
+
+    Vectorizes the MOTR matching steps (`head.py:339-491` /
+    `MOTR/models/motr.py:175-292`):
+      1. track slots whose obj_id equals a GT track_id match directly;
+      2. the remaining (untracked) GTs are Hungarian-matched against the
+         detect queries.
+
+    Returns assign [G] int32 — combined [track|detect] query index per GT
+    (-1 for padding / unmatched) — and `gt_tracked` [G] bool.
+    """
+    N = obj_id.shape[0]
+    eq = (obj_id[:, None] == gt_track_id[None, :]) & gt_mask[None, :] & \
+         (obj_id >= 0)[:, None]                                  # [N, G]
+    gt_tracked = jnp.any(eq, axis=0)                             # [G]
+    track_slot_of_gt = jnp.argmax(eq, axis=0)                    # [G]
+
+    from mo_yolo_tpu.ops.matching import hungarian_auction, match_cost
+    cost = match_cost(det_boxes, det_logits, gt_boxes, gt_cls,
+                      gt_mask & ~gt_tracked)
+    det_assign = hungarian_auction(cost[None], (gt_mask & ~gt_tracked)[None])[0]
+
+    assign = jnp.where(gt_tracked, track_slot_of_gt,
+                       jnp.where(det_assign >= 0, N + det_assign, -1))
+    return jnp.where(gt_mask, assign, -1).astype(jnp.int32), gt_tracked
+
+
+def train_update(state: TrackState,
+                 cfg: TrackerConfig,
+                 assign: jnp.ndarray,        # [G] combined query idx per GT
+                 gt_track_id: jnp.ndarray,   # [G]
+                 gt_mask: jnp.ndarray,       # [G]
+                 comb_box, comb_embed, comb_qpos, comb_score, comb_cls,
+                 iou_keep_thresh: float = 0.5) -> TrackState:
+    """GT-driven (teacher-forced) state propagation for training.
+
+    Intended MOTR semantics (`qim.py:169-207` active selection +
+    `head.py:453-455` ID assignment): slots/queries matched to a GT this
+    frame become/remain the track set for the next frame, carrying the GT's
+    track_id. Unmatched old tracks are dropped. Gradients flow through
+    embedding/query_pos (the 5-frame recurrence); ref points are detached
+    (`qim.py:300`, `head.py:1087-1089`).
+    """
+    N = cfg.n_slots
+    M = comb_box.shape[0]
+    matched = gt_mask & (assign >= 0)
+    a_safe = jnp.clip(assign, 0, M - 1)
+
+    # each matched GT contributes one next-frame track entry
+    surv = matched
+    pos = jnp.cumsum(surv.astype(jnp.int32)) - 1
+    surv = surv & (pos < N)
+    slot = jnp.where(surv, pos, N)
+
+    def scatter(src_per_gt, fill=0.0):
+        buf = jnp.full((N + 1, *src_per_gt.shape[1:]), fill, src_per_gt.dtype)
+        return buf.at[slot].set(src_per_gt)[:N]
+
+    box_g = comb_box[a_safe]
+    new_state = TrackState(
+        ref_logit=scatter(jax.lax.stop_gradient(inverse_sigmoid(box_g))),
+        query_pos=scatter(comb_qpos[a_safe]),
+        embedding=scatter(comb_embed[a_safe]),
+        pred_box=scatter(jax.lax.stop_gradient(box_g)),
+        obj_id=scatter(gt_track_id.astype(jnp.int32), fill=-1),
+        cls=scatter(comb_cls[a_safe]),
+        score=scatter(jax.lax.stop_gradient(comb_score[a_safe])),
+        disappear=jnp.zeros((N,), jnp.int32),
+        next_id=jnp.maximum(state.next_id,
+                            jnp.max(jnp.where(matched, gt_track_id, -1)) + 1),
+    )
+    return new_state
+
+
 class QIM(nn.Module):
     """Query Interaction Module — track-embedding refresh between frames
     (intended semantics of `MOTR/models/qim.py:251-301`): masked
@@ -244,46 +325,43 @@ def inject_fp_tracks(key: jax.Array, state: TrackState, det_boxes: jnp.ndarray,
                      fp_ratio: float = 0.3,
                      iou_thresh: float = 0.5) -> TrackState:
     """Training-time false-positive injection (reference `qim.py:129-167`):
-    for a random subset of active tracks, copy the highest-IoU unclaimed
-    detect query into a free slot as a hard-negative track (obj_id = -2 in
-    the reference marks FP tracks; we use -2 too so the matcher ignores
-    them but they still act as track queries).
+    for a random subset of active tracks, copy the highest-IoU detect query
+    into a free slot as a hard-negative track. obj_id = -2 marks FP tracks
+    (as in the reference) so the matcher ignores them but they still act as
+    track queries for one frame.
 
-    det_* are detect-part decoder outputs [Nd, ...] for one stream.
+    Single-stream (unbatched) — vmap over the batch. det_* are detect-part
+    decoder outputs [Nd, ...].
     """
-    B, N = state.obj_id.shape
-    assert B == 1, "fp injection is applied per-stream inside vmap"
-    s = jax.tree.map(lambda x: x[0], state)
-    ksel, kpick = jax.random.split(key)
-    active = s.obj_id >= 0
+    N = state.obj_id.shape[0]
+    ksel, _ = jax.random.split(key)
+    active = state.obj_id >= 0
     chosen = active & (jax.random.uniform(ksel, (N,)) < fp_ratio)
-    iou = pairwise_iou(xywh2xyxy(s.pred_box), xywh2xyxy(det_boxes))  # [N,Nd]
+    iou = pairwise_iou(xywh2xyxy(state.pred_box), xywh2xyxy(det_boxes))  # [N,Nd]
     best_det = jnp.argmax(iou, axis=1)
     best_iou = jnp.max(iou, axis=1)
     want = chosen & (best_iou > iou_thresh)
-    # place each wanted FP into a free slot via cumsum over free slots
+    # place each wanted FP into a free slot via cumsum ranks
     free = ~active
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1     # rank among free
     want_rank = jnp.cumsum(want.astype(jnp.int32)) - 1     # rank among wanted
     n_want = jnp.sum(want.astype(jnp.int32))
-    # slot i receives the want_rank==free_rank[i] FP if free and in range
     take = free & (free_rank < n_want)
-    # build gather index: for each slot, which wanted-track index feeds it
-    want_idx_sorted = jnp.argsort(jnp.where(want, want_rank, N + 1))  # wanted first
+    # for each receiving slot, which wanted-track feeds it
+    want_idx_sorted = jnp.argsort(jnp.where(want, want_rank, N + 1))
     src_track = want_idx_sorted[jnp.clip(free_rank, 0, N - 1)]
     src_det = best_det[src_track]
 
     def fill(dst, src):
-        return jnp.where(take[:, None] if dst.ndim == 2 else take,
-                         src, dst)
+        m = take[:, None] if dst.ndim == 2 else take
+        return jnp.where(m, src, dst)
 
-    new = s._replace(
-        obj_id=jnp.where(take, -2, s.obj_id),
-        pred_box=fill(s.pred_box, det_boxes[src_det]),
-        ref_logit=fill(s.ref_logit, inverse_sigmoid(det_boxes[src_det])),
-        embedding=fill(s.embedding, det_embed[src_det]),
-        query_pos=fill(s.query_pos, det_qpos[src_det]),
-        score=jnp.where(take, 0.0, s.score),
-        disappear=jnp.where(take, 0, s.disappear),
+    return state._replace(
+        obj_id=jnp.where(take, -2, state.obj_id),
+        pred_box=fill(state.pred_box, det_boxes[src_det]),
+        ref_logit=fill(state.ref_logit, inverse_sigmoid(det_boxes[src_det])),
+        embedding=fill(state.embedding, det_embed[src_det]),
+        query_pos=fill(state.query_pos, det_qpos[src_det]),
+        score=jnp.where(take, 0.0, state.score),
+        disappear=jnp.where(take, 0, state.disappear),
     )
-    return jax.tree.map(lambda x: x[None], new)

@@ -36,6 +36,7 @@ class TrackingModel(nn.Module):
     nq: int = 300
     ndl: int = 6
     d_ffn: int = 1024
+    num_denoising: int = 100   # CDN query budget (reference `head.py:824`)
     impl: str = "xla"
     dtype: Any = jnp.float32
 
@@ -49,7 +50,7 @@ class TrackingModel(nn.Module):
 
     # ------------------------------------------------------------------ #
     def frame_forward(self, images, state: Optional[TrackState] = None,
-                      dn_embed=None, dn_bbox_logit=None, dn_attn_mask=None,
+                      dn_cls=None, dn_bbox_logit=None, dn_attn_mask=None,
                       train: bool = False):
         """Raw decoder outputs for one frame. images [B,H,W,3] float in [0,1]."""
         feats = self.backbone(images, train=train)
@@ -62,7 +63,7 @@ class TrackingModel(nn.Module):
             track_ref_logit=state.ref_logit,
             track_cls=state.cls,
             track_mask=track_mask,
-            dn_embed=dn_embed, dn_bbox_logit=dn_bbox_logit,
+            dn_cls=dn_cls, dn_bbox_logit=dn_bbox_logit,
             dn_attn_mask=dn_attn_mask, train=train)
         return out, feats
 
@@ -108,6 +109,77 @@ class TrackingModel(nn.Module):
                            new_state.obj_id >= 0)
         new_state = new_state._replace(embedding=emb, query_pos=qp)
         return new_state, outputs
+
+
+    # ------------------------------------------------------------------ #
+    def train_frame(self, images, state: TrackState, gt_cls, gt_boxes,
+                    gt_track_id, gt_mask, key,
+                    drop_prob: float = 0.1, fp_ratio: float = 0.3):
+        """One training frame: CDN build -> decoder -> MOTR association ->
+        teacher-forced state propagation (+ track dropout / FP injection,
+        reference `qim.py:17-21,129-167`) -> QIM refresh.
+
+        gt_* are padded per-frame targets: gt_cls/gt_track_id [B,G] int32,
+        gt_boxes [B,G,4] cxcywh normalized, gt_mask [B,G] bool.
+
+        Returns (new_state, outs) where outs carries everything the loss
+        needs (fixed shapes): dn/main decoder outputs split, enc outputs,
+        the last-layer assignment, and the detect-query aux mask.
+        """
+        from mo_yolo_tpu.ops.denoising import build_cdn_group
+        from mo_yolo_tpu.models.tracker import (
+            inject_fp_tracks, random_drop_tracks, track_train_assign,
+            train_update,
+        )
+        N = self.tracker.n_slots
+        kdn, kdrop, kfp = jax.random.split(key, 3)
+        cdn = build_cdn_group(kdn, gt_cls, gt_boxes, gt_mask, self.spec.nc,
+                              n_main=N + self.nq,
+                              num_denoising=self.num_denoising)
+        out, _ = self.frame_forward(images, state, dn_cls=cdn.dn_cls,
+                                    dn_bbox_logit=cdn.dn_bbox_logit,
+                                    dn_attn_mask=cdn.attn_mask, train=True)
+        n_dn = cdn.num_dn
+        boxes, logits = out["dec_bboxes"], out["dec_scores"]   # [L,B,Qt,...]
+        dn_boxes, main_boxes = boxes[:, :, :n_dn], boxes[:, :, n_dn:]
+        dn_logits, main_logits = logits[:, :, :n_dn], logits[:, :, n_dn:]
+
+        det_boxes = main_boxes[-1][:, N:]
+        det_logits = main_logits[-1][:, N:]
+        assign, gt_tracked = jax.vmap(track_train_assign)(
+            state.obj_id, gt_track_id, gt_mask, det_boxes, det_logits,
+            gt_boxes, gt_cls)
+
+        embed = out["embed"][:, n_dn:]
+        qpos = out["query_pos"][:, n_dn:]
+        comb_score = jax.nn.sigmoid(main_logits[-1]).max(axis=-1)
+        comb_cls = jnp.argmax(main_logits[-1], axis=-1).astype(jnp.int32)
+
+        new_state = jax.vmap(
+            lambda s, a, tid, m, box, emb, qp, sc, cl: train_update(
+                s, self.tracker, a, tid, m, box, emb, qp, sc, cl)
+        )(state, assign, gt_track_id, gt_mask, main_boxes[-1], embed, qpos,
+          comb_score, comb_cls)
+
+        new_state = random_drop_tracks(kdrop, new_state, drop_prob)
+        fp_keys = jax.random.split(kfp, images.shape[0])
+        new_state = jax.vmap(
+            lambda k, s, db, de, dq: inject_fp_tracks(k, s, db, de, dq,
+                                                      fp_ratio=fp_ratio)
+        )(fp_keys, new_state, jax.lax.stop_gradient(det_boxes),
+          embed[:, N:], qpos[:, N:])
+
+        emb2, qp2 = self.qim(new_state.embedding, new_state.query_pos,
+                             new_state.obj_id != -1)
+        new_state = new_state._replace(embedding=emb2, query_pos=qp2)
+
+        outs = {
+            "main_boxes": main_boxes, "main_logits": main_logits,
+            "dn_boxes": dn_boxes, "dn_logits": dn_logits,
+            "enc_boxes": out["enc_bboxes"], "enc_logits": out["enc_scores"],
+            "assign": assign, "num_dn_group": cdn.num_group,
+        }
+        return new_state, outs
 
 
 def build_tracking_model(cfg_path: str, nc: Optional[int] = None,

@@ -207,6 +207,8 @@ class TrackTransformerDecoder(nn.Module):
             elif i == eval_idx:
                 dec_scores.append(score_head(output))
                 dec_bboxes.append(refined)
+            elif self.is_initializing():
+                _ = score_head(output)  # materialize params skipped at eval
             last_refined = refined
             refer_bbox = jax.lax.stop_gradient(refined) if train else refined
         return jnp.stack(dec_bboxes), jnp.stack(dec_scores), output

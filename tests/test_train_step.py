@@ -1,0 +1,53 @@
+"""End-to-end training-step tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: multi-chip testing via xla_force_host_platform_device_count —
+the reference has no distributed tests at all)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+@pytest.mark.slow
+def test_multichip_train_step_runs_and_improves():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_single_device_train_two_steps_finite():
+    from mo_yolo_tpu.models.graph import parse_model_yaml
+    from mo_yolo_tpu.models.tracking_model import TrackingModel
+    from mo_yolo_tpu.models.tracker import TrackerConfig, init_track_state
+    from mo_yolo_tpu.train.losses import LossConfig
+    from mo_yolo_tpu.train.train_step import TrainConfig, make_train_step
+
+    spec = parse_model_yaml("tests/tiny_track.yaml")
+    model = TrackingModel(spec=spec, tracker=TrackerConfig(n_slots=8),
+                          nq=12, ndl=2, d_ffn=32, hd=32, num_denoising=4)
+    T, B, G, H = 2, 1, 3, 64
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    state = init_track_state(B, 8, 32)
+    imgs = jnp.asarray(rng.uniform(0, 1, (B, H, H, 3)).astype(np.float32))
+    v = model.init(key, imgs, state, train=False)
+    clip = {
+        "images": jnp.asarray(rng.uniform(0, 1, (T, B, H, H, 3)).astype(np.float32)),
+        "gt_cls": jnp.zeros((T, B, G), jnp.int32),
+        "gt_boxes": jnp.asarray(rng.uniform(0.3, 0.6, (T, B, G, 4)).astype(np.float32)),
+        "gt_track_id": jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32), (T, B, G)),
+        "gt_mask": jnp.ones((T, B, G), bool),
+    }
+    init_fn, step_fn = make_train_step(model, LossConfig(nc=spec.nc),
+                                       TrainConfig(clip_len=T, remat=False))
+    ts = init_fn(v)
+    step = jax.jit(step_fn)
+    ts, m1 = step(ts, clip, jax.random.PRNGKey(1))
+    ts, m2 = step(ts, clip, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert float(m1["grad_norm"]) > 0
+    assert int(ts.step) == 2
+    # EMA drifted from params copy
+    p0 = jax.tree.leaves(ts.params)[0]
+    e0 = jax.tree.leaves(ts.ema_params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(e0))
