@@ -1,0 +1,68 @@
+"""Streaming-inference benchmark on the flagship DecoderTracker model.
+
+Measures end-to-end tracking FPS per chip: the full jitted per-frame step
+(backbone + decoder over [track|detect] queries + ID lifecycle + QIM) on
+640x640 frames, state carried across frames on-device, no host round-trips
+in the loop (methodology mirrors `MOTR/benchmark.py:37-48`: warmup then
+averaged steady-state latency).
+
+Baseline: the reference MOTR pipeline runs ~7.5 FPS on a V100-class GPU
+(`MOTR/README.md:55`); vs_baseline reports our FPS / 7.5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+BASELINE_FPS = 7.5  # MOTR reference inference speed (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mo_yolo_tpu.models.tracking_model import (
+        build_tracking_model, init_variables)
+    from mo_yolo_tpu.models.tracker import init_track_state
+
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 640
+    dtype = jnp.bfloat16 if "--f32" not in sys.argv else jnp.float32
+    n_warmup, n_iter = 10, 100
+
+    model = build_tracking_model("mo_yolo_tpu/cfg/models/yolo_track.yaml",
+                                 impl="xla", dtype=dtype)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                               image_size=(size, size), batch=1)
+    state = init_track_state(1, model.tracker.n_slots, model.hd)
+
+    step = jax.jit(lambda v, s, f: model.apply(v, s, f, method=model.stream_step),
+                   donate_argnums=(1,))
+
+    rng = np.random.default_rng(0)
+    frames = [jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)).astype(np.float32))
+              for _ in range(4)]
+
+    for i in range(n_warmup):
+        state, out = step(variables, state, frames[i % len(frames)])
+    float(out["score"].sum())  # real host fetch — block_until_ready alone
+    # does not synchronize through the axon relay
+
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        state, out = step(variables, state, frames[i % len(frames)])
+    float(out["score"].sum())
+    dt = time.perf_counter() - t0
+
+    fps = n_iter / dt
+    print(json.dumps({
+        "metric": f"streaming_tracking_fps_{size}x{size}_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""`yolo`-style command line interface.
+
+Mirrors the reference CLI entrypoint (`cfg/__init__.py:262-413`,
+console script `setup.py:74`): `python -m mo_yolo_tpu <task> <mode> k=v...`
+e.g.
+
+    python -m mo_yolo_tpu track predict model=yolo_track.yaml source=imgs/
+    python -m mo_yolo_tpu track train model=yolo_track.yaml data=MOT.yaml epochs=1
+    python -m mo_yolo_tpu track val model=ckpt_dir data=MOT.yaml
+    python -m mo_yolo_tpu track export model=ckpt_dir format=stablehlo
+    python -m mo_yolo_tpu track bench imgsz=640
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Dict
+
+from mo_yolo_tpu.utils.logging import LOGGER
+
+TASKS = ("track", "detect")
+MODES = ("train", "val", "predict", "export", "bench")
+
+
+def parse_kv(args) -> Dict[str, Any]:
+    out = {}
+    for a in args:
+        if "=" not in a:
+            raise SystemExit(f"expected k=v argument, got {a!r}")
+        k, v = a.split("=", 1)
+        if v.lower() in ("true", "false"):
+            out[k] = v.lower() == "true"
+        else:
+            try:
+                out[k] = int(v)
+            except ValueError:
+                try:
+                    out[k] = float(v)
+                except ValueError:
+                    out[k] = v
+    return out
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print(__doc__)
+        return 0
+    task = argv[0] if argv and argv[0] in TASKS else "track"
+    rest = argv[1:] if argv and argv[0] in TASKS else argv
+    if not rest or rest[0] not in MODES:
+        raise SystemExit(f"usage: mo_yolo_tpu [{'|'.join(TASKS)}] "
+                         f"<{'|'.join(MODES)}> k=v ...")
+    mode, kv = rest[0], parse_kv(rest[1:])
+
+    from mo_yolo_tpu.api import MOTRTrack
+
+    model_arg = kv.pop("model", "yolo_track.yaml")
+    imgsz = kv.pop("imgsz", 640)
+
+    if mode == "bench":
+        import subprocess
+        return subprocess.call([sys.executable, "bench.py", str(imgsz)])
+
+    m = MOTRTrack(model_arg, imgsz=imgsz,
+                  dtype=kv.pop("dtype", "bfloat16"))
+    if mode == "predict":
+        source = kv.pop("source")
+        save_mot = kv.pop("save_mot", None)
+        n = 0
+        for r in m.predict(source, conf=kv.pop("conf", 0.5),
+                           save_mot=save_mot):
+            n += 1
+            if kv.get("verbose", True):
+                LOGGER.info(f"{r.path}: {len(r)} tracks "
+                            f"({m and ''}{r.orig_shape})")
+        LOGGER.info(f"processed {n} frames")
+    elif mode == "val":
+        metrics = m.val(kv.pop("data"), conf=kv.pop("conf", 0.5))
+        LOGGER.info(" ".join(f"{k}={v:.2f}" if isinstance(v, float) else
+                             f"{k}={v}" for k, v in metrics.items()))
+    elif mode == "train":
+        m.train(kv.pop("data"), **kv)
+    elif mode == "export":
+        out = m.export(fmt=kv.pop("format", "stablehlo"),
+                       path=kv.pop("path", "model_export"))
+        LOGGER.info(f"exported to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

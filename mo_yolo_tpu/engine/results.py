@@ -1,0 +1,76 @@
+"""Result containers for detection + tracking outputs.
+
+Host-side equivalents of the reference `Results`/`TrackResults`
+(`engine/results.py:66,366-511`): per-frame boxes with class, confidence and
+track id, original-image coordinates, plotting and txt export.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TrackResults:
+    """One frame of tracking output in original-image pixel coordinates."""
+
+    boxes_xyxy: np.ndarray          # [n, 4]
+    conf: np.ndarray                # [n]
+    cls: np.ndarray                 # [n] int
+    track_id: np.ndarray            # [n] int (-1 for pure detections)
+    orig_shape: tuple               # (h, w)
+    path: str = ""
+    names: Optional[Dict[int, str]] = None
+    orig_img: Optional[np.ndarray] = None
+
+    def __len__(self):
+        return len(self.boxes_xyxy)
+
+    @property
+    def boxes_xywhn(self) -> np.ndarray:
+        h, w = self.orig_shape
+        b = self.boxes_xyxy
+        cx = (b[:, 0] + b[:, 2]) / 2 / w
+        cy = (b[:, 1] + b[:, 3]) / 2 / h
+        bw = (b[:, 2] - b[:, 0]) / w
+        bh = (b[:, 3] - b[:, 1]) / h
+        return np.stack([cx, cy, bw, bh], 1)
+
+    def save_txt(self, txt_file, save_conf: bool = False) -> None:
+        """Write `track_id cls cx cy w h [conf]` lines (normalized), the
+        reference `TrackResults.save_txt` format (`results.py:475-511`)."""
+        lines = []
+        for i, b in enumerate(self.boxes_xywhn):
+            vals = [int(self.track_id[i]), int(self.cls[i]), *b.tolist()]
+            if save_conf:
+                vals.append(float(self.conf[i]))
+            lines.append(" ".join(f"{v:g}" if not isinstance(v, int) else str(v)
+                                  for v in vals))
+        Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
+        with open(txt_file, "a") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+
+    def plot(self, img: Optional[np.ndarray] = None,
+             line_width: int = 2) -> np.ndarray:
+        """Draw boxes + `id:N cls conf` labels; returns HWC uint8."""
+        from PIL import Image, ImageDraw
+        base = img if img is not None else self.orig_img
+        if base is None:
+            base = np.zeros((*self.orig_shape, 3), np.uint8)
+        im = Image.fromarray(base.astype(np.uint8))
+        dr = ImageDraw.Draw(im)
+        palette = [(255, 56, 56), (56, 168, 255), (72, 249, 10),
+                   (255, 178, 29), (207, 210, 49), (26, 147, 52),
+                   (61, 219, 134), (255, 112, 31)]
+        for i, b in enumerate(self.boxes_xyxy):
+            tid = int(self.track_id[i])
+            color = palette[tid % len(palette)] if tid >= 0 else (200, 200, 200)
+            dr.rectangle(b.tolist(), outline=color, width=line_width)
+            name = (self.names or {}).get(int(self.cls[i]), str(int(self.cls[i])))
+            label = f"id:{tid} {name} {self.conf[i]:.2f}"
+            dr.text((b[0], max(0, b[1] - 12)), label, fill=color)
+        return np.asarray(im)

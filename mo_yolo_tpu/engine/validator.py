@@ -1,0 +1,103 @@
+"""Tracking validator: per-sequence streaming eval with HOTA + CLEAR + mAP.
+
+Equivalent of the reference `TrackValidator`
+(`models/MOTRtrack/val.py:185-553`): iterate val frames in sequence order,
+detect sequence boundaries, run the streaming step with state reset at each
+boundary, accumulate per-frame GT/pred ids+boxes into per-sequence buffers,
+and compute HOTA (`utils/hota.py`) at boundaries plus detection mAP over
+all frames. Adds CLEAR (MOTA/IDSW) and IDF1, which the reference only had
+in its vendored motmetrics path (`MOTR/util/evaluation.py`).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from mo_yolo_tpu.data.dataset import TrackDataset, video_key
+from mo_yolo_tpu.metrics import hota as hota_m
+from mo_yolo_tpu.metrics.detection import DetMetrics, box_iou_np
+from mo_yolo_tpu.metrics.mot import clear_mot, idf1
+
+
+def _xywhn2xyxy(b: np.ndarray, size: float = 1.0) -> np.ndarray:
+    return np.stack([
+        (b[:, 0] - b[:, 2] / 2) * size, (b[:, 1] - b[:, 3] / 2) * size,
+        (b[:, 0] + b[:, 2] / 2) * size, (b[:, 1] + b[:, 3] / 2) * size], 1)
+
+
+class TrackValidator:
+    def __init__(self, model, variables, imgsz: int = 640,
+                 conf: float = 0.5, nc: Optional[int] = None):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.imgsz = imgsz
+        self.conf = conf
+        self.nc = nc or model.spec.nc
+        self._step = jax.jit(
+            lambda v, s, f: model.apply(v, s, f, method=model.stream_step))
+
+    def __call__(self, img_files: List[str], max_gt: int = 64) -> Dict[str, float]:
+        from mo_yolo_tpu.models.tracker import init_track_state
+        import jax.numpy as jnp
+
+        ds = TrackDataset(img_files, imgsz=self.imgsz, max_gt=max_gt,
+                          clip_len=1)
+        det = DetMetrics(self.nc)
+        seq_results = []
+        clear_accum = []
+        idf1_accum = []
+        cur_seq = None
+        gt_ids_seq: List[np.ndarray] = []
+        pr_ids_seq: List[np.ndarray] = []
+        sim_seq: List[np.ndarray] = []
+        state = None
+        t0 = time.perf_counter()
+
+        def flush():
+            if gt_ids_seq:
+                seq_results.append(
+                    hota_m.eval_sequence(gt_ids_seq, pr_ids_seq, sim_seq))
+                clear_accum.append(clear_mot(gt_ids_seq, pr_ids_seq, sim_seq))
+                idf1_accum.append(idf1(gt_ids_seq, pr_ids_seq, sim_seq))
+
+        for i in range(len(ds)):
+            seq = video_key(ds.files[i])
+            if seq != cur_seq:
+                flush()
+                gt_ids_seq, pr_ids_seq, sim_seq = [], [], []
+                cur_seq = seq
+                state = init_track_state(1, self.model.tracker.n_slots,
+                                         self.model.hd)
+            s = ds.load_frame(i)
+            state, out = self._step(self.variables, state,
+                                    jnp.asarray(s.image[None]))
+            o = {k: np.asarray(v[0]) for k, v in out.items()}
+            keep = o["valid"] & (o["obj_id"] >= 0) & (o["score"] >= self.conf)
+            pr_boxes = _xywhn2xyxy(o["box"][keep])
+            pr_ids = o["obj_id"][keep]
+            gt_boxes = _xywhn2xyxy(s.boxes[s.mask])
+            gt_ids = s.track_id[s.mask]
+            sim = box_iou_np(gt_boxes, pr_boxes)
+            gt_ids_seq.append(gt_ids)
+            pr_ids_seq.append(pr_ids)
+            sim_seq.append(sim)
+            det.update(pr_boxes, o["score"][keep], o["cls"][keep],
+                       gt_boxes, s.cls[s.mask])
+        flush()
+
+        out = hota_m.summarize(seq_results)
+        if clear_accum:
+            n_gt = sum(c["n_gt"] for c in clear_accum)
+            out["MOTA"] = 100 * (1 - sum(c["FN"] + c["FP"] + c["IDSW"]
+                                         for c in clear_accum) / max(n_gt, 1))
+            out["IDSW"] = int(sum(c["IDSW"] for c in clear_accum))
+            out["IDF1"] = float(np.mean([c["IDF1"] for c in idf1_accum]))
+        out.update(det.compute())
+        out["fps"] = len(ds) / max(time.perf_counter() - t0, 1e-9)
+        return out

@@ -92,7 +92,12 @@ class TrackDecoder(nn.Module):
         cls_max = jnp.max(enc_scores_dense, axis=-1)               # [B,S]
         # invalid anchors carry +inf coords; exclude them from selection
         cls_max = jnp.where(valid_mask[..., 0], cls_max, NEG_INF)
-        _, topk_ind = jax.lax.top_k(cls_max, self.nq)              # [B,nq]
+        S = cls_max.shape[1]
+        k = min(self.nq, S)
+        _, topk_ind = jax.lax.top_k(cls_max, k)                    # [B,k]
+        if k < self.nq:  # tiny inputs: repeat indices to keep nq static
+            reps = -(-self.nq // k)
+            topk_ind = jnp.tile(topk_ind, (1, reps))[:, :self.nq]
         take = lambda src: jnp.take_along_axis(src, topk_ind[..., None], axis=1)
         det_ref = take(enc_bboxes_dense)                           # [B,nq,4] logit
         det_scores = take(enc_scores_dense)                        # [B,nq,nc]

@@ -84,12 +84,13 @@ class TrackingModel(nn.Module):
         """
         out, _ = self.frame_forward(images, state, train=False)
         N = self.tracker.n_slots
-        boxes = out["dec_bboxes"][-1]                     # [B,Qt,4]
-        logits = out["dec_scores"][-1]                    # [B,Qt,nc]
+        # tracker state stays f32 even when the network computes in bf16
+        boxes = out["dec_bboxes"][-1].astype(jnp.float32)  # [B,Qt,4]
+        logits = out["dec_scores"][-1].astype(jnp.float32)  # [B,Qt,nc]
         scores = jax.nn.sigmoid(logits).max(axis=-1)
         cls = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        embed = out["embed"]
-        qpos = out["query_pos"]
+        embed = out["embed"].astype(jnp.float32)
+        qpos = out["query_pos"].astype(jnp.float32)
 
         def part(a, lo, hi):
             return a[:, lo:hi]
@@ -107,7 +108,8 @@ class TrackingModel(nn.Module):
 
         emb, qp = self.qim(new_state.embedding, new_state.query_pos,
                            new_state.obj_id >= 0)
-        new_state = new_state._replace(embedding=emb, query_pos=qp)
+        new_state = new_state._replace(embedding=emb.astype(jnp.float32),
+                                       query_pos=qp.astype(jnp.float32))
         return new_state, outputs
 
 

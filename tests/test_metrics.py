@@ -1,0 +1,104 @@
+"""Metric unit tests against hand-computed toy sequences
+(SURVEY.md §4 test-pyramid item (5))."""
+
+import numpy as np
+
+from mo_yolo_tpu.metrics.hota import eval_sequence, summarize
+from mo_yolo_tpu.metrics.mot import clear_mot, idf1, write_mot_txt
+from mo_yolo_tpu.metrics.detection import DetMetrics, box_iou_np
+
+
+def _perfect_seq(T=5, n=3):
+    gt_ids = [np.arange(n) for _ in range(T)]
+    pred_ids = [np.arange(n) + 100 for _ in range(T)]
+    sim = [np.eye(n) for _ in range(T)]
+    return gt_ids, pred_ids, sim
+
+
+def test_hota_perfect_tracking():
+    r = eval_sequence(*_perfect_seq())
+    s = summarize([r])
+    assert abs(s["HOTA"] - 100.0) < 1e-6
+    assert abs(s["DetA"] - 100.0) < 1e-6
+    assert abs(s["AssA"] - 100.0) < 1e-6
+
+
+def test_hota_id_switch_hurts_assa_not_deta():
+    T, n = 6, 1
+    gt_ids = [np.array([0])] * T
+    # tracker switches identity halfway: det perfect, association broken
+    pred_ids = [np.array([10])] * (T // 2) + [np.array([20])] * (T // 2)
+    sim = [np.ones((1, 1))] * T
+    s = summarize([eval_sequence(gt_ids, pred_ids, sim)])
+    assert abs(s["DetA"] - 100.0) < 1e-6
+    assert s["AssA"] < 60.0
+    assert s["HOTA"] < 80.0
+
+
+def test_hota_missed_detections():
+    T = 4
+    gt_ids = [np.array([0, 1])] * T
+    pred_ids = [np.array([5])] * T  # only tracks one object
+    sim = [np.array([[1.0], [0.0]])] * T
+    s = summarize([eval_sequence(gt_ids, pred_ids, sim)])
+    # DetA = TP/(TP+FN+FP) = 4/(4+4+0) = 0.5
+    assert abs(s["DetA"] - 50.0) < 1e-4
+
+
+def test_clear_mot_perfect_and_switch():
+    g, p, s = _perfect_seq()
+    r = clear_mot(g, p, s)
+    assert r["MOTA"] == 100.0 and r["IDSW"] == 0
+    # identity switch in the middle
+    T = 6
+    gt_ids = [np.array([0])] * T
+    pred_ids = [np.array([10])] * 3 + [np.array([20])] * 3
+    sim = [np.ones((1, 1))] * T
+    r = clear_mot(gt_ids, pred_ids, sim)
+    assert r["IDSW"] == 1
+    assert abs(r["MOTA"] - 100 * (1 - 1 / 6)) < 1e-6
+
+
+def test_idf1_switch():
+    T = 6
+    gt_ids = [np.array([0])] * T
+    pred_ids = [np.array([10])] * 3 + [np.array([20])] * 3
+    sim = [np.ones((1, 1))] * T
+    r = idf1(gt_ids, pred_ids, sim)
+    # best mapping keeps 3 of 6 frames -> IDTP=3, IDF1 = 2*3/(2*3+3+3) = 0.5
+    assert abs(r["IDF1"] - 50.0) < 1e-6
+
+
+def test_detmetrics_perfect():
+    m = DetMetrics(nc=2)
+    boxes = np.array([[10, 10, 50, 50], [60, 60, 90, 90]], float)
+    cls = np.array([0, 1])
+    m.update(boxes, np.array([0.9, 0.8]), cls, boxes, cls)
+    out = m.compute()
+    assert out["mAP50"] > 99.0
+    assert out["mAP50-95"] > 99.0
+
+
+def test_detmetrics_false_positive_lowers_ap():
+    m = DetMetrics(nc=1)
+    gt = np.array([[10, 10, 50, 50]], float)
+    preds = np.array([[10, 10, 50, 50], [200, 200, 240, 240]], float)
+    m.update(preds, np.array([0.5, 0.9]), np.zeros(2), gt, np.zeros(1))
+    out = m.compute()
+    assert out["mAP50"] < 99.0
+
+
+def test_mot_writer(tmp_path):
+    f = tmp_path / "seq.txt"
+    with open(f, "w") as fh:
+        write_mot_txt(fh, 0, np.array([3]), np.array([[10.0, 20.0, 30.0, 60.0]]))
+    line = f.read_text().strip()
+    assert line == "1,3,10.00,20.00,20.00,40.00,1,-1,-1,-1"
+
+
+def test_box_iou_np():
+    a = np.array([[0, 0, 10, 10]], float)
+    b = np.array([[0, 0, 10, 10], [5, 5, 15, 15]], float)
+    iou = box_iou_np(a, b)
+    assert abs(iou[0, 0] - 1.0) < 1e-9
+    assert abs(iou[0, 1] - 25 / 175) < 1e-9
