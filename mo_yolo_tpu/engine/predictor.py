@@ -48,23 +48,58 @@ class TrackPredictor:
         from mo_yolo_tpu.models.tracker import init_track_state
         return init_track_state(1, self.model.tracker.n_slots, self.model.hd)
 
+    def _frames(self, source):
+        """Yield (path, preprocessed [1,H,W,3] f32, meta, orig_img|None).
+
+        Directory/list sources of jpg/png go through the native C++ loader
+        (threaded decode+letterbox ahead of the device); anything else falls
+        back to PIL preprocessing.
+        """
+        from mo_yolo_tpu.native import frameloader as nfl
+
+        if isinstance(source, (str, Path)) or (
+                isinstance(source, (list, tuple)) and source and
+                isinstance(source[0], (str, Path))):
+            try:
+                from mo_yolo_tpu.data.loaders import list_images
+                files = list_images(source) if isinstance(source, (str, Path)) \
+                    else [str(p) for p in source]
+                if nfl.available() and all(
+                        f.lower().endswith((".jpg", ".jpeg", ".png"))
+                        for f in files):
+                    ld = nfl.NativeFrameLoader(files, self.imgsz, self.imgsz,
+                                               n_threads=2, scale_fill=True)
+                    for p, buf, (oh, ow) in ld:
+                        meta = {"orig_shape": (oh, ow),
+                                "gain": (self.imgsz / ow, self.imgsz / oh),
+                                "pad": (0.0, 0.0),
+                                "input_shape": (self.imgsz, self.imgsz),
+                                "scale_fill": True}
+                        yield p, buf[None], meta, None
+                    return
+            except FileNotFoundError:
+                raise
+            except Exception:
+                pass  # fall through to PIL path
+        for path, img in make_source(source):
+            x, meta = preprocess(img, self.imgsz, scale_fill=True)
+            yield path, x, meta, img
+
     def stream(self, source, save_mot: Optional[str] = None,
                ) -> Iterator[TrackResults]:
         """Yield TrackResults per frame; optionally write MOT txt."""
         import jax.numpy as jnp
 
-        src = make_source(source)
         state = self.reset_state()
         mot_fh = None
         if save_mot:
             Path(save_mot).parent.mkdir(parents=True, exist_ok=True)
             mot_fh = open(save_mot, "w")
         n = 0
+        t1 = time.perf_counter()
         try:
-            for path, img in src:
-                t0 = time.perf_counter()
-                x, meta = preprocess(img, self.imgsz, scale_fill=True)
-                t1 = time.perf_counter()
+            for path, x, meta, img in self._frames(source):
+                t0, t1 = t1, time.perf_counter()  # t1-t0 = decode+preprocess
                 state, out = self._step(self.variables, state, jnp.asarray(x))
                 # single host fetch per frame
                 res_np = {k: np.asarray(v[0]) for k, v in out.items()}
