@@ -31,8 +31,9 @@ def main():
     dtype = jnp.bfloat16 if "--f32" not in sys.argv else jnp.float32
     n_warmup, n_iter = 3, 12
 
+    impl = "xla" if "--xla" in sys.argv else None  # None = auto (pallas on TPU)
     model = build_tracking_model("mo_yolo_tpu/cfg/models/yolo_track.yaml",
-                                 impl="xla", dtype=dtype)
+                                 impl=impl, dtype=dtype)
     variables = init_variables(model, jax.random.PRNGKey(0),
                                image_size=(size, size), batch=1)
     state = init_track_state(1, model.tracker.n_slots, model.hd)

@@ -35,7 +35,8 @@ class MOTRTrack:
 
     def __init__(self, model: str = "yolo_track.yaml", nc: Optional[int] = None,
                  imgsz: int = 640, dtype: str = "bfloat16",
-                 impl: str = "xla", names: Optional[Dict[int, str]] = None,
+                 impl: Optional[str] = None,  # None = pallas on TPU, xla on CPU
+                 names: Optional[Dict[int, str]] = None,
                  seed: int = 0):
         import jax
         import jax.numpy as jnp
