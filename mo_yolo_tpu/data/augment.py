@@ -1,0 +1,198 @@
+"""Training-time image/label augmentations (host-side numpy).
+
+Equivalents of the reference transforms (`ultralytics/data/augment.py`):
+Mosaic, RandomPerspective (affine), MixUp, RandomHSV, RandomFlip, and the
+composed `v8_transforms` pipeline — re-implemented track-aware: labels are
+`[cls, cx, cy, w, h, track_id]` (normalized) and every geometric transform
+preserves track ids. PIL supplies resampling (no cv2 in this image).
+
+Note on video clips: geometric augmentations must be SAMPLED ONCE PER CLIP
+and applied to every frame, or track geometry decoheres across time — the
+`ClipAugmenter` below freezes parameters per clip (the reference trains
+with augmentation mostly off for tracking: mosaic/perspective disabled in
+its track configs, but the components exist for detection training).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def _xywhn_to_xyxy_px(lab: np.ndarray, w: int, h: int) -> np.ndarray:
+    b = lab[:, 1:5].copy()
+    out = np.empty_like(b)
+    out[:, 0] = (b[:, 0] - b[:, 2] / 2) * w
+    out[:, 1] = (b[:, 1] - b[:, 3] / 2) * h
+    out[:, 2] = (b[:, 0] + b[:, 2] / 2) * w
+    out[:, 3] = (b[:, 1] + b[:, 3] / 2) * h
+    return out
+
+
+def _xyxy_px_to_xywhn(xyxy: np.ndarray, w: int, h: int) -> np.ndarray:
+    out = np.empty_like(xyxy)
+    out[:, 0] = (xyxy[:, 0] + xyxy[:, 2]) / 2 / w
+    out[:, 1] = (xyxy[:, 1] + xyxy[:, 3]) / 2 / h
+    out[:, 2] = (xyxy[:, 2] - xyxy[:, 0]) / w
+    out[:, 3] = (xyxy[:, 3] - xyxy[:, 1]) / h
+    return out
+
+
+def random_hsv(img: np.ndarray, rng: np.random.Generator,
+               hgain: float = 0.015, sgain: float = 0.7,
+               vgain: float = 0.4) -> np.ndarray:
+    """HSV jitter (reference `RandomHSV`). img uint8 RGB."""
+    r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+    hsv = np.asarray(Image.fromarray(img).convert("HSV"), np.float32)
+    hsv[..., 0] = (hsv[..., 0] * r[0]) % 256
+    hsv[..., 1] = np.clip(hsv[..., 1] * r[1], 0, 255)
+    hsv[..., 2] = np.clip(hsv[..., 2] * r[2], 0, 255)
+    return np.asarray(Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB"))
+
+
+def random_flip_lr(img: np.ndarray, lab: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Horizontal flip; cx -> 1 - cx."""
+    img = img[:, ::-1].copy()
+    lab = lab.copy()
+    if len(lab):
+        lab[:, 1] = 1.0 - lab[:, 1]
+    return img, lab
+
+
+def random_affine(img: np.ndarray, lab: np.ndarray, rng: np.random.Generator,
+                  degrees: float = 0.0, translate: float = 0.1,
+                  scale: float = 0.5, shear: float = 0.0,
+                  border: int = 0, min_box: float = 2.0,
+                  params: Optional[dict] = None):
+    """Random affine warp (core of the reference `RandomPerspective`).
+
+    Returns (img, labels, params) — pass `params` back in to re-apply the
+    SAME warp to another frame of the clip.
+    """
+    h, w = img.shape[:2]
+    if params is None:
+        a = rng.uniform(-degrees, degrees)
+        s = rng.uniform(1 - scale, 1 + scale)
+        shx = np.tan(np.radians(rng.uniform(-shear, shear)))
+        shy = np.tan(np.radians(rng.uniform(-shear, shear)))
+        tx = rng.uniform(0.5 - translate, 0.5 + translate) * w - w / 2
+        ty = rng.uniform(0.5 - translate, 0.5 + translate) * h - h / 2
+        params = {"a": a, "s": s, "shx": shx, "shy": shy, "tx": tx, "ty": ty}
+    a, s = params["a"], params["s"]
+    ca, sa = np.cos(np.radians(a)) * s, np.sin(np.radians(a)) * s
+    # forward matrix (centered rotation/scale + shear + translation)
+    cx0, cy0 = w / 2, h / 2
+    M = np.array([
+        [ca + params["shx"] * sa, -sa + params["shx"] * ca, 0],
+        [sa + params["shy"] * ca, ca - params["shy"] * sa, 0],
+        [0, 0, 1]], np.float64)
+    M[0, 2] = cx0 - M[0, 0] * cx0 - M[0, 1] * cy0 + params["tx"]
+    M[1, 2] = cy0 - M[1, 0] * cx0 - M[1, 1] * cy0 + params["ty"]
+    # PIL wants the inverse mapping
+    Mi = np.linalg.inv(M)
+    warped = Image.fromarray(img).transform(
+        (w, h), Image.AFFINE,
+        (Mi[0, 0], Mi[0, 1], Mi[0, 2], Mi[1, 0], Mi[1, 1], Mi[1, 2]),
+        resample=Image.BILINEAR, fillcolor=(114, 114, 114))
+    img = np.asarray(warped)
+
+    if len(lab):
+        xyxy = _xywhn_to_xyxy_px(lab, w, h)
+        corners = np.stack([
+            xyxy[:, [0, 1]], xyxy[:, [2, 1]], xyxy[:, [0, 3]], xyxy[:, [2, 3]]],
+            axis=1)  # [n,4,2]
+        ones = np.ones((*corners.shape[:2], 1))
+        tc = np.concatenate([corners, ones], -1) @ M.T
+        tc = tc[..., :2]
+        new = np.concatenate([tc.min(1), tc.max(1)], 1)  # [n,4] xyxy
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+        keep = ((new[:, 2] - new[:, 0]) > min_box) & \
+               ((new[:, 3] - new[:, 1]) > min_box)
+        lab = lab[keep].copy()
+        if len(lab):
+            lab[:, 1:5] = _xyxy_px_to_xywhn(new[keep], w, h)
+    return img, lab, params
+
+
+def mosaic4(imgs: List[np.ndarray], labs: List[np.ndarray],
+            rng: np.random.Generator, size: int = 640):
+    """4-image mosaic (reference `Mosaic`): 2x2 grid around a random
+    center on a 2*size canvas, then center-crop to size."""
+    s2 = size * 2
+    canvas = np.full((s2, s2, 3), 114, np.uint8)
+    cx = int(rng.uniform(size * 0.5, size * 1.5))
+    cy = int(rng.uniform(size * 0.5, size * 1.5))
+    out_labs = []
+    placements = [(0, 0, cx, cy), (cx, 0, s2, cy), (0, cy, cx, s2),
+                  (cx, cy, s2, s2)]
+    for (x1, y1, x2, y2), img, lab in zip(placements, imgs, labs):
+        tw, th = x2 - x1, y2 - y1
+        if tw <= 0 or th <= 0:
+            continue
+        h, w = img.shape[:2]
+        g = min(tw / w, th / h)
+        nw, nh = max(int(w * g), 1), max(int(h * g), 1)
+        rs = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+        canvas[y1:y1 + nh, x1:x1 + nw] = rs[:th, :tw]
+        if len(lab):
+            l2 = lab.copy()
+            l2[:, 1] = (lab[:, 1] * nw + x1) / s2
+            l2[:, 2] = (lab[:, 2] * nh + y1) / s2
+            l2[:, 3] = lab[:, 3] * nw / s2
+            l2[:, 4] = lab[:, 4] * nh / s2
+            out_labs.append(l2)
+    lab = np.concatenate(out_labs, 0) if out_labs else np.zeros((0, 6), np.float32)
+    # center crop back to size
+    off = size // 2
+    crop = canvas[off:off + size, off:off + size]
+    if len(lab):
+        xyxy = _xywhn_to_xyxy_px(lab, s2, s2) - off
+        xyxy[:, [0, 2]] = xyxy[:, [0, 2]].clip(0, size)
+        xyxy[:, [1, 3]] = xyxy[:, [1, 3]].clip(0, size)
+        keep = ((xyxy[:, 2] - xyxy[:, 0]) > 2) & ((xyxy[:, 3] - xyxy[:, 1]) > 2)
+        lab = lab[keep]
+        if len(lab):
+            lab[:, 1:5] = _xyxy_px_to_xywhn(xyxy[keep], size, size)
+    return crop, lab
+
+
+def mixup(img1, lab1, img2, lab2, rng: np.random.Generator):
+    """MixUp (reference `MixUp`): beta(32,32) blend, labels concatenated."""
+    r = rng.beta(32.0, 32.0)
+    img = (img1.astype(np.float32) * r + img2.astype(np.float32) * (1 - r))
+    return img.astype(np.uint8), np.concatenate([lab1, lab2], 0)
+
+
+@dataclasses.dataclass
+class ClipAugmenter:
+    """Per-clip frozen augmentation for video training: geometric params are
+    sampled once per clip and reused on every frame (ids stay coherent)."""
+
+    hsv: bool = True
+    fliplr_p: float = 0.5
+    degrees: float = 0.0
+    translate: float = 0.05
+    scale: float = 0.2
+    seed: int = 0
+
+    def begin_clip(self, clip_index: int):
+        self._rng = np.random.default_rng(self.seed * 100003 + clip_index)
+        self._flip = self._rng.uniform() < self.fliplr_p
+        self._affine_params = None
+        self._hsv_rng_state = self._rng.integers(0, 2 ** 31)
+
+    def __call__(self, img: np.ndarray, lab: np.ndarray):
+        rng = np.random.default_rng(self._hsv_rng_state)
+        if self.hsv:
+            img = random_hsv(img, rng)
+        if self._flip:
+            img, lab = random_flip_lr(img, lab)
+        img, lab, self._affine_params = random_affine(
+            img, lab, self._rng, degrees=self.degrees,
+            translate=self.translate, scale=self.scale,
+            params=self._affine_params)
+        return img, lab

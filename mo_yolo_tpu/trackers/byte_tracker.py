@@ -1,0 +1,209 @@
+"""BYTETracker + BOTSORT — classic detection-box trackers (host-side).
+
+Equivalents of the reference `BYTETracker` (`trackers/byte_tracker.py:167`)
+and `BOTSORT` (`trackers/bot_sort.py:101`): two-stage IoU association of
+high/low-confidence detections with Kalman-predicted tracks, a lost-track
+buffer, and (BOTSORT) camera-motion compensation. These attach to plain
+DETECTION outputs (the reference hooks them onto detect predictors via
+callbacks, `trackers/track.py:16-62`) — the MOTR-style query tracker in
+`mo_yolo_tpu.models.tracker` is the flagship path; these cover the classic
+API surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from mo_yolo_tpu.metrics.detection import box_iou_np
+from mo_yolo_tpu.trackers.kalman import KalmanFilterXYAH
+
+
+def xyxy2xyah(b: np.ndarray) -> np.ndarray:
+    w = b[2] - b[0]
+    h = b[3] - b[1]
+    return np.array([(b[0] + b[2]) / 2, (b[1] + b[3]) / 2,
+                     w / max(h, 1e-6), h])
+
+
+def xyah2xyxy(m: np.ndarray) -> np.ndarray:
+    h = m[3]
+    w = m[2] * h
+    return np.array([m[0] - w / 2, m[1] - h / 2, m[0] + w / 2, m[1] + h / 2])
+
+
+class STrack:
+    def __init__(self, xyxy, score, cls):
+        self.kf = KalmanFilterXYAH()
+        self.mean, self.cov = self.kf.initiate(xyxy2xyah(np.asarray(xyxy, float)))
+        self.score = float(score)
+        self.cls = int(cls)
+        self.track_id = -1
+        self.state = "new"          # new | tracked | lost | removed
+        self.frames_lost = 0
+
+    @property
+    def xyxy(self) -> np.ndarray:
+        return xyah2xyxy(self.mean[:4])
+
+    def predict(self):
+        self.mean, self.cov = self.kf.predict(self.mean, self.cov)
+
+    def update(self, xyxy, score, cls):
+        self.mean, self.cov = self.kf.update(self.mean, self.cov,
+                                             xyxy2xyah(np.asarray(xyxy, float)))
+        self.score = float(score)
+        self.cls = int(cls)
+        self.state = "tracked"
+        self.frames_lost = 0
+
+    def apply_gmc(self, warp: np.ndarray):
+        """Shift state by an estimated camera translation (dx, dy)."""
+        self.mean[0] += warp[0]
+        self.mean[1] += warp[1]
+
+
+def _iou_assign(tracks: List[STrack], dets: np.ndarray,
+                thresh: float):
+    """Hungarian IoU matching; returns (pairs, unmatched_t, unmatched_d)."""
+    if not tracks or not len(dets):
+        return [], list(range(len(tracks))), list(range(len(dets)))
+    t_boxes = np.stack([t.xyxy for t in tracks])
+    iou = box_iou_np(t_boxes, dets[:, :4])
+    r, c = linear_sum_assignment(-iou)
+    pairs, ut, ud = [], set(range(len(tracks))), set(range(len(dets)))
+    for i, j in zip(r, c):
+        if iou[i, j] >= thresh:
+            pairs.append((i, j))
+            ut.discard(i)
+            ud.discard(j)
+    return pairs, sorted(ut), sorted(ud)
+
+
+@dataclasses.dataclass
+class ByteTrackerConfig:
+    """Defaults of the reference `cfg/trackers/bytetrack.yaml`."""
+    track_high_thresh: float = 0.5
+    track_low_thresh: float = 0.1
+    new_track_thresh: float = 0.6
+    match_thresh: float = 0.8    # 1 - iou cost gate for first association
+    track_buffer: int = 30
+
+
+class BYTETracker:
+    """Update with per-frame detections [n, 6] = xyxy, conf, cls; returns
+    [m, 7] = xyxy, track_id, conf, cls for active tracks."""
+
+    def __init__(self, cfg: Optional[ByteTrackerConfig] = None):
+        self.cfg = cfg or ByteTrackerConfig()
+        self.tracked: List[STrack] = []
+        self.lost: List[STrack] = []
+        self._next_id = 1
+
+    def reset(self):
+        self.tracked, self.lost, self._next_id = [], [], 1
+
+    def update(self, dets: np.ndarray, img: Optional[np.ndarray] = None
+               ) -> np.ndarray:
+        dets = np.asarray(dets, float).reshape(-1, 6)
+        c = self.cfg
+        high = dets[dets[:, 4] >= c.track_high_thresh]
+        low = dets[(dets[:, 4] >= c.track_low_thresh) &
+                   (dets[:, 4] < c.track_high_thresh)]
+
+        pool = self.tracked + self.lost
+        for t in pool:
+            t.predict()
+        self._motion_hook(pool, img)
+
+        # stage 1: high-confidence detections vs all tracks
+        pairs, ut, ud = _iou_assign(pool, high, 1.0 - c.match_thresh)
+        for i, j in pairs:
+            pool[i].update(high[j, :4], high[j, 4], high[j, 5])
+        # stage 2: low-confidence detections vs remaining tracked-state tracks
+        rem = [pool[i] for i in ut if pool[i].state == "tracked"]
+        pairs2, ut2, _ = _iou_assign(rem, low, 0.5)
+        for i, j in pairs2:
+            rem[i].update(low[j, :4], low[j, 4], low[j, 5])
+        # unmatched tracks -> lost
+        matched2 = {id(rem[i]) for i, _ in pairs2}
+        for i in ut:
+            t = pool[i]
+            if id(t) in matched2:
+                continue
+            if t.state == "tracked":
+                t.state = "lost"
+            t.frames_lost += 1
+        # new tracks from unmatched high detections
+        for j in ud:
+            if high[j, 4] >= c.new_track_thresh:
+                t = STrack(high[j, :4], high[j, 4], high[j, 5])
+                t.track_id = self._next_id
+                self._next_id += 1
+                t.state = "tracked"
+                pool.append(t)
+        # prune
+        self.tracked = [t for t in pool if t.state == "tracked"]
+        self.lost = [t for t in pool
+                     if t.state == "lost" and t.frames_lost <= c.track_buffer]
+        out = [np.concatenate([t.xyxy, [t.track_id, t.score, t.cls]])
+               for t in self.tracked]
+        return np.stack(out) if out else np.zeros((0, 7))
+
+    def _motion_hook(self, pool, img):
+        pass
+
+
+class GMC:
+    """Camera-motion estimation (reference `trackers/utils/gmc.py:11`).
+
+    The reference's methods (ORB/SIFT/ECC/sparse flow) require cv2; this
+    implementation estimates global translation by FFT phase correlation on
+    downsampled grayscale frames — numpy-only, robust for the dominant
+    (pan/jitter) case. Returns (dx, dy) in pixels.
+    """
+
+    def __init__(self, downscale: int = 4):
+        self.downscale = downscale
+        self._prev: Optional[np.ndarray] = None
+
+    def apply(self, img: np.ndarray) -> np.ndarray:
+        g = img.mean(axis=2) if img.ndim == 3 else img
+        g = g[::self.downscale, ::self.downscale].astype(np.float32)
+        if self._prev is None or self._prev.shape != g.shape:
+            self._prev = g
+            return np.zeros(2)
+        f1 = np.fft.rfft2(self._prev)
+        f2 = np.fft.rfft2(g)
+        cross = f1 * np.conj(f2)
+        cross /= np.abs(cross) + 1e-9
+        corr = np.fft.irfft2(cross, s=self._prev.shape)
+        peak = np.unravel_index(np.argmax(corr), corr.shape)
+        dy, dx = peak
+        h, w = corr.shape
+        if dy > h // 2:
+            dy -= h
+        if dx > w // 2:
+            dx -= w
+        self._prev = g
+        return -np.array([dx, dy], float) * self.downscale
+
+
+class BOTSORT(BYTETracker):
+    """BYTETracker + camera-motion compensation (reference
+    `trackers/bot_sort.py:101`; ReID branch is off by default there and not
+    implemented here)."""
+
+    def __init__(self, cfg: Optional[ByteTrackerConfig] = None):
+        super().__init__(cfg)
+        self.gmc = GMC()
+
+    def _motion_hook(self, pool, img):
+        if img is None:
+            return
+        warp = self.gmc.apply(img)
+        for t in pool:
+            t.apply_gmc(warp)

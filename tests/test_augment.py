@@ -1,0 +1,76 @@
+"""Augmentation unit tests: geometry preserved, track ids preserved,
+clip-frozen parameters."""
+
+import numpy as np
+
+from mo_yolo_tpu.data.augment import (
+    ClipAugmenter, mixup, mosaic4, random_affine, random_flip_lr, random_hsv,
+)
+
+
+def _img(h=96, w=128, seed=0):
+    return np.random.default_rng(seed).integers(0, 255, (h, w, 3), np.uint8)
+
+
+def _lab():
+    # cls cx cy w h tid
+    return np.array([[0, 0.3, 0.4, 0.2, 0.2, 7],
+                     [1, 0.7, 0.6, 0.1, 0.3, 9]], np.float32)
+
+
+def test_flip_lr():
+    img, lab = random_flip_lr(_img(), _lab())
+    assert abs(lab[0, 1] - 0.7) < 1e-6
+    assert lab[0, 5] == 7 and lab[1, 5] == 9  # ids preserved
+
+
+def test_hsv_preserves_shape_and_range():
+    rng = np.random.default_rng(0)
+    out = random_hsv(_img(), rng)
+    assert out.shape == (96, 128, 3) and out.dtype == np.uint8
+
+
+def test_affine_identity_when_zero():
+    rng = np.random.default_rng(0)
+    img, lab, p = random_affine(_img(), _lab(), rng, degrees=0, translate=0,
+                                scale=0, shear=0)
+    np.testing.assert_allclose(lab[:, 1:5], _lab()[:, 1:5], atol=0.02)
+    assert (lab[:, 5] == [7, 9]).all()
+
+
+def test_affine_params_reusable_across_frames():
+    rng = np.random.default_rng(1)
+    img1, lab1, p = random_affine(_img(), _lab(), rng, translate=0.2, scale=0.3)
+    img2, lab2, _ = random_affine(_img(seed=2), _lab(), rng, translate=0.2,
+                                  scale=0.3, params=p)
+    # same warp -> same label geometry
+    np.testing.assert_allclose(lab1[:, 1:5], lab2[:, 1:5], atol=1e-6)
+
+
+def test_mosaic4_output_and_ids():
+    rng = np.random.default_rng(0)
+    imgs = [_img(seed=i) for i in range(4)]
+    labs = [_lab() for _ in range(4)]
+    out, lab = mosaic4(imgs, labs, rng, size=128)
+    assert out.shape == (128, 128, 3)
+    if len(lab):
+        assert set(np.unique(lab[:, 5])) <= {7.0, 9.0}
+        assert (lab[:, 1:5] >= 0).all() and (lab[:, 1:5] <= 1).all()
+
+
+def test_mixup_concats_labels():
+    rng = np.random.default_rng(0)
+    img, lab = mixup(_img(seed=0), _lab(), _img(seed=1), _lab(), rng)
+    assert img.shape == (96, 128, 3)
+    assert len(lab) == 4
+
+
+def test_clip_augmenter_consistent_within_clip():
+    aug = ClipAugmenter(hsv=False, fliplr_p=1.0, translate=0.1, scale=0.2)
+    aug.begin_clip(3)
+    _, lab1 = aug(_img(seed=1), _lab())
+    _, lab2 = aug(_img(seed=2), _lab())
+    np.testing.assert_allclose(lab1[:, 1:5], lab2[:, 1:5], atol=1e-6)
+    aug.begin_clip(4)
+    _, lab3 = aug(_img(seed=1), _lab())
+    assert not np.allclose(lab1[:, 1:5], lab3[:, 1:5])
