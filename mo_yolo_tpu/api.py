@@ -162,6 +162,72 @@ class MOTRTrack:
                          "(supported: 'stablehlo', 'params')")
 
 
+class Detector:
+    """Detection-task facade (RT-DETR-style set prediction) with classic
+    tracker attachment — the reference's `model.track()` path
+    (`trackers/track.py:16-62`: detect + BYTETracker/BOTSORT)."""
+
+    def __init__(self, model: str = "yolo_track.yaml", nc: Optional[int] = None,
+                 imgsz: int = 640, dtype: str = "bfloat16",
+                 names: Optional[Dict[int, str]] = None, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+        from mo_yolo_tpu.models.detect import build_detection_model
+
+        jdt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+        self.imgsz = imgsz
+        self.names = names or {}
+        cfg = _resolve_model_cfg(str(model))
+        self.model = build_detection_model(cfg, nc=nc, dtype=jdt)
+        self.variables = self.model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, imgsz, imgsz, 3)))
+        self._step = jax.jit(lambda v, x: self.model.apply(
+            v, x, method=self.model.predict_step))
+
+    def predict(self, source, conf: float = 0.5):
+        """Per-frame detection results (no identity)."""
+        import jax.numpy as jnp
+        from mo_yolo_tpu.data.letterbox import boxes_to_original, preprocess
+        from mo_yolo_tpu.data.loaders import make_source
+        from mo_yolo_tpu.engine.results import TrackResults
+
+        for path, img in make_source(source):
+            x, meta = preprocess(img, self.imgsz, scale_fill=True)
+            boxes, scores, cls = self._step(self.variables, jnp.asarray(x))
+            b = np.asarray(boxes[0])
+            s = np.asarray(scores[0])
+            c = np.asarray(cls[0])
+            keep = s >= conf
+            size = self.imgsz
+            xyxy = np.stack([(b[:, 0] - b[:, 2] / 2) * size,
+                             (b[:, 1] - b[:, 3] / 2) * size,
+                             (b[:, 0] + b[:, 2] / 2) * size,
+                             (b[:, 1] + b[:, 3] / 2) * size], 1)[keep]
+            xyxy = boxes_to_original(xyxy, meta)
+            yield TrackResults(boxes_xyxy=xyxy, conf=s[keep],
+                               cls=c[keep].astype(int),
+                               track_id=np.full(int(keep.sum()), -1),
+                               orig_shape=meta["orig_shape"], path=path,
+                               names=self.names, orig_img=img)
+
+    def track(self, source, conf: float = 0.3, tracker: str = "bytetrack"):
+        """Detection + classic box tracker (BYTETracker / BOTSORT)."""
+        from mo_yolo_tpu.trackers import BOTSORT, BYTETracker
+        from mo_yolo_tpu.engine.results import TrackResults
+
+        bt = BOTSORT() if tracker == "botsort" else BYTETracker()
+        for r in self.predict(source, conf=conf):
+            dets = np.concatenate([r.boxes_xyxy, r.conf[:, None],
+                                   r.cls[:, None].astype(float)], 1) \
+                if len(r) else np.zeros((0, 6))
+            out = bt.update(dets, r.orig_img if tracker == "botsort" else None)
+            yield TrackResults(
+                boxes_xyxy=out[:, :4], conf=out[:, 5],
+                cls=out[:, 6].astype(int), track_id=out[:, 4].astype(int),
+                orig_shape=r.orig_shape, path=r.path, names=self.names,
+                orig_img=r.orig_img)
+
+
 class YOLO:
     """Generic facade routing by task (reference `engine/model.py`)."""
 
@@ -169,6 +235,8 @@ class YOLO:
                 **kw):
         if task == "track":
             return MOTRTrack(model, **kw)
+        if task == "detect":
+            return Detector(model, **kw)
         raise NotImplementedError(
             f"task {task!r} not yet implemented in mo_yolo_tpu "
-            "(available: 'track')")
+            "(available: 'track', 'detect')")

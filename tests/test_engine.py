@@ -110,3 +110,29 @@ def test_cli_help_and_parse():
 
     kv = parse_kv(["imgsz=640", "conf=0.5", "save=true", "data=MOT.yaml"])
     assert kv == {"imgsz": 640, "conf": 0.5, "save": True, "data": "MOT.yaml"}
+
+
+def test_detector_predict_and_classic_track():
+    from mo_yolo_tpu.api import YOLO
+
+    det = YOLO("tests/tiny_track.yaml", task="detect", imgsz=64,
+               dtype="float32")
+    frames = _synthetic_frames(3)
+    results = list(det.predict(frames, conf=0.0))
+    assert len(results) == 3 and len(results[0]) > 0
+    tracked = list(det.track(frames, conf=0.0, tracker="bytetrack"))
+    assert len(tracked) == 3
+    if len(tracked[-1]):
+        assert (tracked[-1].track_id >= 1).all()
+
+
+def test_get_cfg_validation():
+    import pytest
+    from mo_yolo_tpu.cfg import get_cfg
+
+    cfg = get_cfg({"imgsz": 320, "conf": 0.4})
+    assert cfg.imgsz == 320 and cfg.conf == 0.4 and cfg.task == "track"
+    with pytest.raises(KeyError):
+        get_cfg({"imgzs": 320})
+    with pytest.raises(TypeError):
+        get_cfg({"epochs": "ten"})
