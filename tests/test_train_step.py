@@ -51,3 +51,51 @@ def test_single_device_train_two_steps_finite():
     p0 = jax.tree.leaves(ts.params)[0]
     e0 = jax.tree.leaves(ts.ema_params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(e0))
+
+
+@pytest.mark.slow
+def test_training_converges_on_synthetic_clip():
+    """Overfit one synthetic 2-frame clip: loss must drop by >2x in 40
+    steps (full path: CDN, track-aware association, teacher forcing, aux
+    losses, optimizer)."""
+    from mo_yolo_tpu.models.graph import parse_model_yaml
+    from mo_yolo_tpu.models.tracking_model import TrackingModel
+    from mo_yolo_tpu.models.tracker import TrackerConfig, init_track_state
+    from mo_yolo_tpu.train.losses import LossConfig
+    from mo_yolo_tpu.train.train_step import TrainConfig, make_train_step
+
+    spec = parse_model_yaml("tests/tiny_track.yaml")
+    model = TrackingModel(spec=spec, tracker=TrackerConfig(n_slots=8), nq=12,
+                          ndl=2, d_ffn=64, hd=32, num_denoising=8)
+    T, B, G, H = 2, 1, 2, 64
+    imgs = np.full((T, B, H, H, 3), 0.3, np.float32)
+    boxes = np.zeros((T, B, G, 4), np.float32)
+    for t in range(T):
+        for k, (cx, cy) in enumerate([(20 + 4 * t, 24), (44, 40 + 3 * t)]):
+            imgs[t, 0, cy - 6:cy + 6, cx - 6:cx + 6, k] = 1.0
+            boxes[t, 0, k] = [cx / H, cy / H, 12 / H, 12 / H]
+    clip = {
+        "images": jnp.asarray(imgs),
+        "gt_cls": jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32) % spec.nc,
+                                   (T, B, G)),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_track_id": jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32),
+                                        (T, B, G)),
+        "gt_mask": jnp.ones((T, B, G), bool),
+    }
+    key = jax.random.PRNGKey(0)
+    state = init_track_state(B, 8, 32)
+    v = model.init(key, clip["images"][0], state, train=False)
+    tcfg = TrainConfig(clip_len=T, lr=2e-3, warmup_steps=5, total_steps=100,
+                       remat=False, drop_prob=0.0, fp_ratio=0.0)
+    init_fn, step_fn = make_train_step(model, LossConfig(nc=spec.nc), tcfg)
+    ts = init_fn(v)
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    first = last = None
+    for i in range(40):
+        key, k = jax.random.split(key)
+        ts, m = step(ts, clip, k)
+        if i == 0:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert last < first / 2, (first, last)
