@@ -136,3 +136,26 @@ def test_get_cfg_validation():
         get_cfg({"imgzs": 320})
     with pytest.raises(TypeError):
         get_cfg({"epochs": "ten"})
+
+
+def test_multistream_sharded_over_mesh(tiny):
+    """8 independent streams over the virtual 8-device CPU mesh."""
+    import jax
+    from mo_yolo_tpu.engine.multistream import MultiStreamPredictor
+    from mo_yolo_tpu.models.graph import parse_model_yaml
+    from mo_yolo_tpu.models.tracking_model import TrackingModel
+    from mo_yolo_tpu.models.tracker import TrackerConfig, init_track_state
+    import jax.numpy as jnp
+
+    assert len(jax.devices()) == 8
+    model, v = tiny
+    ms = MultiStreamPredictor(model, v, imgsz=64, conf=0.0)
+    # 8 streams of different lengths
+    sources = [_synthetic_frames(2 + (i % 3)) for i in range(8)]
+    steps = list(ms.stream(sources))
+    assert len(steps) == 4  # longest stream
+    # finished streams are None, live ones have fixed-shape outputs
+    assert steps[0][0] is not None
+    assert steps[-1][0] is None          # length-2 stream ended
+    live = [r for r in steps[-1] if r is not None]
+    assert live and live[0]["box"].shape[1] == 4
