@@ -113,3 +113,46 @@ def _compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
     x = np.linspace(0, 1, 101)
     return float(np.trapezoid(np.interp(x, mrec, mpre), x))
+
+
+class ConfusionMatrix:
+    """Detection confusion matrix (reference `utils/metrics.py:177`):
+    class-aware TP assignment at a single IoU threshold, with background
+    row/column for FP/FN."""
+
+    def __init__(self, nc: int, conf: float = 0.25, iou_thresh: float = 0.45):
+        self.nc = nc
+        self.conf = conf
+        self.iou_thresh = iou_thresh
+        self.matrix = np.zeros((nc + 1, nc + 1), np.int64)  # [pred, gt]
+
+    def update(self, pred_boxes, pred_conf, pred_cls, gt_boxes, gt_cls):
+        keep = np.asarray(pred_conf) >= self.conf
+        pb = np.asarray(pred_boxes)[keep]
+        pc = np.asarray(pred_cls)[keep].astype(int)
+        gb = np.asarray(gt_boxes)
+        gc = np.asarray(gt_cls).astype(int)
+        if len(gb) == 0:
+            for c in pc:
+                self.matrix[c, self.nc] += 1  # FP vs background
+            return
+        if len(pb) == 0:
+            for c in gc:
+                self.matrix[self.nc, c] += 1  # FN
+            return
+        iou = box_iou_np(gb, pb)
+        gi, pi = np.nonzero(iou >= self.iou_thresh)
+        used_g, used_p = set(), set()
+        order = np.argsort(-iou[gi, pi])
+        for g, p in zip(gi[order], pi[order]):
+            if g in used_g or p in used_p:
+                continue
+            used_g.add(g)
+            used_p.add(p)
+            self.matrix[pc[p], gc[g]] += 1
+        for g in range(len(gb)):
+            if g not in used_g:
+                self.matrix[self.nc, gc[g]] += 1
+        for p in range(len(pb)):
+            if p not in used_p:
+                self.matrix[pc[p], self.nc] += 1

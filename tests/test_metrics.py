@@ -102,3 +102,20 @@ def test_box_iou_np():
     iou = box_iou_np(a, b)
     assert abs(iou[0, 0] - 1.0) < 1e-9
     assert abs(iou[0, 1] - 25 / 175) < 1e-9
+
+
+def test_confusion_matrix():
+    from mo_yolo_tpu.metrics.detection import ConfusionMatrix
+
+    cm = ConfusionMatrix(nc=2, conf=0.25, iou_thresh=0.45)
+    gt = np.array([[10, 10, 50, 50], [60, 60, 90, 90]], float)
+    gt_cls = np.array([0, 1])
+    # one correct, one misclassified, one FP
+    preds = np.array([[10, 10, 50, 50], [60, 60, 90, 90],
+                      [200, 200, 230, 230]], float)
+    cm.update(preds, np.array([0.9, 0.9, 0.9]), np.array([0, 0, 1]),
+              gt, gt_cls)
+    assert cm.matrix[0, 0] == 1      # correct class 0
+    assert cm.matrix[0, 1] == 1      # class 1 predicted as 0
+    assert cm.matrix[1, 2] == 1      # FP vs background
+    assert cm.matrix.sum() == 3
