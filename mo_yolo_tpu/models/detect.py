@@ -80,9 +80,12 @@ class YoloDetectHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray]):
+    def __call__(self, feats: Sequence[jnp.ndarray], raw: bool = False):
         """feats: NHWC per level. Returns (boxes xyxy [B,S,4] in input px,
-        cls scores [B,S,nc] probabilities)."""
+        cls scores [B,S,nc] probabilities) — or, with raw=True, the training
+        tuple (box_dist [B,S,4,reg_max], cls_logits [B,S,nc],
+        anchors [S,2] cells, strides [S]) consumed by
+        `train.v8_loss.v8_detection_loss`."""
         B = feats[0].shape[0]
         c2 = max(16, feats[0].shape[-1] // 4, self.reg_max * 4)
         c3 = max(feats[0].shape[-1], min(self.nc, 100))
@@ -106,9 +109,12 @@ class YoloDetectHead(nn.Module):
             all_anchor.append(anchors)
             all_stride.append(jnp.full((h * w,), float(self.strides[i])))
         box = jnp.concatenate(all_box, 1)      # [B,S,4,reg_max]
-        cls = jax.nn.sigmoid(jnp.concatenate(all_cls, 1))
+        cls_logits = jnp.concatenate(all_cls, 1)
         anchor = jnp.concatenate(all_anchor, 0)  # [S,2] in cells
         stride = jnp.concatenate(all_stride, 0)  # [S]
+        if raw:
+            return box, cls_logits, anchor, stride
+        cls = jax.nn.sigmoid(cls_logits)
         # DFL decode: distances = expectation over softmaxed bins
         dist = jnp.sum(jax.nn.softmax(box, -1) *
                        jnp.arange(self.reg_max, dtype=box.dtype), -1)  # [B,S,4]

@@ -9,6 +9,7 @@ dimensions; boxes are float arrays whose last axis is 4.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-7
@@ -56,6 +57,32 @@ def elementwise_iou(box1: jnp.ndarray, box2: jnp.ndarray, xywh: bool = True,
     cy2 = jnp.maximum(box1[..., 3], box2[..., 3])
     c_area = (cx2 - cx1) * (cy2 - cy1) + eps
     return iou - (c_area - union) / c_area
+
+
+def elementwise_ciou(box1: jnp.ndarray, box2: jnp.ndarray, xywh: bool = True,
+                     eps: float = EPS) -> jnp.ndarray:
+    """Complete IoU (reference `bbox_iou(..., CIoU=True)`): IoU minus center
+    distance over enclosing diagonal minus aspect-ratio consistency term."""
+    import math
+    if xywh:
+        b1, b2 = xywh2xyxy(box1), xywh2xyxy(box2)
+    else:
+        b1, b2 = box1, box2
+    iou = elementwise_iou(b1, b2, xywh=False, eps=eps)
+    cw = jnp.maximum(b1[..., 2], b2[..., 2]) - jnp.minimum(b1[..., 0], b2[..., 0])
+    ch = jnp.maximum(b1[..., 3], b2[..., 3]) - jnp.minimum(b1[..., 1], b2[..., 1])
+    c2 = cw ** 2 + ch ** 2 + eps
+    rho2 = ((b1[..., 0] + b1[..., 2] - b2[..., 0] - b2[..., 2]) ** 2 +
+            (b1[..., 1] + b1[..., 3] - b2[..., 1] - b2[..., 3]) ** 2) / 4
+    w1 = b1[..., 2] - b1[..., 0]
+    h1 = b1[..., 3] - b1[..., 1]
+    w2 = b2[..., 2] - b2[..., 0]
+    h2 = b2[..., 3] - b2[..., 1]
+    v = (4 / math.pi ** 2) * (jnp.arctan(w2 / (h2 + eps)) -
+                              jnp.arctan(w1 / (h1 + eps))) ** 2
+    alpha = v / (v - iou + (1 + eps))
+    alpha = jax.lax.stop_gradient(alpha)
+    return iou - (rho2 / c2 + v * alpha)
 
 
 def pairwise_iou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:

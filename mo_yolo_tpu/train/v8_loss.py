@@ -1,0 +1,144 @@
+"""YOLOv8 detection loss: task-aligned assignment + BCE/CIoU/DFL.
+
+Equivalent of the reference `v8DetectionLoss` + `TaskAlignedAssigner`
+(`utils/loss.py:130-228`, `utils/tal.py`): anchors inside GT boxes are
+candidates, alignment = cls_score^alpha * IoU^beta, top-k per GT with
+multi-assignment resolved by IoU; loss = BCE over aligned target scores +
+CIoU box loss + distribution-focal loss over DFL bins, with gains
+box 7.5 / cls 0.5 / dfl 1.5.
+
+Fixed shapes: GT padded to [B, G] with a mask; everything jittable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mo_yolo_tpu.ops.boxes import elementwise_ciou, pairwise_iou, xywh2xyxy
+from mo_yolo_tpu.train.losses import optax_sigmoid_bce
+
+
+@dataclasses.dataclass(frozen=True)
+class V8LossConfig:
+    nc: int
+    reg_max: int = 16
+    topk: int = 10
+    alpha: float = 0.5
+    beta: float = 6.0
+    gain_box: float = 7.5
+    gain_cls: float = 0.5
+    gain_dfl: float = 1.5
+
+
+def task_aligned_assign(cfg: V8LossConfig,
+                        pd_scores: jnp.ndarray,   # [B,S,nc] sigmoided
+                        pd_bboxes: jnp.ndarray,   # [B,S,4] xyxy (px)
+                        anc_points: jnp.ndarray,  # [S,2] centers (px)
+                        gt_labels: jnp.ndarray,   # [B,G] int32
+                        gt_bboxes: jnp.ndarray,   # [B,G,4] xyxy (px)
+                        gt_mask: jnp.ndarray):    # [B,G] bool
+    """Returns (target_labels [B,S], target_bboxes [B,S,4],
+    target_scores [B,S,nc], fg_mask [B,S])."""
+    B, S, nc = pd_scores.shape
+    G = gt_labels.shape[1]
+
+    # candidates: anchor center strictly inside the GT box
+    ax = anc_points[None, None, :, 0]
+    ay = anc_points[None, None, :, 1]
+    in_gt = ((ax > gt_bboxes[..., 0:1]) & (ax < gt_bboxes[..., 2:3]) &
+             (ay > gt_bboxes[..., 1:2]) & (ay < gt_bboxes[..., 3:4]))  # [B,G,S]
+    in_gt = in_gt & gt_mask[..., None]
+
+    # alignment metric
+    iou = jax.vmap(pairwise_iou)(gt_bboxes, pd_bboxes)              # [B,G,S]
+    iou = jnp.clip(iou, 0.0)
+    cls_score = jnp.take_along_axis(
+        pd_scores.transpose(0, 2, 1),                                # [B,nc,S]
+        jnp.clip(gt_labels, 0, nc - 1)[..., None], axis=1)           # [B,G,S]
+    metric = (cls_score ** cfg.alpha) * (iou ** cfg.beta)
+    metric = jnp.where(in_gt, metric, 0.0)
+
+    # top-k anchors per GT
+    topk_vals, topk_idx = jax.lax.top_k(metric, cfg.topk)            # [B,G,k]
+    topk_ok = topk_vals > 1e-9
+    cand = jnp.zeros((B, G, S), bool)
+    cand = jax.vmap(jax.vmap(
+        lambda c, idx, ok: c.at[jnp.where(ok, idx, S)].set(True, mode="drop")
+    ))(cand, topk_idx, topk_ok)
+
+    # resolve anchors claimed by multiple GTs: keep highest-IoU GT
+    n_claims = cand.sum(axis=1)                                      # [B,S]
+    best_gt = jnp.argmax(jnp.where(cand, iou, -1.0), axis=1)         # [B,S]
+    keep = cand & (jnp.arange(G)[None, :, None] == best_gt[:, None, :])
+    cand = jnp.where((n_claims > 1)[:, None, :], keep, cand)
+
+    fg_mask = cand.any(axis=1)                                       # [B,S]
+    assigned_gt = jnp.argmax(cand, axis=1)                           # [B,S]
+
+    take_g = lambda arr: jnp.take_along_axis(arr, assigned_gt[:, :, None]
+                                             if arr.ndim == 3 else assigned_gt,
+                                             axis=1)
+    target_labels = jnp.take_along_axis(gt_labels, assigned_gt, axis=1)
+    target_bboxes = jnp.take_along_axis(gt_bboxes, assigned_gt[..., None],
+                                        axis=1)
+    # normalized target scores (tal.py: metric scaled by per-GT max IoU/metric)
+    m_max = metric.max(axis=2, keepdims=True)                        # [B,G,1]
+    i_max = iou.max(axis=2, keepdims=True)
+    norm = metric * i_max / jnp.maximum(m_max, 1e-9)                 # [B,G,S]
+    norm_a = jnp.take_along_axis(
+        norm.transpose(0, 2, 1), assigned_gt[..., None], axis=2)[..., 0]
+    onehot = jax.nn.one_hot(target_labels, nc)
+    target_scores = onehot * (norm_a * fg_mask)[..., None]
+    return target_labels, target_bboxes, target_scores, fg_mask
+
+
+def v8_detection_loss(cfg: V8LossConfig,
+                      box_dist: jnp.ndarray,     # [B,S,4,reg_max] raw DFL
+                      cls_logits: jnp.ndarray,   # [B,S,nc] raw logits
+                      anc_points: jnp.ndarray,   # [S,2] centers in CELLS
+                      strides: jnp.ndarray,      # [S]
+                      gt_labels, gt_bboxes_xyxy, gt_mask) -> Dict[str, jnp.ndarray]:
+    """gt boxes in input pixels (xyxy). Returns loss dict + total."""
+    B, S, _, R = box_dist.shape
+    # decode boxes (same math as YoloDetectHead)
+    dist = jnp.sum(jax.nn.softmax(box_dist, -1) *
+                   jnp.arange(R, dtype=box_dist.dtype), -1)          # [B,S,4]
+    x1y1 = (anc_points[None] - dist[..., :2]) * strides[None, :, None]
+    x2y2 = (anc_points[None] + dist[..., 2:]) * strides[None, :, None]
+    pd_bboxes = jnp.concatenate([x1y1, x2y2], -1)
+    pd_scores = jax.nn.sigmoid(cls_logits)
+
+    anc_px = anc_points * strides[:, None]
+    tl, tb, ts, fg = task_aligned_assign(cfg, pd_scores, pd_bboxes, anc_px,
+                                         gt_labels, gt_bboxes_xyxy, gt_mask)
+    ts_sum = jnp.maximum(ts.sum(), 1.0)
+
+    # cls: BCE over all anchors against aligned target scores
+    cls_loss = optax_sigmoid_bce(cls_logits, ts).sum() / ts_sum
+
+    # box: CIoU weighted by target score at fg anchors
+    w = ts.sum(-1) * fg                                              # [B,S]
+    ciou = elementwise_ciou(pd_bboxes, tb, xywh=False)
+    box_loss = jnp.sum((1.0 - ciou) * w) / ts_sum
+
+    # dfl: distribution focal on lt/rb cell distances
+    t_lt = (anc_points[None] - tb[..., :2] / strides[None, :, None])
+    t_rb = (tb[..., 2:] / strides[None, :, None] - anc_points[None])
+    tdist = jnp.clip(jnp.concatenate([t_lt, t_rb], -1), 0, R - 1 - 0.01)
+    tl_i = jnp.floor(tdist)
+    wr = tdist - tl_i
+    wl = 1.0 - wr
+    logp = jax.nn.log_softmax(box_dist, -1)
+    gather = lambda idx: jnp.take_along_axis(
+        logp, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    dfl = -(gather(tl_i) * wl + gather(jnp.minimum(tl_i + 1, R - 1)) * wr)
+    dfl_loss = jnp.sum(dfl.mean(-1) * w) / ts_sum
+
+    total = (cfg.gain_box * box_loss + cfg.gain_cls * cls_loss +
+             cfg.gain_dfl * dfl_loss)
+    return {"loss": total, "box": box_loss, "cls": cls_loss, "dfl": dfl_loss,
+            "fg": fg.sum()}
