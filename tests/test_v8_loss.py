@@ -62,7 +62,9 @@ def test_v8_loss_better_predictions_lower_loss():
     cfg = V8LossConfig(nc=2)
     anc, strides = _grid(64)
     B, S, R = 1, 64, 16
-    gt_boxes = jnp.asarray([[[16.0, 16.0, 48.0, 48.0]]])
+    # GT chosen so anchor-to-edge distances are INTEGRAL in cells (anchors
+    # sit at k+0.5; edges at 1.5/5.5 cells) -> DFL peaks decode exactly
+    gt_boxes = jnp.asarray([[[12.0, 12.0, 44.0, 44.0]]])
     gt_labels = jnp.asarray([[0]], jnp.int32)
     gt_mask = jnp.ones((1, 1), bool)
     rng = np.random.default_rng(0)
@@ -71,8 +73,8 @@ def test_v8_loss_better_predictions_lower_loss():
     # good: DFL peaked at the true cell distances, confident class
     good_dist = jnp.full((B, S, 4, R), -6.0)
     anc_np = np.asarray(anc)
-    tgt = np.stack([anc_np[:, 0] - 2.0, anc_np[:, 1] - 2.0,
-                    6.0 - anc_np[:, 0], 6.0 - anc_np[:, 1]], -1)
+    tgt = np.stack([anc_np[:, 0] - 1.5, anc_np[:, 1] - 1.5,
+                    5.5 - anc_np[:, 0], 5.5 - anc_np[:, 1]], -1)
     tgt = np.clip(np.round(tgt), 0, R - 1).astype(int)
     ii = np.arange(S)
     gd = np.full((B, S, 4, R), -6.0, np.float32)
@@ -86,10 +88,8 @@ def test_v8_loss_better_predictions_lower_loss():
     good = v8_detection_loss(cfg, good_dist, good_cls, anc, strides,
                              gt_labels, gt_boxes, gt_mask)
     assert float(good["loss"]) < float(bad["loss"])
-    # DFL targets are bin-rounded, so the decoded box is off by <= half a
-    # cell; the box loss just needs to be clearly better than random
-    assert float(good["box"]) < float(bad["box"])
-    assert float(good["box"]) < 0.8
+    assert float(good["box"]) < 0.05  # exact decode -> near-zero CIoU loss
+    assert float(good["dfl"]) < float(bad["dfl"])
 
 
 def test_v8_loss_grads_finite():
