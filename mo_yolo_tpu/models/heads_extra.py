@@ -1,0 +1,119 @@
+"""Secondary task heads: Segment / Pose / Classify.
+
+Equivalents of the reference's non-track task heads
+(`nn/modules/head.py:27-599`: `Segment`, `Pose`, `Classify`, built on the
+same `Detect` DFL head). Inference-level parity for the inherited task
+families (`tasks.py:520-629`); their training losses are round-2 scope
+(see STATUS.md).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mo_yolo_tpu.models.detect import YoloDetectHead
+from mo_yolo_tpu.models.layers import ConvBnAct
+
+
+class Proto(nn.Module):
+    """Mask prototype generator (reference `block.py:Proto`): conv ->
+    2x upsample -> conv -> conv to nm prototype channels on P3."""
+
+    c_: int = 256
+    nm: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, p3, train: bool = False):
+        x = ConvBnAct(self.c_, 3, dtype=self.dtype, name="cv1")(p3, train)
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        x = ConvBnAct(self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBnAct(self.nm, 1, dtype=self.dtype, name="cv3")(x, train)
+
+
+class SegmentHead(nn.Module):
+    """Detect + per-anchor mask coefficients + prototypes
+    (reference `Segment`, `head.py`): masks = sigmoid(coef @ protos)."""
+
+    nc: int
+    nm: int = 32
+    strides: Tuple[int, ...] = (8, 16, 32)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        boxes, cls = YoloDetectHead(self.nc, self.strides, dtype=self.dtype,
+                                    name="detect")(feats)
+        protos = Proto(nm=self.nm, dtype=self.dtype, name="proto")(
+            feats[0], train)                                   # [B,2h,2w,nm]
+        coefs = []
+        c4 = max(feats[0].shape[-1] // 4, self.nm)
+        for i, f in enumerate(feats):
+            y = ConvBnAct(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(f, train)
+            y = ConvBnAct(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            y = nn.Conv(self.nm, (1, 1), dtype=self.dtype,
+                        name=f"cv4_{i}_2")(y)
+            coefs.append(y.reshape(y.shape[0], -1, self.nm))
+        coef = jnp.concatenate(coefs, 1)                       # [B,S,nm]
+        return boxes, cls, coef, protos
+
+    @staticmethod
+    def masks(coef, protos):
+        """[B,S,nm] x [B,H,W,nm] -> [B,S,H,W] sigmoid masks."""
+        return jax.nn.sigmoid(jnp.einsum("bsn,bhwn->bshw", coef, protos))
+
+
+class PoseHead(nn.Module):
+    """Detect + keypoint regression (reference `Pose`): per-anchor
+    (kpt_shape) offsets decoded against anchor centers."""
+
+    nc: int
+    kpt_shape: Tuple[int, int] = (17, 3)
+    strides: Tuple[int, ...] = (8, 16, 32)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        boxes, cls = YoloDetectHead(self.nc, self.strides, dtype=self.dtype,
+                                    name="detect")(feats)
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(feats[0].shape[-1] // 4, nk)
+        outs, ancs, strs = [], [], []
+        for i, f in enumerate(feats):
+            y = ConvBnAct(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(f, train)
+            y = ConvBnAct(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            y = nn.Conv(nk, (1, 1), dtype=self.dtype, name=f"cv4_{i}_2")(y)
+            b, h, w, _ = y.shape
+            outs.append(y.reshape(b, h * w, *self.kpt_shape))
+            gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                  jnp.arange(w, dtype=jnp.float32),
+                                  indexing="ij")
+            ancs.append(jnp.stack([gx + 0.5, gy + 0.5], -1).reshape(-1, 2))
+            strs.append(jnp.full((h * w,), float(self.strides[i])))
+        kpt = jnp.concatenate(outs, 1)                    # [B,S,K,3]
+        anc = jnp.concatenate(ancs, 0)
+        st = jnp.concatenate(strs, 0)
+        xy = (kpt[..., :2] * 2.0 + (anc[None, :, None, :] - 0.5)) * \
+            st[None, :, None, None]
+        vis = jax.nn.sigmoid(kpt[..., 2:3])
+        return boxes, cls, jnp.concatenate([xy, vis], -1)
+
+
+class ClassifyHead(nn.Module):
+    """Image classification head (reference `Classify`): conv -> GAP ->
+    dense logits over the deepest feature map."""
+
+    nc: int
+    c_: int = 1280
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, train: bool = False):
+        x = ConvBnAct(self.c_, 1, dtype=self.dtype, name="conv")(feat, train)
+        x = x.mean(axis=(1, 2))
+        return nn.Dense(self.nc, dtype=self.dtype, name="linear")(x)
