@@ -37,18 +37,33 @@ class MOTRTrack:
                  imgsz: int = 640, dtype: str = "bfloat16",
                  impl: Optional[str] = None,  # None = pallas on TPU, xla on CPU
                  names: Optional[Dict[int, str]] = None,
-                 seed: int = 0):
+                 seed: int = 0, **model_kw):
+        """model_kw forwards TrackingModel fields (nq, ndl, d_ffn, hd,
+        num_denoising, tracker=TrackerConfig(...)) for non-default scales."""
         import jax
         import jax.numpy as jnp
+        from mo_yolo_tpu.models.graph import parse_model_yaml
         from mo_yolo_tpu.models.tracking_model import (
-            build_tracking_model, init_variables)
+            TrackingModel, build_tracking_model, init_variables)
+        from mo_yolo_tpu.models.tracker import TrackerConfig
 
         self.imgsz = imgsz
         self.names = names or {}
+        self._model_kw = dict(model_kw)
         jdt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
         if str(model).endswith((".yaml", ".yml")):
             cfg = _resolve_model_cfg(str(model))
-            self.model = build_tracking_model(cfg, nc=nc, impl=impl, dtype=jdt)
+            if model_kw:
+                if impl is None:
+                    impl = ("pallas" if jax.default_backend() not in ("cpu",)
+                            else "xla")
+                self.model = TrackingModel(
+                    spec=parse_model_yaml(cfg, nc=nc),
+                    tracker=model_kw.pop("tracker", TrackerConfig()),
+                    impl=impl, dtype=jdt, **model_kw)
+            else:
+                self.model = build_tracking_model(cfg, nc=nc, impl=impl,
+                                                  dtype=jdt)
             self.variables = init_variables(
                 self.model, jax.random.PRNGKey(seed), image_size=(imgsz, imgsz))
             self.cfg_path = cfg
@@ -102,8 +117,10 @@ class MOTRTrack:
     # ------------------------------------------------------------------ #
     def save(self, path: str):
         from mo_yolo_tpu.utils.checkpoint import save_params
+        kw = {k: v for k, v in self._model_kw.items()
+              if isinstance(v, (int, float, str, bool))}
         meta = {"cfg_path": self.cfg_path, "imgsz": self.imgsz,
-                "names": self.names}
+                "names": self.names, "model_kw": kw}
         save_params(path, self.variables)
         import json
         with open(str(Path(path).resolve()) + ".meta.json", "w") as f:
@@ -121,7 +138,16 @@ class MOTRTrack:
         self.cfg_path = meta["cfg_path"]
         self.imgsz = meta.get("imgsz", 640)
         self.names = {int(k): v for k, v in (meta.get("names") or {}).items()}
-        self.model = build_tracking_model(self.cfg_path)
+        self._model_kw = meta.get("model_kw", {})
+        if self._model_kw:
+            from mo_yolo_tpu.models.graph import parse_model_yaml
+            from mo_yolo_tpu.models.tracking_model import TrackingModel
+            from mo_yolo_tpu.models.tracker import TrackerConfig
+            self.model = TrackingModel(spec=parse_model_yaml(self.cfg_path),
+                                       tracker=TrackerConfig(),
+                                       **self._model_kw)
+        else:
+            self.model = build_tracking_model(self.cfg_path)
         target = init_variables(self.model, jax.random.PRNGKey(0),
                                 image_size=(self.imgsz, self.imgsz))
         self.variables = load_params(path, target)

@@ -43,9 +43,12 @@ class DetectionModel(nn.Module):
             nc=self.spec.nc, hd=self.hd, nq=self.nq, n_track=0,
             ndl=self.ndl, d_ffn=self.d_ffn, impl=self.impl, dtype=self.dtype)
 
-    def __call__(self, images, train: bool = False):
+    def __call__(self, images, train: bool = False, dn_cls=None,
+                 dn_bbox_logit=None, dn_attn_mask=None):
         feats = self.backbone(images, train=train)
-        return self.decoder(feats, train=train)
+        return self.decoder(feats, train=train, dn_cls=dn_cls,
+                            dn_bbox_logit=dn_bbox_logit,
+                            dn_attn_mask=dn_attn_mask)
 
     def predict_step(self, images):
         """One jitted detection step -> (boxes cxcywh [B,nq,4],

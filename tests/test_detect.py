@@ -63,3 +63,41 @@ def test_nms_conf_threshold_and_jit():
     b, s, c, valid = f(boxes, scores, cls)
     assert np.asarray(s[valid]).min() >= 0.5
     assert valid.shape == (4,)
+
+
+def test_detect_train_step_runs_and_improves():
+    from mo_yolo_tpu.train.losses import LossConfig
+    from mo_yolo_tpu.train.train_step import TrainConfig
+    from mo_yolo_tpu.train.detect_trainer import make_detect_train_step
+
+    spec = parse_model_yaml("tests/tiny_track.yaml")
+    m = DetectionModel(spec=spec, hd=32, nq=12, ndl=2, d_ffn=64)
+    B, G, H = 1, 2, 64
+    rng = np.random.default_rng(0)
+    imgs = np.full((B, H, H, 3), 0.3, np.float32)
+    boxes = np.zeros((B, G, 4), np.float32)
+    for k, (cx, cy) in enumerate([(20, 24), (44, 40)]):
+        imgs[0, cy - 6:cy + 6, cx - 6:cx + 6, k] = 1.0
+        boxes[0, k] = [cx / H, cy / H, 12 / H, 12 / H]
+    batch = {
+        "images": jnp.asarray(imgs),
+        "gt_cls": jnp.asarray([[0, 1]], jnp.int32),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_mask": jnp.ones((B, G), bool),
+    }
+    v = m.init(jax.random.PRNGKey(0), batch["images"])
+    init_fn, step_fn = make_detect_train_step(
+        m, LossConfig(nc=spec.nc),
+        TrainConfig(lr=2e-3, warmup_steps=5, total_steps=100))
+    ts = init_fn(v)
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    key = jax.random.PRNGKey(0)
+    first = last = None
+    for i in range(25):
+        key, k = jax.random.split(key)
+        ts, met = step(ts, batch, k)
+        if i == 0:
+            first = float(met["loss"])
+        last = float(met["loss"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)

@@ -96,7 +96,8 @@ def test_validator_on_synthetic_dataset(tiny, tmp_path):
 def test_api_save_load_roundtrip(tmp_path):
     from mo_yolo_tpu.api import MOTRTrack
 
-    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32")
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
+                  nq=16, ndl=2, d_ffn=64, hd=32, num_denoising=8)
     ck = tmp_path / "ckpt"
     m.save(str(ck))
     m2 = MOTRTrack(str(ck))
