@@ -65,6 +65,10 @@ def test_nms_conf_threshold_and_jit():
     assert valid.shape == (4,)
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_detect_train_step_runs_and_improves():
     from mo_yolo_tpu.train.losses import LossConfig
     from mo_yolo_tpu.train.train_step import TrainConfig

@@ -160,3 +160,21 @@ def test_multistream_sharded_over_mesh(tiny):
     assert steps[-1][0] is None          # length-2 stream ended
     live = [r for r in steps[-1] if r is not None]
     assert live and live[0]["box"].shape[1] == 4
+
+
+def test_autobackend_from_yaml_and_checkpoint(tmp_path):
+    import jax.numpy as jnp
+    from mo_yolo_tpu.api import MOTRTrack
+    from mo_yolo_tpu.engine.autobackend import AutoBackend
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
+                  nq=16, ndl=2, d_ffn=64, hd=32, num_denoising=8)
+    m.save(str(tmp_path / "ck"))
+    ab = AutoBackend(str(tmp_path / "ck"), imgsz=64)
+    state = ab.new_state()
+    state, out = ab.stream_step(state, jnp.full((1, 64, 64, 3), 0.5))
+    assert out["box"].shape[-1] == 4
+    ab2 = AutoBackend((m.model, m.variables), imgsz=64)
+    state2, out2 = ab2(ab2.new_state(), jnp.full((1, 64, 64, 3), 0.5))
+    np.testing.assert_allclose(np.asarray(out["score"]),
+                               np.asarray(out2["score"]), atol=1e-5)
