@@ -97,26 +97,34 @@ class TrackPredictor:
             mot_fh = open(save_mot, "w")
         n = 0
         t1 = time.perf_counter()
+        pending = None  # (path, meta, img, device outputs) one step behind
         try:
+            # software pipeline: dispatch frame t+1 before fetching frame t's
+            # results, hiding per-dispatch latency behind device compute
+            # (jax dispatch is async; the fetch is the only sync point)
             for path, x, meta, img in self._frames(source):
                 t0, t1 = t1, time.perf_counter()  # t1-t0 = decode+preprocess
                 state, out = self._step(self.variables, state, jnp.asarray(x))
-                # single host fetch per frame
-                res_np = {k: np.asarray(v[0]) for k, v in out.items()}
+                if pending is not None:
+                    yield self._emit(pending, mot_fh, n)
+                    n += 1
+                pending = (path, meta, img, out)
                 t2 = time.perf_counter()
-                res = self._postprocess(res_np, meta, path, img)
-                if mot_fh is not None and len(res):
-                    write_mot_txt(mot_fh, n, res.track_id, res.boxes_xyxy,
-                                  res.conf)
-                t3 = time.perf_counter()
                 self.speed = {"preprocess": (t1 - t0) * 1e3,
-                              "inference": (t2 - t1) * 1e3,
-                              "postprocess": (t3 - t2) * 1e3}
-                n += 1
-                yield res
+                              "dispatch": (t2 - t1) * 1e3}
+            if pending is not None:
+                yield self._emit(pending, mot_fh, n)
         finally:
             if mot_fh is not None:
                 mot_fh.close()
+
+    def _emit(self, pending, mot_fh, n) -> TrackResults:
+        path, meta, img, out = pending
+        res_np = {k: np.asarray(v[0]) for k, v in out.items()}  # host fetch
+        res = self._postprocess(res_np, meta, path, img)
+        if mot_fh is not None and len(res):
+            write_mot_txt(mot_fh, n, res.track_id, res.boxes_xyxy, res.conf)
+        return res
 
     def _postprocess(self, out: dict, meta: dict, path: str,
                      img: np.ndarray) -> TrackResults:

@@ -152,15 +152,18 @@ class TrackingModel(nn.Module):
             state.obj_id, gt_track_id, gt_mask, det_boxes, det_logits,
             gt_boxes, gt_cls)
 
-        embed = out["embed"][:, n_dn:]
-        qpos = out["query_pos"][:, n_dn:]
-        comb_score = jax.nn.sigmoid(main_logits[-1]).max(axis=-1)
+        # tracker state stays f32 across the clip scan even in bf16 training
+        embed = out["embed"][:, n_dn:].astype(jnp.float32)
+        qpos = out["query_pos"][:, n_dn:].astype(jnp.float32)
+        comb_score = jax.nn.sigmoid(
+            main_logits[-1].astype(jnp.float32)).max(axis=-1)
         comb_cls = jnp.argmax(main_logits[-1], axis=-1).astype(jnp.int32)
 
         new_state = jax.vmap(
             lambda s, a, tid, m, box, emb, qp, sc, cl: train_update(
                 s, self.tracker, a, tid, m, box, emb, qp, sc, cl)
-        )(state, assign, gt_track_id, gt_mask, main_boxes[-1], embed, qpos,
+        )(state, assign, gt_track_id, gt_mask,
+          main_boxes[-1].astype(jnp.float32), embed, qpos,
           comb_score, comb_cls)
 
         new_state = random_drop_tracks(kdrop, new_state, drop_prob)
@@ -173,12 +176,15 @@ class TrackingModel(nn.Module):
 
         emb2, qp2 = self.qim(new_state.embedding, new_state.query_pos,
                              new_state.obj_id != -1)
-        new_state = new_state._replace(embedding=emb2, query_pos=qp2)
+        new_state = new_state._replace(embedding=emb2.astype(jnp.float32),
+                                       query_pos=qp2.astype(jnp.float32))
 
+        f32 = lambda x: x.astype(jnp.float32)  # losses accumulate in f32
         outs = {
-            "main_boxes": main_boxes, "main_logits": main_logits,
-            "dn_boxes": dn_boxes, "dn_logits": dn_logits,
-            "enc_boxes": out["enc_bboxes"], "enc_logits": out["enc_scores"],
+            "main_boxes": f32(main_boxes), "main_logits": f32(main_logits),
+            "dn_boxes": f32(dn_boxes), "dn_logits": f32(dn_logits),
+            "enc_boxes": f32(out["enc_bboxes"]),
+            "enc_logits": f32(out["enc_scores"]),
             "assign": assign, "num_dn_group": cdn.num_group,
         }
         return new_state, outs
