@@ -46,7 +46,7 @@ def main():
     def multi_step(v, s, frames):
         def body(st, f):
             st, out = model.apply(v, st, f, method=model.stream_step)
-            return st, out["score"].sum()
+            return st, out[..., 4].sum()  # packed outputs: col 4 = score
         return jax.lax.scan(body, s, frames)
 
     step = jax.jit(multi_step, donate_argnums=(1,))

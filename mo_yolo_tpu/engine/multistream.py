@@ -64,7 +64,8 @@ class MultiStreamPredictor:
             if not any(alive):
                 break
             state, out = self._step(self.variables, state, jnp.asarray(batch))
-            out_np = {k: np.asarray(v) for k, v in out.items()}
+            from mo_yolo_tpu.models.tracker import unpack_outputs
+            out_np = unpack_outputs(np.asarray(out))  # one fetch for all B
             yield [
                 {k: out_np[k][b] for k in out_np} if alive[b] else None
                 for b in range(B)

@@ -119,8 +119,9 @@ class TrackPredictor:
                 mot_fh.close()
 
     def _emit(self, pending, mot_fh, n) -> TrackResults:
+        from mo_yolo_tpu.models.tracker import unpack_outputs
         path, meta, img, out = pending
-        res_np = {k: np.asarray(v[0]) for k, v in out.items()}  # host fetch
+        res_np = unpack_outputs(np.asarray(out[0]))  # ONE host fetch
         res = self._postprocess(res_np, meta, path, img)
         if mot_fh is not None and len(res):
             write_mot_txt(mot_fh, n, res.track_id, res.boxes_xyxy, res.conf)

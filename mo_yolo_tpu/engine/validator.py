@@ -77,7 +77,8 @@ class TrackValidator:
             s = ds.load_frame(i)
             state, out = self._step(self.variables, state,
                                     jnp.asarray(s.image[None]))
-            o = {k: np.asarray(v[0]) for k, v in out.items()}
+            from mo_yolo_tpu.models.tracker import unpack_outputs
+            o = unpack_outputs(np.asarray(out[0]))
             keep = o["valid"] & (o["obj_id"] >= 0) & (o["score"] >= self.conf)
             pr_boxes = _xywhn2xyxy(o["box"][keep])
             pr_ids = o["obj_id"][keep]

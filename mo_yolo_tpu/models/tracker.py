@@ -267,6 +267,29 @@ def train_update(state: TrackState,
     return new_state
 
 
+def pack_outputs(outputs: dict) -> jnp.ndarray:
+    """Pack per-frame emission into one [..., M, 8] f32 array:
+    (cx, cy, w, h, score, cls, obj_id, valid). Single-array output means a
+    single host transfer per frame."""
+    f32 = jnp.float32
+    return jnp.concatenate([
+        outputs["box"].astype(f32),
+        outputs["score"].astype(f32)[..., None],
+        outputs["cls"].astype(f32)[..., None],
+        outputs["obj_id"].astype(f32)[..., None],
+        outputs["valid"].astype(f32)[..., None]], axis=-1)
+
+
+def unpack_outputs(arr) -> dict:
+    """Inverse of `pack_outputs` (host-side, numpy or jnp)."""
+    import numpy as np
+    a = np.asarray(arr)
+    return {"box": a[..., 0:4], "score": a[..., 4],
+            "cls": a[..., 5].astype(np.int32),
+            "obj_id": a[..., 6].astype(np.int32),
+            "valid": a[..., 7] > 0.5}
+
+
 class QIM(nn.Module):
     """Query Interaction Module — track-embedding refresh between frames
     (intended semantics of `MOTR/models/qim.py:251-301`): masked

@@ -79,8 +79,12 @@ class TrackingModel(nn.Module):
     def stream_step(self, state: TrackState, images):
         """One inference frame: decoder -> ID lifecycle -> QIM refresh.
 
-        Returns (new_state, outputs) where outputs hold the fixed-shape
-        combined [track|detect] detections (box/score/cls/obj_id/valid).
+        Returns (new_state, outputs [B, M, 8]) — the fixed-shape combined
+        [track|detect] detections PACKED into one array
+        (box cxcywh | score | cls | obj_id | valid); unpack on host with
+        `mo_yolo_tpu.models.tracker.unpack_outputs`. One array = ONE host
+        transfer per frame (per-leaf fetches cost a full round trip each
+        through remote runtimes).
         """
         out, _ = self.frame_forward(images, state, train=False)
         N = self.tracker.n_slots
@@ -110,7 +114,8 @@ class TrackingModel(nn.Module):
                            new_state.obj_id >= 0)
         new_state = new_state._replace(embedding=emb.astype(jnp.float32),
                                        query_pos=qp.astype(jnp.float32))
-        return new_state, outputs
+        from mo_yolo_tpu.models.tracker import pack_outputs
+        return new_state, pack_outputs(outputs)
 
 
     # ------------------------------------------------------------------ #

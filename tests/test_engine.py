@@ -173,8 +173,8 @@ def test_autobackend_from_yaml_and_checkpoint(tmp_path):
     ab = AutoBackend(str(tmp_path / "ck"), imgsz=64)
     state = ab.new_state()
     state, out = ab.stream_step(state, jnp.full((1, 64, 64, 3), 0.5))
-    assert out["box"].shape[-1] == 4
+    assert out.shape[-1] == 8  # packed (box|score|cls|obj_id|valid)
     ab2 = AutoBackend((m.model, m.variables), imgsz=64)
     state2, out2 = ab2(ab2.new_state(), jnp.full((1, 64, 64, 3), 0.5))
-    np.testing.assert_allclose(np.asarray(out["score"]),
-                               np.asarray(out2["score"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[..., 4]),
+                               np.asarray(out2[..., 4]), atol=1e-5)
