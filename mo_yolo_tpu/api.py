@@ -9,9 +9,8 @@ routing by task.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Union
+from typing import Dict, List, Optional, Union
 
 import numpy as np
 

@@ -23,7 +23,7 @@ import dataclasses
 import os
 import random
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 import yaml

@@ -22,7 +22,6 @@ from mo_yolo_tpu.data.loaders import make_source
 class MultiStreamPredictor:
     def __init__(self, model, variables, mesh=None, imgsz: int = 640,
                  conf: float = 0.5):
-        import jax
         from mo_yolo_tpu.parallel.mesh import make_mesh, make_sharded_stream_step
 
         self.model = model

@@ -12,7 +12,6 @@ in its vendored motmetrics path (`MOTR/util/evaluation.py`).
 from __future__ import annotations
 
 import time
-from collections import defaultdict
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -8,7 +8,7 @@ precision/recall at max-F1.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 

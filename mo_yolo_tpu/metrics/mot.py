@@ -7,7 +7,7 @@ Host-side numpy equivalents of the reference's motmetrics-based evaluation
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, TextIO
+from typing import Dict, Sequence, TextIO
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment

@@ -21,7 +21,7 @@ TPU-first redesign decisions:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ from mo_yolo_tpu.models.layers import MLP
 from mo_yolo_tpu.models.transformer import (
     NEG_INF, TrackTransformerDecoder, _cls_bias_prior,
 )
-from mo_yolo_tpu.ops.embed import generate_anchors, inverse_sigmoid, pos2posemb
+from mo_yolo_tpu.ops.embed import generate_anchors, pos2posemb
 
 
 class TrackDecoder(nn.Module):

@@ -23,7 +23,7 @@ from mo_yolo_tpu.models.decoder import TrackDecoder
 from mo_yolo_tpu.models.graph import BackboneNeck, GraphSpec, parse_model_yaml
 from mo_yolo_tpu.models.layers import ConvBnAct
 from mo_yolo_tpu.models.tracker import greedy_keep_from_conflicts
-from mo_yolo_tpu.ops.boxes import pairwise_iou, xywh2xyxy
+from mo_yolo_tpu.ops.boxes import pairwise_iou
 
 
 class DetectionModel(nn.Module):

@@ -24,14 +24,14 @@ host round-trips inside the frame loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from mo_yolo_tpu.ops.boxes import pairwise_iou, xywh2xyxy
-from mo_yolo_tpu.ops.embed import inverse_sigmoid, pos2posemb
+from mo_yolo_tpu.ops.embed import inverse_sigmoid
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,7 +14,7 @@ Task-model equivalent of the reference `TrackingModel`
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

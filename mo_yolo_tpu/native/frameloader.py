@@ -8,10 +8,9 @@ libjpeg/libpng are unavailable — callers check `available()`.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 

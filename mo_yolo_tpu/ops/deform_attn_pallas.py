@@ -26,7 +26,6 @@ same split as the reference's CUDA-forward / autograd-checked backward
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

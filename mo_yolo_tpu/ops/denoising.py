@@ -15,7 +15,7 @@ padding) but are excluded from the dn loss via the gt mask.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ Both return, for each GT column, the assigned query row (-1 for padding).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

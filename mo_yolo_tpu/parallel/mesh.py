@@ -17,8 +17,6 @@ once per clip step.
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

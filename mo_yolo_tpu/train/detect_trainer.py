@@ -9,8 +9,6 @@ detect/RTDETR family with exactly this loss, `utils/loss.py:424`).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 import optax

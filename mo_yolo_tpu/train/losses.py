@@ -16,7 +16,7 @@ shapes anywhere, so the whole criterion jits and differentiates on TPU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ mesh (see mo_yolo_tpu.parallel). No host syncs inside.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

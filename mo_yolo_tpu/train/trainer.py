@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import time
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
@@ -67,7 +67,7 @@ class TrackTrainer:
             TrackDataset, clip_loader, load_dataset_yaml)
         from mo_yolo_tpu.parallel.mesh import make_mesh, make_sharded_train_step
         from mo_yolo_tpu.train.losses import LossConfig
-        from mo_yolo_tpu.train.train_step import TrainConfig, TrainState
+        from mo_yolo_tpu.train.train_step import TrainConfig
         from mo_yolo_tpu.utils.checkpoint import save_checkpoint, save_params
 
         self.callbacks.fire("on_train_start", trainer=self)

@@ -13,12 +13,12 @@ Fixed shapes: GT padded to [B, G] with a mask; everything jittable.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Sequence, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-from mo_yolo_tpu.ops.boxes import elementwise_ciou, pairwise_iou, xywh2xyxy
+from mo_yolo_tpu.ops.boxes import elementwise_ciou, pairwise_iou
 from mo_yolo_tpu.train.losses import optax_sigmoid_bce
 
 

@@ -15,7 +15,6 @@ our param tree (the reference's own weight surgery lives at
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
