@@ -52,8 +52,11 @@ class TrainConfig:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    # short runs: warmup must leave room for a positive-length decay
+    warmup = min(cfg.warmup_steps, max(cfg.total_steps // 2, 1))
+    total = max(cfg.total_steps, warmup + 1)
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, cfg.lr, cfg.warmup_steps, cfg.total_steps, cfg.lr * 0.01)
+        0.0, cfg.lr, warmup, total, cfg.lr * 0.01)
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(sched, weight_decay=cfg.weight_decay),

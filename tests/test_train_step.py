@@ -99,3 +99,37 @@ def test_training_converges_on_synthetic_clip():
             first = float(m["loss"])
         last = float(m["loss"])
     assert last < first / 2, (first, last)
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end_on_disk_dataset(tmp_path):
+    """Full host trainer driver: dataset yaml -> clips -> sharded step ->
+    checkpoints + results.csv (caught the warmup>total_steps scheduler bug)."""
+    from PIL import Image
+    from mo_yolo_tpu.api import MOTRTrack
+
+    root = tmp_path
+    (root / "images/seq01").mkdir(parents=True)
+    (root / "labels/seq01").mkdir(parents=True)
+    paths = []
+    for t in range(8):
+        img = np.full((96, 96, 3), 70, np.uint8)
+        labs = []
+        for k, (cx, cy) in enumerate([(24 + 3 * t, 30), (64, 40 + 3 * t)]):
+            img[cy - 7:cy + 7, cx - 7:cx + 7, k] = 255
+            labs.append(f"{k} {cx/96:.4f} {cy/96:.4f} {14/96:.4f} {14/96:.4f} {k}")
+        Image.fromarray(img).save(root / f"images/seq01/{t:06d}.jpg")
+        (root / f"labels/seq01/{t:06d}.txt").write_text("\n".join(labs))
+        paths.append(f"images/seq01/{t:06d}.jpg")
+    (root / "train.txt").write_text("\n".join(paths))
+    (root / "data.yaml").write_text(
+        f"path: {root}\ntrain: train.txt\nval: train.txt\nnc: 3\n"
+        "names:\n  0: a\n  1: b\n  2: c\n")
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=96, dtype="float32",
+                  nq=12, ndl=2, d_ffn=64, hd=32, num_denoising=8)
+    m.train(str(root / "data.yaml"), epochs=1, batch=1, clip_len=4,
+            lr=1e-3, max_gt=8, save_dir=str(root / "run"))
+    assert (root / "run" / "results.csv").exists()
+    assert (root / "run" / "best").exists()
+    assert (root / "run" / "last_full").exists()
