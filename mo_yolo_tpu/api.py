@@ -170,6 +170,30 @@ class MOTRTrack:
         if fmt == "params":
             self.save(path)
             return path
+        if fmt == "jaxexport":
+            # serialized AOT artifact (jax.export): portable StableHLO with
+            # calling convention + shardings; reload with
+            # jax.export.deserialize(bytes).call(...)
+            from jax import export as jexport
+            state = init_track_state(1, self.model.tracker.n_slots,
+                                     self.model.hd)
+            frames = jnp.zeros((1, self.imgsz, self.imgsz, 3))
+            from mo_yolo_tpu.models.tracker import TrackState
+
+            def fn(v, state_leaves, f):
+                # plain-tuple state: jax.export cannot serialize custom
+                # pytree node types (NamedTuple) without registration
+                st = TrackState(*state_leaves)
+                new_st, out = self.model.apply(v, st, f,
+                                               method=self.model.stream_step)
+                return tuple(new_st), out
+
+            exp = jexport.export(jax.jit(fn))(self.variables, tuple(state),
+                                              frames)
+            out = Path(path).with_suffix(".jaxexport")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_bytes(exp.serialize())
+            return str(out)
         if fmt == "stablehlo":
             state = init_track_state(1, self.model.tracker.n_slots,
                                      self.model.hd)
@@ -184,7 +208,7 @@ class MOTRTrack:
             out.write_text(txt)
             return str(out)
         raise ValueError(f"unsupported export format {fmt!r} "
-                         "(supported: 'stablehlo', 'params')")
+                         "(supported: 'stablehlo', 'jaxexport', 'params')")
 
 
 class Detector:

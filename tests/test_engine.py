@@ -178,3 +178,18 @@ def test_autobackend_from_yaml_and_checkpoint(tmp_path):
     state2, out2 = ab2(ab2.new_state(), jnp.full((1, 64, 64, 3), 0.5))
     np.testing.assert_allclose(np.asarray(out[..., 4]),
                                np.asarray(out2[..., 4]), atol=1e-5)
+
+
+def test_export_stablehlo_and_jaxexport(tmp_path):
+    from mo_yolo_tpu.api import MOTRTrack
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
+                  nq=8, ndl=1, d_ffn=32, hd=32, num_denoising=4)
+    p1 = m.export(fmt="stablehlo", path=str(tmp_path / "m"))
+    assert "stablehlo" in open(p1).read()[:10000].lower() or \
+        "module" in open(p1).read()[:200]
+    p2 = m.export(fmt="jaxexport", path=str(tmp_path / "m"))
+    import jax
+    from jax import export as jexport
+    exp = jexport.deserialize(open(p2, "rb").read())
+    assert exp is not None
