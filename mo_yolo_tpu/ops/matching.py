@@ -151,7 +151,10 @@ def hungarian_auction(cost: jnp.ndarray, gt_mask: jnp.ndarray,
 
 
 def hungarian(cost: jnp.ndarray, gt_mask: jnp.ndarray,
-              impl: str = "scipy") -> jnp.ndarray:
-    if impl == "auction":
-        return hungarian_auction(cost, gt_mask)
-    return hungarian_scipy(cost, gt_mask)
+              impl: str = "auction") -> jnp.ndarray:
+    """Default = on-device auction: host callbacks are unsupported on some
+    TPU runtimes (and the scipy path host-syncs every call); the scipy
+    implementation remains available as the parity oracle."""
+    if impl == "scipy":
+        return hungarian_scipy(cost, gt_mask)
+    return hungarian_auction(cost, gt_mask)
