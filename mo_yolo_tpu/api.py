@@ -49,6 +49,9 @@ class MOTRTrack:
         self.imgsz = imgsz
         self.names = names or {}
         self._model_kw = dict(model_kw)
+        self._nc = nc
+        self._dtype_str = dtype
+        self._impl = impl
         jdt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
         if str(model).endswith((".yaml", ".yml")):
             cfg = _resolve_model_cfg(str(model))
@@ -115,11 +118,18 @@ class MOTRTrack:
 
     # ------------------------------------------------------------------ #
     def save(self, path: str):
+        """Persist weights + EVERYTHING needed to rebuild the exact model:
+        nc, dtype, impl, the full TrackerConfig, and scalar model_kw — so
+        `load()` reconstructs non-default models (n_slots, nq, ...) with
+        matching shapes."""
+        import dataclasses
         from mo_yolo_tpu.utils.checkpoint import save_params
         kw = {k: v for k, v in self._model_kw.items()
               if isinstance(v, (int, float, str, bool))}
         meta = {"cfg_path": self.cfg_path, "imgsz": self.imgsz,
-                "names": self.names, "model_kw": kw}
+                "names": self.names, "model_kw": kw,
+                "nc": self._nc, "dtype": self._dtype_str, "impl": self._impl,
+                "tracker": dataclasses.asdict(self.model.tracker)}
         save_params(path, self.variables)
         import json
         with open(str(Path(path).resolve()) + ".meta.json", "w") as f:
@@ -128,8 +138,11 @@ class MOTRTrack:
     def load(self, path: str):
         import json
         import jax
+        import jax.numpy as jnp
+        from mo_yolo_tpu.models.graph import parse_model_yaml
         from mo_yolo_tpu.models.tracking_model import (
-            build_tracking_model, init_variables)
+            TrackingModel, init_variables)
+        from mo_yolo_tpu.models.tracker import TrackerConfig
         from mo_yolo_tpu.utils.checkpoint import load_params
 
         with open(str(Path(path).resolve()) + ".meta.json") as f:
@@ -138,15 +151,20 @@ class MOTRTrack:
         self.imgsz = meta.get("imgsz", 640)
         self.names = {int(k): v for k, v in (meta.get("names") or {}).items()}
         self._model_kw = meta.get("model_kw", {})
-        if self._model_kw:
-            from mo_yolo_tpu.models.graph import parse_model_yaml
-            from mo_yolo_tpu.models.tracking_model import TrackingModel
-            from mo_yolo_tpu.models.tracker import TrackerConfig
-            self.model = TrackingModel(spec=parse_model_yaml(self.cfg_path),
-                                       tracker=TrackerConfig(),
-                                       **self._model_kw)
-        else:
-            self.model = build_tracking_model(self.cfg_path)
+        self._nc = meta.get("nc")
+        self._dtype_str = meta.get("dtype", "float32")
+        self._impl = meta.get("impl")
+        impl = self._impl
+        if impl is None:
+            impl = ("pallas" if jax.default_backend() not in ("cpu",)
+                    else "xla")
+        jdt = {"bfloat16": jnp.bfloat16,
+               "float32": jnp.float32}[self._dtype_str]
+        tracker = TrackerConfig(**meta["tracker"]) if meta.get("tracker") \
+            else TrackerConfig()
+        self.model = TrackingModel(
+            spec=parse_model_yaml(self.cfg_path, nc=self._nc),
+            tracker=tracker, impl=impl, dtype=jdt, **self._model_kw)
         target = init_variables(self.model, jax.random.PRNGKey(0),
                                 image_size=(self.imgsz, self.imgsz))
         self.variables = load_params(path, target)

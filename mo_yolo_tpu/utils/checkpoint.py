@@ -61,13 +61,45 @@ def load_params(path: str, target=None) -> Dict[str, Any]:
 # --------------------------------------------------------------------- #
 # reference .pt import (name-mapped, torch-cpu)
 # --------------------------------------------------------------------- #
+# Key layout of a reference MOTRTrack checkpoint (state_dict of
+# `ultralytics/nn/tasks.py:TrackingModel`):
+#   model.{i}.{...}                      backbone/neck rows (Conv/C2f/SPPF)
+#   model.{H}.decoder.{...}              MYDecoder (`nn/modules/head.py:807`)
+#   model.{H}.track_embed.{...}          QIM (`MOTR/models/qim.py:73`)
+# where H is the head row (22 in yolo_track.yaml). RT-DETR checkpoints
+# carry the decoder attrs directly under model.{H}.{...}; the reference's
+# own weight surgery inserts the `decoder.` segment
+# (`models/MOTRtrack/model.py:53-65`) — we accept both spellings.
+#
+# Deliberately skipped torch keys (no functional counterpart here):
+#   query_pos_head.*  — dead parameter: MOTRTransformerDecoder.forward
+#                       receives pos_mlp but never calls it
+#                       (`nn/modules/transformer.py:677-728`)
+#   tgt_embed.*       — learnt_init_query path, off in the track configs
+#   track_embed.linear_feat*/norm_feat — the reference QIM's write of
+#                       refreshed content INTO `query_pos`
+#                       (`MOTR/models/qim.py:289-298`); our QIM keeps
+#                       content in `embedding` (updated via linear1/2)
+#   *.num_batches_tracked, dfl.*, anchors/strides buffers
+
+_HEAD_ATTRS = frozenset({
+    "decoder", "input_proj", "denoising_class_embed", "query_pos_head",
+    "enc_output", "enc_score_head", "enc_bbox_head", "dec_score_head",
+    "dec_bbox_head", "tgt_embed", "track_embed",
+})
+
+_SKIP_HEAD_PREFIXES = ("query_pos_head", "tgt_embed",
+                       "track_embed.linear_feat1", "track_embed.linear_feat2",
+                       "track_embed.norm_feat")
+
+
 def import_torch_weights(pt_path: str, variables: Dict[str, Any],
-                         strict: bool = False) -> Dict[str, Any]:
-    """Best-effort import of a reference ultralytics `.pt` checkpoint into
-    our variable tree (backbone/neck convs + decoder heads). Returns a new
-    variables dict; unmatched entries keep their initialization (the
-    reference's `intersect_dicts` behavior, `nn/tasks.py:191-203`)."""
-    import numpy as np
+                         strict: bool = False,
+                         require_full: bool = False) -> Dict[str, Any]:
+    """Import a reference ultralytics `.pt` checkpoint into our variable
+    tree (backbone/neck + full MYDecoder head + QIM). Unmatched entries
+    keep their initialization (the reference's `intersect_dicts` behavior,
+    `nn/tasks.py:191-203`) unless `strict`/`require_full`."""
     import torch
 
     ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
@@ -75,88 +107,398 @@ def import_torch_weights(pt_path: str, variables: Dict[str, Any],
     sd = model.state_dict() if hasattr(model, "state_dict") else model
     sd = {k: v.float().numpy() for k, v in sd.items()
           if hasattr(v, "numpy") or hasattr(v, "float")}
+    new_vars, _ = apply_torch_state_dict(sd, variables, strict=strict,
+                                         require_full=require_full)
+    return new_vars
 
+
+def apply_torch_state_dict(sd: Dict[str, Any], variables: Dict[str, Any],
+                           strict: bool = False, require_full: bool = False):
+    """Map a {torch_key: np.ndarray} state_dict onto our variable tree.
+
+    Returns (new_variables, report) where report has:
+      mapped   {our_key: torch_key}
+      missed   [torch keys that should map but found no/mismatched target]
+      skipped  [torch keys with no counterpart by design]
+      untouched [our param/batch_stats keys not covered by the state_dict]
+
+    strict: raise on `missed`.  require_full: additionally raise if any of
+    OUR leaves stays untouched (full-coverage import).
+    """
+    import numpy as np
     import jax
-    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
-    ours = {"/".join(str(getattr(k, "key", getattr(k, "name", k)))
-                     for k in path): leaf for path, leaf in flat}
 
-    mapped, missed = {}, []
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    ours = {_path_str(path): leaf for path, leaf in flat}
+
+    mapped_vals: Dict[str, Any] = {}
+    mapped, missed, skipped = {}, [], []
     for tk, tv in sd.items():
-        ok = _map_torch_key(tk)
-        if ok is None:
+        entries = _expand_torch_entry(tk, np.asarray(tv))
+        if entries is None:          # deliberate skip
+            skipped.append(tk)
             continue
-        if ok in ours and _shapes_compatible(tv, ours[ok]):
-            mapped[ok] = _convert(tv, ours[ok])
-        else:
+        hit = False
+        for okey, val, tag in entries:
+            if okey in ours:
+                conv = _convert(val, ours[okey], tag)
+                if conv is not None:
+                    mapped_vals[okey] = conv
+                    mapped[okey] = tk
+                    hit = True
+        if not hit:
             missed.append(tk)
     if strict and missed:
-        raise KeyError(f"unmapped torch keys: {missed[:20]}...")
+        raise KeyError(f"unmapped torch keys ({len(missed)}): {missed[:20]}")
+    untouched = [k for k in ours if k not in mapped_vals]
+    if require_full and untouched:
+        raise KeyError(
+            f"state_dict left {len(untouched)} of our leaves untouched: "
+            f"{untouched[:20]}")
 
     def rebuild(path, leaf):
-        key = "/".join(str(getattr(k, "key", getattr(k, "name", k)))
-                       for k in path)
-        return mapped.get(key, leaf)
+        return mapped_vals.get(_path_str(path), leaf)
 
-    return jax.tree_util.tree_map_with_path(rebuild, variables)
+    new_vars = jax.tree_util.tree_map_with_path(rebuild, variables)
+    report = {"mapped": mapped, "missed": missed, "skipped": skipped,
+              "untouched": untouched}
+    return new_vars, report
 
 
-def _map_torch_key(tk: str) -> Optional[str]:
-    """model.<i>.conv.weight -> params/backbone/n<i>/conv/kernel etc."""
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "name", k)))
+                    for k in path)
+
+
+def _expand_torch_entry(tk: str, tv):
+    """torch (key, value) -> [(our_key, value, transform)] | [] | None.
+
+    [] = expected to map but couldn't (counts as missed at the caller if
+    no entry lands); None = deliberately skipped.
+    transform in {'conv','dense','none'}.
+    """
     parts = tk.split(".")
     if not parts or parts[0] != "model":
         return None
-    # backbone/neck rows: model.{i}.{...}
     try:
-        idx = int(parts[1])
+        int(parts[1])
     except (IndexError, ValueError):
         return None
     rest = parts[2:]
+    if not rest:
+        return None
+    if rest[-1] == "num_batches_tracked":
+        return None
+    if rest[0] in _HEAD_ATTRS:
+        if rest[0] == "decoder" and len(rest) > 1 and rest[1] in _HEAD_ATTRS:
+            rest = rest[1:]          # surgery spelling model.H.decoder.X
+        return _expand_head_entry(rest, tv)
+    return _expand_backbone_entry(parts[1], rest, tv)
+
+
+def _expand_backbone_entry(idx: str, rest, tv):
     out = ["params", "backbone", f"n{idx}"]
-    tr = {"cv1": "cv1", "cv2": "cv2", "conv": "conv", "bn": "bn"}
     for p in rest[:-1]:
-        if p.startswith("m") and p[1:].isdigit():
-            out.append(f"m{p[1:]}")
-        elif p == "m":
-            continue
-        elif p.isdigit():
+        if p == "m":
+            continue                  # ModuleList wrapper: m.0 -> m0
+        if p.isdigit():
             out.append(f"m{p}")
         else:
-            out.append(tr.get(p, p))
-    leaf = {"weight": "kernel", "bias": "bias",
-            "running_mean": "mean", "running_var": "var"}.get(rest[-1])
+            out.append(p)
+    leaf, tag = {
+        "weight": ("kernel", "conv"), "bias": ("bias", "none"),
+        "running_mean": ("mean", "none"), "running_var": ("var", "none"),
+    }.get(rest[-1], (None, None))
     if leaf is None:
-        return None
+        return None if rest[-1].startswith("num_batches") else []
     if rest[-1] in ("running_mean", "running_var"):
-        out[0] = "batch_stats"   # flax keeps BN stats in their own collection
-    if rest[-2:-1] == ["bn"] and rest[-1] in ("weight", "bias"):
-        leaf = {"weight": "scale", "bias": "bias"}[rest[-1]]
-    return "/".join(out + [leaf])
+        out[0] = "batch_stats"
+    if rest[-2:-1] == ["bn"]:
+        if rest[-1] == "weight":
+            leaf, tag = "scale", "none"
+    return [("/".join(out + [leaf]), tv, tag)]
 
 
-def _shapes_compatible(tv, ours) -> bool:
+def _expand_head_entry(rest, tv):
+    """Map a MYDecoder/QIM torch sub-key to our TrackDecoder/QIM paths."""
+    key = ".".join(rest)
+    for pre in _SKIP_HEAD_PREFIXES:
+        if key.startswith(pre):
+            return None
+    P = "params/decoder"
+
+    if rest[0] == "input_proj":
+        i, sub, leaf = rest[1], rest[2], rest[3]
+        if sub == "0":               # 1x1 conv, bias-free
+            return [(f"{P}/input_proj{i}_conv/kernel", tv, "conv")]
+        if leaf == "weight":
+            return [(f"{P}/input_proj{i}_bn/scale", tv, "none")]
+        if leaf == "bias":
+            return [(f"{P}/input_proj{i}_bn/bias", tv, "none")]
+        if leaf == "running_mean":
+            return [(f"batch_stats/decoder/input_proj{i}_bn/mean", tv, "none")]
+        if leaf == "running_var":
+            return [(f"batch_stats/decoder/input_proj{i}_bn/var", tv, "none")]
+        return []
+
+    if rest[0] == "denoising_class_embed":
+        return [(f"{P}/denoising_class_embed/embedding", tv, "none")]
+
+    if rest[0] == "enc_output":
+        base = f"{P}/enc_output_dense" if rest[1] == "0" else f"{P}/enc_output_ln"
+        return _linear_or_norm(base, rest[1] == "0", rest[2], tv)
+
+    if rest[0] == "enc_score_head":
+        return _linear_or_norm(f"{P}/enc_score_head", True, rest[1], tv)
+
+    if rest[0] == "enc_bbox_head":   # enc_bbox_head.layers.{j}.{w|b}
+        return _linear_or_norm(f"{P}/enc_bbox_head/layers{rest[2]}", True,
+                               rest[3], tv)
+
+    if rest[0] == "dec_score_head":  # dec_score_head.{l}.{w|b}
+        return _linear_or_norm(f"{P}/decoder/score_head{rest[1]}", True,
+                               rest[2], tv)
+
+    if rest[0] == "dec_bbox_head":   # dec_bbox_head.{l}.layers.{j}.{w|b}
+        return _linear_or_norm(
+            f"{P}/decoder/bbox_head{rest[1]}/layers{rest[3]}", True,
+            rest[4], tv)
+
+    if rest[0] == "decoder" and rest[1] == "layers":
+        l, mod = rest[2], rest[3]
+        base = f"{P}/decoder/layer{l}"
+        if mod == "self_attn":
+            return _mha_entries(f"{base}/self_attn", rest[4:], tv)
+        if mod == "cross_attn":      # MSDeformAttn sub-linears
+            return _linear_or_norm(f"{base}/cross_attn/{rest[4]}", True,
+                                   rest[5], tv)
+        if mod.startswith("norm"):
+            return _linear_or_norm(f"{base}/{mod}", False, rest[4], tv)
+        if mod.startswith("linear"):
+            return _linear_or_norm(f"{base}/{mod}", True, rest[4], tv)
+        return []
+
+    if rest[0] == "track_embed":     # QIM (MOTR/models/qim.py:73-115)
+        q = "params/qim"
+        sub = rest[1]
+        name_map = {"linear1": "linear1", "linear2": "linear2",
+                    "norm1": "norm1", "norm2": "norm2",
+                    "linear_pos1": "pos_linear1", "linear_pos2": "pos_linear2",
+                    "norm_pos": "pos_norm"}
+        if sub == "self_attn":
+            return _mha_entries(f"{q}/self_attn", rest[2:], tv)
+        if sub in name_map:
+            is_dense = sub.startswith("linear")
+            return _linear_or_norm(f"{q}/{name_map[sub]}", is_dense,
+                                   rest[2], tv)
+        if sub.startswith("dropout"):
+            return None
+        return []
+
+    return []
+
+
+def _linear_or_norm(base: str, is_dense: bool, leaf: str, tv):
+    if leaf == "weight":
+        return [(f"{base}/kernel" if is_dense else f"{base}/scale", tv,
+                 "dense" if is_dense else "none")]
+    if leaf == "bias":
+        return [(f"{base}/bias", tv, "none")]
+    return []
+
+
+def _mha_entries(base: str, rest, tv):
+    """torch nn.MultiheadAttention -> our q/k/v/out projections.
+    in_proj_weight is [3C, C] with rows (q|k|v); flax kernels are [C, C]
+    transposed."""
     import numpy as np
 
-    tshape = tuple(tv.shape)
-    oshape = tuple(ours.shape)
-    if tshape == oshape:
-        return True
-    # conv OIHW -> HWIO
-    if len(tshape) == 4 and (tshape[2], tshape[3], tshape[1], tshape[0]) == oshape:
-        return True
-    # linear [out,in] -> [in,out]
-    if len(tshape) == 2 and (tshape[1], tshape[0]) == oshape:
-        return True
-    return False
+    if rest[0] == "in_proj_weight":
+        C = tv.shape[1]
+        return [(f"{base}/{n}_proj/kernel", tv[i * C:(i + 1) * C], "dense")
+                for i, n in enumerate("qkv")]
+    if rest[0] == "in_proj_bias":
+        C = tv.shape[0] // 3
+        return [(f"{base}/{n}_proj/bias", tv[i * C:(i + 1) * C], "none")
+                for i, n in enumerate("qkv")]
+    if rest[0] == "out_proj":
+        return _linear_or_norm(f"{base}/out_proj", True, rest[1], tv)
+    return []
 
 
-def _convert(tv, ours):
+def _convert(tv, ours, tag: str):
+    """Apply the layout transform; None if shapes don't line up."""
     import numpy as np
 
-    tshape = tuple(tv.shape)
-    oshape = tuple(ours.shape)
-    if len(tshape) == 4 and tshape != oshape:
-        return np.transpose(tv, (2, 3, 1, 0)).astype(np.float32)
-    if len(tshape) == 2 and tshape != oshape:
-        return tv.T.astype(np.float32)
-    return tv.astype(np.float32)
+    tshape, oshape = tuple(tv.shape), tuple(ours.shape)
+    if tag == "conv":
+        if len(tshape) == 4 and (tshape[2], tshape[3], tshape[1],
+                                 tshape[0]) == oshape:
+            return np.transpose(tv, (2, 3, 1, 0)).astype(np.float32)
+        return None
+    if tag == "dense":
+        # ALWAYS transpose [out,in] -> [in,out]; square kernels included
+        if len(tshape) == 2 and (tshape[1], tshape[0]) == oshape:
+            return np.ascontiguousarray(tv.T).astype(np.float32)
+        return None
+    return tv.astype(np.float32) if tshape == oshape else None
+
+
+# --------------------------------------------------------------------- #
+# inverse: our variables -> torch-style state_dict
+# --------------------------------------------------------------------- #
+def export_torch_state_dict(variables: Dict[str, Any],
+                            head_idx: int = 22) -> Dict[str, Any]:
+    """Render our variable tree as a reference-layout numpy state_dict
+    (the exact inverse of `apply_torch_state_dict`). Used to hand weights
+    back to a torch runtime and to round-trip-test import coverage."""
+    import numpy as np
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    sd: Dict[str, Any] = {}
+    pend_qkv: Dict[str, Dict[str, Any]] = {}
+
+    for path, leaf in flat:
+        key = _path_str(path)
+        arr = np.asarray(leaf, dtype=np.float32)
+        tk, val = _inverse_map(key, arr, head_idx, pend_qkv)
+        if tk is not None:
+            sd[tk] = val
+    # fuse collected q/k/v projections into torch in_proj tensors
+    for base, parts in pend_qkv.items():
+        if all(f"{n}_proj/kernel" in parts for n in "qkv"):
+            sd[f"{base}.in_proj_weight"] = np.concatenate(
+                [parts[f"{n}_proj/kernel"].T for n in "qkv"], axis=0)
+        if all(f"{n}_proj/bias" in parts for n in "qkv"):
+            sd[f"{base}.in_proj_bias"] = np.concatenate(
+                [parts[f"{n}_proj/bias"] for n in "qkv"], axis=0)
+    return sd
+
+
+def _inverse_map(key: str, arr, head_idx: int, pend_qkv):
+    import numpy as np
+
+    parts = key.split("/")
+    coll, top = parts[0], parts[1]
+    H = f"model.{head_idx}"
+
+    def dense(a):
+        return np.ascontiguousarray(a.T)
+
+    def conv(a):
+        return np.transpose(a, (3, 2, 0, 1))
+
+    if top == "backbone":
+        idx = parts[2][1:]             # n{i}
+        mids = []
+        for p in parts[3:-1]:
+            if p[0] == "m" and p[1:].isdigit():
+                mids += ["m", p[1:]]
+            else:
+                mids.append(p)
+        leaf = parts[-1]
+        tname = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                 "mean": "running_mean", "var": "running_var"}[leaf]
+        val = conv(arr) if leaf == "kernel" else arr
+        return ".".join([f"model.{idx}"] + mids + [tname]), val
+
+    if top == "qim" or (top == "decoder" and len(parts) > 2):
+        if top == "qim":
+            sub = parts[2]
+            if sub == "self_attn":
+                proj, leaf = parts[3], parts[4]
+                if proj == "out_proj":
+                    val = dense(arr) if leaf == "kernel" else arr
+                    return (f"{H}.track_embed.self_attn.out_proj."
+                            f"{'weight' if leaf == 'kernel' else 'bias'}", val)
+                pend_qkv.setdefault(f"{H}.track_embed.self_attn",
+                                    {})[f"{proj}/{leaf}"] = arr
+                return None, None
+            inv = {"linear1": "linear1", "linear2": "linear2",
+                   "norm1": "norm1", "norm2": "norm2",
+                   "pos_linear1": "linear_pos1", "pos_linear2": "linear_pos2",
+                   "pos_norm": "norm_pos"}[sub]
+            leaf = parts[3]
+            if sub.startswith("linear") or sub.startswith("pos_linear"):
+                val = dense(arr) if leaf == "kernel" else arr
+                return (f"{H}.track_embed.{inv}."
+                        f"{'weight' if leaf == 'kernel' else 'bias'}", val)
+            return (f"{H}.track_embed.{inv}."
+                    f"{'weight' if leaf == 'scale' else 'bias'}", arr)
+
+        # decoder head
+        D = f"{H}.decoder"
+        sub = parts[2]
+        if sub.startswith("input_proj"):
+            i = sub[len("input_proj"):-len("_bn")] \
+                if sub.endswith("_bn") else sub[len("input_proj"):-len("_conv")]
+            if sub.endswith("_conv"):
+                return f"{D}.input_proj.{i}.0.weight", conv(arr)
+            leaf = parts[3]
+            tname = {"scale": "weight", "bias": "bias",
+                     "mean": "running_mean", "var": "running_var"}[leaf]
+            return f"{D}.input_proj.{i}.1.{tname}", arr
+        if sub == "denoising_class_embed":
+            return f"{D}.denoising_class_embed.weight", arr
+        if sub == "enc_output_dense":
+            leaf = parts[3]
+            return (f"{D}.enc_output.0."
+                    f"{'weight' if leaf == 'kernel' else 'bias'}",
+                    dense(arr) if leaf == "kernel" else arr)
+        if sub == "enc_output_ln":
+            leaf = parts[3]
+            return (f"{D}.enc_output.1."
+                    f"{'weight' if leaf == 'scale' else 'bias'}", arr)
+        if sub == "enc_score_head":
+            leaf = parts[3]
+            return (f"{D}.enc_score_head."
+                    f"{'weight' if leaf == 'kernel' else 'bias'}",
+                    dense(arr) if leaf == "kernel" else arr)
+        if sub == "enc_bbox_head":
+            j, leaf = parts[3][len("layers"):], parts[4]
+            return (f"{D}.enc_bbox_head.layers.{j}."
+                    f"{'weight' if leaf == 'kernel' else 'bias'}",
+                    dense(arr) if leaf == "kernel" else arr)
+        if sub == "decoder":
+            inner = parts[3]
+            if inner.startswith("score_head"):
+                l, leaf = inner[len("score_head"):], parts[4]
+                return (f"{D}.dec_score_head.{l}."
+                        f"{'weight' if leaf == 'kernel' else 'bias'}",
+                        dense(arr) if leaf == "kernel" else arr)
+            if inner.startswith("bbox_head"):
+                l = inner[len("bbox_head"):]
+                j, leaf = parts[4][len("layers"):], parts[5]
+                return (f"{D}.dec_bbox_head.{l}.layers.{j}."
+                        f"{'weight' if leaf == 'kernel' else 'bias'}",
+                        dense(arr) if leaf == "kernel" else arr)
+            if inner.startswith("layer"):
+                l = inner[len("layer"):]
+                L = f"{D}.decoder.layers.{l}"
+                mod = parts[4]
+                if mod == "self_attn":
+                    proj, leaf = parts[5], parts[6]
+                    if proj == "out_proj":
+                        val = dense(arr) if leaf == "kernel" else arr
+                        return (f"{L}.self_attn.out_proj."
+                                f"{'weight' if leaf == 'kernel' else 'bias'}",
+                                val)
+                    pend_qkv.setdefault(f"{L}.self_attn",
+                                        {})[f"{proj}/{leaf}"] = arr
+                    return None, None
+                if mod == "cross_attn":
+                    name, leaf = parts[5], parts[6]
+                    return (f"{L}.cross_attn.{name}."
+                            f"{'weight' if leaf == 'kernel' else 'bias'}",
+                            dense(arr) if leaf == "kernel" else arr)
+                if mod.startswith("norm"):
+                    leaf = parts[5]
+                    return (f"{L}.{mod}."
+                            f"{'weight' if leaf == 'scale' else 'bias'}", arr)
+                if mod.startswith("linear"):
+                    leaf = parts[5]
+                    return (f"{L}.{mod}."
+                            f"{'weight' if leaf == 'kernel' else 'bias'}",
+                            dense(arr) if leaf == "kernel" else arr)
+    return None, None

@@ -94,16 +94,26 @@ def test_validator_on_synthetic_dataset(tiny, tmp_path):
 
 
 def test_api_save_load_roundtrip(tmp_path):
+    """save()/load() must reconstruct NON-default models exactly: custom
+    nc, TrackerConfig(n_slots=...), and dtype all persist through the
+    .meta.json (round-1 advisor finding)."""
     from mo_yolo_tpu.api import MOTRTrack
+    from mo_yolo_tpu.models.tracker import TrackerConfig
 
     m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
-                  nq=16, ndl=2, d_ffn=64, hd=32, num_denoising=8)
+                  nc=5, nq=16, ndl=2, d_ffn=64, hd=32, num_denoising=8,
+                  tracker=TrackerConfig(n_slots=7, score_thresh=0.33))
     ck = tmp_path / "ckpt"
     m.save(str(ck))
     m2 = MOTRTrack(str(ck))
-    a = jax.tree.leaves(m.variables["params"])[0]
-    b = jax.tree.leaves(m2.variables["params"])[0]
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert m2.model.tracker.n_slots == 7
+    assert m2.model.tracker.score_thresh == 0.33
+    assert m2.model.spec.nc == 5
+    assert m2.model.nq == 16 and m2.model.hd == 32
+    a = jax.tree.leaves(m.variables["params"])
+    b = jax.tree.leaves(m2.variables["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_cli_help_and_parse():
