@@ -106,14 +106,20 @@ class MOTRTrack:
     def train(self, data: str, epochs: int = 1, batch: int = 1,
               clip_len: int = 5, lr: float = 1e-4, max_gt: int = 64,
               save_dir: str = "runs/track", seed: int = 0,
-              val_every: int = 0, log_every: int = 10) -> Dict[str, float]:
-        """Train on a dataset yaml (see mo_yolo_tpu/train/trainer.py)."""
+              val_every: int = 0, log_every: int = 10,
+              resume: bool = False, accumulate: int = 1,
+              augment: bool = False, **kw) -> Dict[str, float]:
+        """Train on a dataset yaml (see mo_yolo_tpu/train/trainer.py).
+        resume=True restores {params, ema, opt_state, epoch} from
+        save_dir/last_full; accumulate>1 enables gradient accumulation."""
         from mo_yolo_tpu.train.trainer import TrackTrainer
 
         trainer = TrackTrainer(self, data=data, epochs=epochs, batch=batch,
                                clip_len=clip_len, lr=lr, max_gt=max_gt,
                                save_dir=save_dir, seed=seed,
-                               val_every=val_every, log_every=log_every)
+                               val_every=val_every, log_every=log_every,
+                               resume=resume, accumulate=accumulate,
+                               augment=augment, **kw)
         return trainer.run()
 
     # ------------------------------------------------------------------ #

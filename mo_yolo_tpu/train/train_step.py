@@ -49,6 +49,8 @@ class TrainConfig:
     remat: bool = True
     drop_prob: float = 0.1           # QIM random_drop_tracks (`qim.py:17`)
     fp_ratio: float = 0.3            # QIM FP injection
+    accumulate: int = 1              # grad-accumulation mini-steps per update
+                                     # (reference nbs/batch, `train.py:238-257`)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -57,10 +59,15 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     total = max(cfg.total_steps, warmup + 1)
     sched = optax.warmup_cosine_decay_schedule(
         0.0, cfg.lr, warmup, total, cfg.lr * 0.01)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(sched, weight_decay=cfg.weight_decay),
     )
+    if cfg.accumulate > 1:
+        # average grads over k mini-steps, update params every k-th
+        # (reference's `accumulate` loss-scaling + deferred optimizer.step)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate)
+    return tx
 
 
 def frame_losses(lcfg: LossConfig, outs: Dict, gt_cls, gt_boxes, gt_mask,
@@ -171,7 +178,12 @@ def make_train_step(model, lcfg: LossConfig, tcfg: TrainConfig,
             loss_fn, has_aux=True)(ts.params, ts.batch_stats, clip, key)
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
-        d = tcfg.ema_decay
+        d = jnp.asarray(tcfg.ema_decay)
+        if tcfg.accumulate > 1:
+            # EMA tracks emitted optimizer steps only: during accumulation
+            # mini-steps params are unchanged and the EMA must not decay
+            emitted = opt_state.mini_step == 0
+            d = jnp.where(emitted, d, 1.0)
         ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
                            ts.ema_params, params)
         metrics["loss"] = loss

@@ -46,7 +46,9 @@ class TrackTrainer:
                  clip_len: int = 5, lr: float = 1e-4, max_gt: int = 64,
                  save_dir: str = "runs/track", seed: int = 0,
                  val_every: int = 0, log_every: int = 10,
-                 patience: int = 50, callbacks=None):
+                 patience: int = 50, callbacks=None,
+                 resume: bool = False, accumulate: int = 1,
+                 augment: bool = False, hyp=None):
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -60,6 +62,12 @@ class TrackTrainer:
         self.log_every = log_every
         self.stopper = EarlyStopping(patience)
         self.callbacks = callbacks or default_callbacks()
+        self.resume = resume
+        # reference: accumulate = max(round(nbs / batch_size), 1)
+        # (`models/MOTRtrack/train.py:238`); here it's explicit config
+        self.accumulate = max(int(accumulate), 1)
+        self.augment = augment
+        self.hyp = hyp
 
     def run(self) -> Dict[str, float]:
         import jax
@@ -81,12 +89,37 @@ class TrackTrainer:
         steps_per_epoch = max(n_clips // self.batch, 1)
         model = self.api.model
         lcfg = LossConfig(nc=model.spec.nc)
-        tcfg = TrainConfig(clip_len=self.clip_len, lr=self.lr,
-                           total_steps=self.epochs * steps_per_epoch)
+        # LR schedule advances per EMITTED optimizer step (MultiSteps calls
+        # the inner update once per `accumulate` mini-steps)
+        tcfg = TrainConfig(
+            clip_len=self.clip_len, lr=self.lr, accumulate=self.accumulate,
+            total_steps=max(self.epochs * steps_per_epoch // self.accumulate,
+                            1))
         mesh = make_mesh()
         init_fn, step = make_sharded_train_step(model, lcfg, tcfg, mesh)
         ts = init_fn(self.api.variables)
-        key = jax.random.PRNGKey(self.seed)
+
+        # ---- resume (reference `engine/trainer.py:621-671`) ----
+        start_epoch = 0
+        last_full = self.save_dir / "last_full"
+        if self.resume and last_full.exists():
+            import json
+            from mo_yolo_tpu.train.train_step import TrainState
+            from mo_yolo_tpu.utils.checkpoint import load_checkpoint
+            ts = TrainState(**load_checkpoint(str(last_full), target=ts))
+            cfg_json = Path(str(last_full.resolve()) + ".config.json")
+            if cfg_json.exists():
+                with open(cfg_json) as f:
+                    start_epoch = int(json.load(f).get("epoch", -1)) + 1
+            LOGGER.info(f"resumed from {last_full}: epoch {start_epoch}, "
+                        f"step {int(ts.step)}")
+            if start_epoch >= self.epochs:
+                LOGGER.info("nothing to resume: training already finished")
+                return {"final_loss": float("nan")}
+        elif self.resume:
+            LOGGER.warning(f"resume requested but {last_full} not found; "
+                           "starting fresh")
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), start_epoch)
 
         LOGGER.info(f"training: {len(ds)} frames, {n_clips} clips, "
                     f"{steps_per_epoch} steps/epoch x {self.epochs} epochs, "
@@ -97,7 +130,7 @@ class TrackTrainer:
         best_fitness = -float("inf")
         metrics: Dict[str, float] = {}
 
-        for epoch in range(self.epochs):
+        for epoch in range(start_epoch, self.epochs):
             self.callbacks.fire("on_train_epoch_start", trainer=self,
                                 epoch=epoch)
             t_ep = time.time()
@@ -125,7 +158,8 @@ class TrackTrainer:
             self.api.variables = {"params": ts.ema_params,
                                   "batch_stats": ts.batch_stats}
             save_params(str(self.save_dir / "last"), self.api.variables)
-            save_checkpoint(str(self.save_dir / "last_full"), ts)
+            save_checkpoint(str(self.save_dir / "last_full"), ts,
+                            config={"epoch": epoch, "step": int(ts.step)})
             fitness = -float(np.mean(losses)) if losses else 0.0
             if self.val_every and (epoch + 1) % self.val_every == 0 and d["val"]:
                 metrics = self.api.val(d["val"][:200])
