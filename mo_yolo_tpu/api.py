@@ -283,8 +283,12 @@ class Detector:
                                orig_shape=meta["orig_shape"], path=path,
                                names=self.names, orig_img=img)
 
-    def track(self, source, conf: float = 0.3, tracker: str = "bytetrack"):
-        """Detection + classic box tracker (BYTETracker / BOTSORT)."""
+    def track(self, source, conf: float = 0.1, tracker: str = "bytetrack"):
+        """Detection + classic box tracker (BYTETracker / BOTSORT).
+
+        conf defaults to track_low_thresh (0.1) — the reference forces
+        conf=0.1 when tracking (`trackers/track.py`) so BYTE's second
+        association stage sees the low-confidence band [0.1, 0.5)."""
         from mo_yolo_tpu.trackers import BOTSORT, BYTETracker
         from mo_yolo_tpu.engine.results import TrackResults
 

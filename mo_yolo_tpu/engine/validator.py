@@ -19,7 +19,7 @@ import numpy as np
 from mo_yolo_tpu.data.dataset import TrackDataset, video_key
 from mo_yolo_tpu.metrics import hota as hota_m
 from mo_yolo_tpu.metrics.detection import DetMetrics, box_iou_np
-from mo_yolo_tpu.metrics.mot import clear_mot, idf1
+from mo_yolo_tpu.metrics.mot import clear_mot, idf1, pool_idf1
 
 
 def _xywhn2xyxy(b: np.ndarray, size: float = 1.0) -> np.ndarray:
@@ -30,13 +30,15 @@ def _xywhn2xyxy(b: np.ndarray, size: float = 1.0) -> np.ndarray:
 
 class TrackValidator:
     def __init__(self, model, variables, imgsz: int = 640,
-                 conf: float = 0.5, nc: Optional[int] = None):
+                 conf: float = 0.5, nc: Optional[int] = None,
+                 det_conf: float = 0.001):
         import jax
 
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
         self.conf = conf
+        self.det_conf = det_conf
         self.nc = nc or model.spec.nc
         self._step = jax.jit(
             lambda v, s, f: model.apply(v, s, f, method=model.stream_step))
@@ -87,8 +89,13 @@ class TrackValidator:
             gt_ids_seq.append(gt_ids)
             pr_ids_seq.append(pr_ids)
             sim_seq.append(sim)
-            det.update(pr_boxes, o["score"][keep], o["cls"][keep],
-                       gt_boxes, s.cls[s.mask])
+            # mAP sees the full (near-unthresholded) prediction set so the
+            # PR curve is not truncated at the tracking conf — the reference
+            # validator scores detections at conf~0.001 (`val.py:99-123`);
+            # the high conf gate above applies only to the identity streams.
+            det_keep = o["valid"] & (o["score"] >= self.det_conf)
+            det.update(_xywhn2xyxy(o["box"][det_keep]), o["score"][det_keep],
+                       o["cls"][det_keep], gt_boxes, s.cls[s.mask])
         flush()
 
         out = hota_m.summarize(seq_results)
@@ -97,7 +104,7 @@ class TrackValidator:
             out["MOTA"] = 100 * (1 - sum(c["FN"] + c["FP"] + c["IDSW"]
                                          for c in clear_accum) / max(n_gt, 1))
             out["IDSW"] = int(sum(c["IDSW"] for c in clear_accum))
-            out["IDF1"] = float(np.mean([c["IDF1"] for c in idf1_accum]))
+            out.update(pool_idf1(idf1_accum))
         out.update(det.compute())
         out["fps"] = len(ds) / max(time.perf_counter() - t0, 1e-9)
         return out

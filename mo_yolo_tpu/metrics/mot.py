@@ -103,7 +103,21 @@ def idf1(gt_ids: Sequence[np.ndarray], pred_ids: Sequence[np.ndarray],
     idp = idtp / max(idtp + idfp, 1e-12)
     idr = idtp / max(idtp + idfn, 1e-12)
     return {"IDF1": 100 * idf1_v, "IDP": 100 * idp, "IDR": 100 * idr,
-            "IDTP": idtp}
+            "IDTP": idtp, "IDFN": idfn, "IDFP": idfp}
+
+
+def pool_idf1(per_seq: Sequence[Dict[str, float]]) -> Dict[str, float]:
+    """Combine per-sequence ID metrics by pooling raw counts (motmetrics
+    semantics, `MOTR/util/evaluation.py:15-171`) — NOT by averaging the
+    per-sequence ratios, which diverges on uneven sequence lengths."""
+    idtp = sum(c["IDTP"] for c in per_seq)
+    idfn = sum(c["IDFN"] for c in per_seq)
+    idfp = sum(c["IDFP"] for c in per_seq)
+    return {
+        "IDF1": 100 * 2 * idtp / max(2 * idtp + idfn + idfp, 1e-12),
+        "IDP": 100 * idtp / max(idtp + idfp, 1e-12),
+        "IDR": 100 * idtp / max(idtp + idfn, 1e-12),
+    }
 
 
 def write_mot_txt(fh: TextIO, frame_idx: int, ids: np.ndarray,

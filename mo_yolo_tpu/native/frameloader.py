@@ -33,12 +33,22 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when frameloader.cpp is newer than the built .so — edits to the
+    source must trigger a rebuild instead of silently using the old binary."""
+    try:
+        return _SRC.is_file() and _SRC.stat().st_mtime > _SO.stat().st_mtime
+    except OSError:
+        return False
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.is_file() and not _build():
-        return None
+    if (not _SO.is_file() or _stale()) and not _build():
+        if not _SO.is_file():
+            return None
     try:
         lib = ctypes.CDLL(str(_SO))
     except OSError:

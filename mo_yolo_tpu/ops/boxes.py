@@ -102,6 +102,14 @@ def pairwise_iou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = EPS) -> jnp.
     return inter / union
 
 
+def pairwise_ciou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
+    """Pairwise CIoU of xyxy boxes -> [..., M, N]. The reference
+    TaskAlignedAssigner's alignment metric (`utils/tal.py:157`,
+    `bbox_iou(..., CIoU=True)`)."""
+    return elementwise_ciou(box1[..., :, None, :], box2[..., None, :, :],
+                            xywh=False, eps=eps)
+
+
 def pairwise_giou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
     """Pairwise GIoU of xyxy boxes -> [..., M, N] (used in matching costs)."""
     b1 = box1[..., :, None, :]

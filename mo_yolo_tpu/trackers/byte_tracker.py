@@ -44,6 +44,10 @@ class STrack:
         self.track_id = -1
         self.state = "new"          # new | tracked | lost | removed
         self.frames_lost = 0
+        # reference STrack.is_activated: a new track stays unconfirmed for
+        # one frame (unless born on frame 1) and only emits an ID once
+        # re-matched — suppresses one-frame false-positive IDs.
+        self.confirmed = False
 
     @property
     def xyxy(self) -> np.ndarray:
@@ -102,24 +106,28 @@ class BYTETracker:
         self.tracked: List[STrack] = []
         self.lost: List[STrack] = []
         self._next_id = 1
+        self._frame = 0
 
     def reset(self):
         self.tracked, self.lost, self._next_id = [], [], 1
+        self._frame = 0
 
     def update(self, dets: np.ndarray, img: Optional[np.ndarray] = None
                ) -> np.ndarray:
         dets = np.asarray(dets, float).reshape(-1, 6)
         c = self.cfg
+        self._frame += 1
         high = dets[dets[:, 4] >= c.track_high_thresh]
         low = dets[(dets[:, 4] >= c.track_low_thresh) &
                    (dets[:, 4] < c.track_high_thresh)]
 
-        pool = self.tracked + self.lost
-        for t in pool:
+        unconfirmed = [t for t in self.tracked if not t.confirmed]
+        pool = [t for t in self.tracked if t.confirmed] + self.lost
+        for t in pool + unconfirmed:
             t.predict()
-        self._motion_hook(pool, img)
+        self._motion_hook(pool + unconfirmed, img)
 
-        # stage 1: high-confidence detections vs all tracks
+        # stage 1: high-confidence detections vs confirmed tracks
         pairs, ut, ud = _iou_assign(pool, high, 1.0 - c.match_thresh)
         for i, j in pairs:
             pool[i].update(high[j, :4], high[j, 4], high[j, 5])
@@ -137,20 +145,32 @@ class BYTETracker:
             if t.state == "tracked":
                 t.state = "lost"
             t.frames_lost += 1
-        # new tracks from unmatched high detections
-        for j in ud:
-            if high[j, 4] >= c.new_track_thresh:
-                t = STrack(high[j, :4], high[j, 4], high[j, 5])
+        # stage 3: last frame's unconfirmed tracks vs leftover high
+        # detections (tight IoU gate, reference byte_tracker.py unconfirmed
+        # association) — matched ones confirm, unmatched ones are dropped.
+        high_rem = high[ud] if len(ud) else np.zeros((0, 6))
+        pairs3, ut3, ud3 = _iou_assign(unconfirmed, high_rem, 0.3)
+        for i, j in pairs3:
+            unconfirmed[i].update(high_rem[j, :4], high_rem[j, 4],
+                                  high_rem[j, 5])
+            unconfirmed[i].confirmed = True
+            pool.append(unconfirmed[i])
+        # new tracks from still-unmatched high detections: unconfirmed for
+        # one frame unless this is the first frame of the stream
+        for j3 in ud3:
+            if high_rem[j3, 4] >= c.new_track_thresh:
+                t = STrack(high_rem[j3, :4], high_rem[j3, 4], high_rem[j3, 5])
                 t.track_id = self._next_id
                 self._next_id += 1
                 t.state = "tracked"
+                t.confirmed = self._frame == 1
                 pool.append(t)
         # prune
         self.tracked = [t for t in pool if t.state == "tracked"]
         self.lost = [t for t in pool
                      if t.state == "lost" and t.frames_lost <= c.track_buffer]
         out = [np.concatenate([t.xyxy, [t.track_id, t.score, t.cls]])
-               for t in self.tracked]
+               for t in self.tracked if t.confirmed]
         return np.stack(out) if out else np.zeros((0, 7))
 
     def _motion_hook(self, pool, img):

@@ -18,7 +18,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from mo_yolo_tpu.ops.boxes import elementwise_ciou, pairwise_iou
+from mo_yolo_tpu.ops.boxes import elementwise_ciou, pairwise_ciou
 from mo_yolo_tpu.train.losses import optax_sigmoid_bce
 
 
@@ -53,8 +53,9 @@ def task_aligned_assign(cfg: V8LossConfig,
              (ay > gt_bboxes[..., 1:2]) & (ay < gt_bboxes[..., 3:4]))  # [B,G,S]
     in_gt = in_gt & gt_mask[..., None]
 
-    # alignment metric
-    iou = jax.vmap(pairwise_iou)(gt_bboxes, pd_bboxes)              # [B,G,S]
+    # alignment metric: CIoU clamped at 0, matching the reference assigner
+    # (`utils/tal.py:157` bbox_iou(..., CIoU=True).clamp_(0))
+    iou = jax.vmap(pairwise_ciou)(gt_bboxes, pd_bboxes)             # [B,G,S]
     iou = jnp.clip(iou, 0.0)
     cls_score = jnp.take_along_axis(
         pd_scores.transpose(0, 2, 1),                                # [B,nc,S]

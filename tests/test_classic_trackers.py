@@ -66,6 +66,32 @@ def test_byte_tracker_low_conf_second_stage():
     assert len(out) == 2  # low-conf stage keeps the track alive
 
 
+def test_byte_tracker_unconfirmed_suppresses_one_frame_fp():
+    """A detection that appears for exactly one frame mid-stream must never
+    emit a track ID (reference two-frame confirmation); a detection that
+    persists for two frames confirms and appears from its second frame."""
+    bt = BYTETracker()
+    seq = _moving_dets(8)
+    fp = np.array([[300.0, 300.0, 330.0, 350.0, 0.9, 0]])
+    emitted_fp_id = False
+    for t, dets in enumerate(seq):
+        if t == 3:  # one-frame false positive
+            dets = np.concatenate([dets, fp])
+        out = bt.update(dets)
+        if len(out) > 2:
+            emitted_fp_id = True
+    assert not emitted_fp_id
+    # persistent new object: unconfirmed on its first frame, emitted after
+    bt2 = BYTETracker()
+    counts = []
+    for t, dets in enumerate(_moving_dets(6)):
+        if t >= 2:
+            dets = np.concatenate([dets, fp + 2.0 * (t - 2)])
+        counts.append(len(bt2.update(dets)))
+    assert counts[2] == 2     # new object still unconfirmed
+    assert counts[3] == 3     # confirmed on second sighting
+
+
 def test_gmc_estimates_translation():
     rng = np.random.default_rng(0)
     base = rng.uniform(0, 255, (120, 160)).astype(np.float32)

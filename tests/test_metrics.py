@@ -4,7 +4,7 @@
 import numpy as np
 
 from mo_yolo_tpu.metrics.hota import eval_sequence, summarize
-from mo_yolo_tpu.metrics.mot import clear_mot, idf1, write_mot_txt
+from mo_yolo_tpu.metrics.mot import clear_mot, idf1, pool_idf1, write_mot_txt
 from mo_yolo_tpu.metrics.detection import DetMetrics, box_iou_np
 
 
@@ -67,6 +67,28 @@ def test_idf1_switch():
     r = idf1(gt_ids, pred_ids, sim)
     # best mapping keeps 3 of 6 frames -> IDTP=3, IDF1 = 2*3/(2*3+3+3) = 0.5
     assert abs(r["IDF1"] - 50.0) < 1e-6
+
+
+def test_idf1_pooled_uneven_sequences():
+    """Pooled IDF1 must combine raw ID counts across sequences, not average
+    the per-sequence ratios (motmetrics semantics).
+
+    Seq A: 20 frames, perfect single track -> IDTP=20, IDF1_A = 100.
+    Seq B: 2 frames, 1 GT, 1 wrong-box pred per frame (IoU 0) -> IDTP=0,
+    IDFN=2, IDFP=2, IDF1_B = 0.
+    Pooled: 2*20 / (2*20 + 2 + 2) = 40/44 = 90.909..., whereas the naive
+    per-sequence mean would report 50.
+    """
+    seq_a = idf1([np.array([0])] * 20, [np.array([7])] * 20,
+                 [np.ones((1, 1))] * 20)
+    seq_b = idf1([np.array([0])] * 2, [np.array([9])] * 2,
+                 [np.zeros((1, 1))] * 2)
+    assert abs(seq_a["IDF1"] - 100.0) < 1e-9
+    assert abs(seq_b["IDF1"] - 0.0) < 1e-9
+    pooled = pool_idf1([seq_a, seq_b])
+    assert abs(pooled["IDF1"] - 100 * 40 / 44) < 1e-9
+    assert abs(pooled["IDP"] - 100 * 20 / 22) < 1e-9
+    assert abs(pooled["IDR"] - 100 * 20 / 22) < 1e-9
 
 
 def test_detmetrics_perfect():
