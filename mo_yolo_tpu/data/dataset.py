@@ -54,6 +54,26 @@ def load_track_label(path: str) -> np.ndarray:
     return np.asarray(rows, np.float32) if rows else np.zeros((0, 6), np.float32)
 
 
+def verify_image(path: str) -> bool:
+    """True when the image decodes cleanly (reference corrupt-image check,
+    `data/utils.py:148-160`: verify + size>=10px + JPEG EOI marker)."""
+    from PIL import Image
+    try:
+        with Image.open(path) as im:
+            im.verify()
+            w, h = im.size
+        if w < 10 or h < 10:
+            return False
+        if path.lower().endswith((".jpg", ".jpeg")):
+            with open(path, "rb") as f:
+                f.seek(-2, 2)
+                if f.read() != b"\xff\xd9":  # truncated JPEG
+                    return False
+        return True
+    except Exception:
+        return False
+
+
 def video_key(img_path: str) -> str:
     """Group frames into videos by filename prefix (reference groups by the
     part of the stem before the frame counter, `build.py:149-162` /
@@ -78,14 +98,31 @@ class TrackSample:
 
 
 class TrackDataset:
-    """Image-list dataset with clip grouping and static-shape padding."""
+    """Image-list dataset with clip grouping and static-shape padding.
+
+    `augmenter` (a `data.augment.ClipAugmenter`) is applied to raw
+    image+labels before letterboxing; geometric parameters are frozen per
+    clip so track ids stay coherent across frames (the reference composes
+    transforms into the dataset, `data/dataset.py:335-353`)."""
 
     def __init__(self, img_files: Sequence[str], imgsz: int = 640,
-                 max_gt: int = 64, clip_len: int = 5):
+                 max_gt: int = 64, clip_len: int = 5, augmenter=None,
+                 verify: bool = False, cache_labels: bool = True):
         self.files = list(img_files)
+        if verify:  # drop corrupt images (reference `data/utils.py:148-160`)
+            ok = [f for f in self.files if verify_image(f)]
+            if len(ok) < len(self.files):
+                from mo_yolo_tpu.utils.logging import LOGGER
+                LOGGER.warning(
+                    f"dropped {len(self.files) - len(ok)} corrupt image(s)")
+            self.files = ok
         self.imgsz = imgsz
         self.max_gt = max_gt
         self.clip_len = clip_len
+        self.augmenter = augmenter
+        # label cache: parse each 6-col txt once, not once per epoch
+        # (reference np-caches labels, `data/dataset.py:258-260`)
+        self._labels: Dict[int, np.ndarray] = {} if cache_labels else None
         # group into videos preserving order
         groups: Dict[str, List[int]] = {}
         for i, f in enumerate(self.files):
@@ -101,12 +138,21 @@ class TrackDataset:
     def __len__(self):
         return len(self.files)
 
-    def load_frame(self, i: int) -> TrackSample:
+    def _label(self, i: int) -> np.ndarray:
+        if self._labels is None:
+            return load_track_label(img2label_path(self.files[i]))
+        if i not in self._labels:
+            self._labels[i] = load_track_label(img2label_path(self.files[i]))
+        return self._labels[i]
+
+    def load_frame(self, i: int, augment: bool = False) -> TrackSample:
         img = load_image(self.files[i])
+        lab = self._label(i)
+        if augment and self.augmenter is not None:
+            img, lab = self.augmenter(img, lab)
         h0, w0 = img.shape[:2]
         out, (gain, _), (px, py) = letterbox(img, (self.imgsz, self.imgsz),
                                              scaleup=False)
-        lab = load_track_label(img2label_path(self.files[i]))
         G = self.max_gt
         cls = np.zeros(G, np.int32)
         boxes = np.zeros((G, 4), np.float32)
@@ -128,8 +174,12 @@ class TrackDataset:
         return TrackSample(out.astype(np.float32) / 255.0, cls, boxes, tid,
                            mask, self.files[i])
 
-    def load_clip(self, clip: List[int]) -> Dict[str, np.ndarray]:
-        frames = [self.load_frame(i) for i in clip]
+    def load_clip(self, clip: List[int],
+                  clip_index: int = -1) -> Dict[str, np.ndarray]:
+        augment = self.augmenter is not None and clip_index >= 0
+        if augment:
+            self.augmenter.begin_clip(clip_index)
+        frames = [self.load_frame(i, augment=augment) for i in clip]
         return {
             "images": np.stack([f.image for f in frames]),      # [T,H,W,3]
             "gt_cls": np.stack([f.cls for f in frames]),
@@ -152,7 +202,8 @@ def clip_loader(ds: TrackDataset, batch: int, shuffle: bool = True,
         chunk = order[s:s + batch]
         if drop_last and len(chunk) < batch:
             break
-        clips = [ds.load_clip(ds.clips[c]) for c in chunk]
+        clips = [ds.load_clip(ds.clips[c], clip_index=seed * 1000003 + c)
+                 for c in chunk]
         yield {k: np.stack([c[k] for c in clips], axis=1) for k in clips[0]}
 
 

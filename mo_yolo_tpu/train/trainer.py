@@ -80,8 +80,22 @@ class TrackTrainer:
 
         self.callbacks.fire("on_train_start", trainer=self)
         d = load_dataset_yaml(self.data)
+        augmenter = None
+        if self.augment:
+            from mo_yolo_tpu.data.augment import ClipAugmenter
+            hyp = self.hyp or {}
+            # geometry defaults follow the reference's track configs
+            # (mosaic/perspective off for track; HSV+flip+mild affine on)
+            augmenter = ClipAugmenter(
+                hsv=bool(hyp.get("hsv_v", 0.4)),
+                fliplr_p=float(hyp.get("fliplr", 0.5)),
+                degrees=float(hyp.get("degrees", 0.0)),
+                translate=float(hyp.get("translate", 0.05)),
+                scale=float(hyp.get("scale", 0.2)),
+                seed=self.seed)
         ds = TrackDataset(d["train"], imgsz=self.api.imgsz,
-                          max_gt=self.max_gt, clip_len=self.clip_len)
+                          max_gt=self.max_gt, clip_len=self.clip_len,
+                          augmenter=augmenter, verify=True)
         n_clips = len(ds.clips)
         if n_clips == 0:
             raise ValueError("no clips found — dataset too small for "

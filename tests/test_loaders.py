@@ -69,3 +69,57 @@ def test_video_source_gated():
             VideoSource("x.mp4")
     else:  # pragma: no cover - env has no ffmpeg
         pytest.skip("ffmpeg present; decode covered by integration use")
+
+
+def test_verify_image_detects_truncated_jpeg(tmp_path):
+    from mo_yolo_tpu.data.dataset import TrackDataset, verify_image
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    good = tmp_path / "good.jpg"
+    Image.fromarray(img).save(good)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(good.read_bytes()[:-20])  # truncate
+    tiny = tmp_path / "tiny.png"
+    Image.fromarray(img[:4, :4]).save(tiny)   # below 10px floor
+    assert verify_image(str(good))
+    assert not verify_image(str(bad))
+    assert not verify_image(str(tiny))
+    ds = TrackDataset([str(good), str(bad), str(tiny)], imgsz=32,
+                      clip_len=1, verify=True)
+    assert ds.files == [str(good)]
+
+
+def test_label_cache_parses_once(tmp_path, monkeypatch):
+    from mo_yolo_tpu.data import dataset as dsm
+
+    img_dir = tmp_path / "images" / "s"
+    lab_dir = tmp_path / "labels" / "s"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    p = img_dir / "000001.png"
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(p)
+    (lab_dir / "000001.txt").write_text("0 0.5 0.5 0.2 0.2 3\n")
+    calls = []
+    orig = dsm.load_track_label
+    monkeypatch.setattr(dsm, "load_track_label",
+                        lambda path: calls.append(path) or orig(path))
+    ds = dsm.TrackDataset([str(p)], imgsz=32, clip_len=1)
+    ds.load_frame(0)
+    ds.load_frame(0)
+    ds.load_frame(0)
+    assert len(calls) == 1
+
+
+def test_video_key_groups_flat_named_sequences(tmp_path):
+    """Flat directory with per-sequence filename prefixes must split into
+    distinct videos (round-1 weak #10)."""
+    from mo_yolo_tpu.data.dataset import TrackDataset, video_key
+
+    files = [str(tmp_path / f"{seq}_{t:06d}.jpg")
+             for seq in ("dance01", "dance02") for t in range(3)]
+    keys = {video_key(f) for f in files}
+    assert len(keys) == 2
+    ds = TrackDataset(files, imgsz=32, clip_len=3)
+    assert len(ds.videos) == 2
+    assert all(len(v) == 3 for v in ds.videos.values())
