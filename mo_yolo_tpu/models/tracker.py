@@ -210,10 +210,10 @@ def track_train_assign(obj_id: jnp.ndarray,       # [N] current track ids
     gt_tracked = jnp.any(eq, axis=0)                             # [G]
     track_slot_of_gt = jnp.argmax(eq, axis=0)                    # [G]
 
-    from mo_yolo_tpu.ops.matching import hungarian_auction, match_cost
+    from mo_yolo_tpu.ops.matching import hungarian_jv, match_cost
     cost = match_cost(det_boxes, det_logits, gt_boxes, gt_cls,
                       gt_mask & ~gt_tracked)
-    det_assign = hungarian_auction(cost[None], (gt_mask & ~gt_tracked)[None])[0]
+    det_assign = hungarian_jv(cost[None], (gt_mask & ~gt_tracked)[None])[0]
 
     assign = jnp.where(gt_tracked, track_slot_of_gt,
                        jnp.where(det_assign >= 0, N + det_assign, -1))

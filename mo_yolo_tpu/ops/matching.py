@@ -10,16 +10,14 @@ column mask, so the cost matrix has a fixed shape and matching can run
 
   * `impl='scipy'` — host callback to `scipy.optimize.linear_sum_assignment`
     (bit-exact with the reference; one host sync per call), or
-  * `impl='auction'` — a Jacobi auction algorithm that runs entirely
-    on-device inside jit/pjit (no host round-trip; optimal within eps, which
-    is far below the cost scale that changes DETR matching in practice).
+  * `impl='jv'` (default) — Jonker-Volgenant shortest augmenting paths,
+    entirely on-device inside jit/pjit (no host round-trip), EXACT, with a
+    structural iteration bound of G*(G+1) Dijkstra steps.
 
 Both return, for each GT column, the assigned query row (-1 for padding).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -84,77 +82,108 @@ def hungarian_scipy(cost: jnp.ndarray, gt_mask: jnp.ndarray) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------- #
-# on-device auction algorithm
+# on-device EXACT matcher: Jonker-Volgenant shortest augmenting paths
 # --------------------------------------------------------------------- #
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def _auction_single(cost: jnp.ndarray, col_valid: jnp.ndarray,
-                    eps: jnp.ndarray, max_iters: int = 2000):
-    """Jacobi auction: persons = GT columns bid for objects = query rows.
-
-    Minimizes sum(cost[assign[g], g]) over distinct rows. eps-optimal:
-    within G*eps of the true optimum.
-    """
-    Q, G = cost.shape
-    benefit = -cost.T  # [G, Q] maximize
-    big_neg = jnp.asarray(-1e9, benefit.dtype)
-
-    def cond(s):
-        price, owner, assign, it = s
-        return (it < max_iters) & jnp.any(col_valid & (assign < 0))
-
-    def body(s):
-        price, owner, assign, it = s
-        bidding = col_valid & (assign < 0)  # [G]
-        value = benefit - price[None, :]    # [G, Q]
-        v_sorted = jax.lax.top_k(value, 2)[0]  # [G, 2]
-        best_obj = jnp.argmax(value, axis=1)   # [G]
-        bid_inc = v_sorted[:, 0] - v_sorted[:, 1] + eps
-        bid_amount = price[best_obj] + bid_inc  # [G]
-        bid_amount = jnp.where(bidding, bid_amount, big_neg)
-        # per-object: highest bid wins (segment max over bidders)
-        obj_best_bid = jnp.full((Q,), big_neg, benefit.dtype).at[best_obj].max(
-            jnp.where(bidding, bid_amount, big_neg))
-        won = bidding & (bid_amount >= obj_best_bid[best_obj]) & \
-              (obj_best_bid[best_obj] > big_neg)
-        # tie-break: lowest person index wins
-        winner = jnp.full((Q,), G, jnp.int32).at[
-            jnp.where(won, best_obj, Q)].min(
-            jnp.arange(G, dtype=jnp.int32), mode="drop")
-        actually_won = won & (winner[best_obj] == jnp.arange(G))
-        # winners take ownership; previous owners are implicitly evicted
-        # because `assign` is rebuilt from the (authoritative) owner map
-        owner2 = owner.at[jnp.where(actually_won, best_obj, Q)].set(
-            jnp.arange(G, dtype=jnp.int32), mode="drop")
-        price2 = price.at[jnp.where(actually_won, best_obj, Q)].set(
-            jnp.where(actually_won, bid_amount, 0.0), mode="drop")
-        # recompute assign from owner (owner is authoritative)
-        assign2 = jnp.full((G,), -1, jnp.int32).at[
-            jnp.where(owner2 >= 0, owner2, G)].set(
-            jnp.arange(Q, dtype=jnp.int32), mode="drop")
-        return price2, owner2, assign2, it + 1
-
-    price0 = jnp.zeros((Q,), benefit.dtype)
-    owner0 = jnp.full((Q,), -1, jnp.int32)
-    assign0 = jnp.full((G,), -1, jnp.int32)
-    price, owner, assign, _ = jax.lax.while_loop(
-        cond, body, (price0, owner0, assign0, jnp.int32(0)))
-    return jnp.where(col_valid, assign, -1)
+_INF = 1e30
 
 
-def hungarian_auction(cost: jnp.ndarray, gt_mask: jnp.ndarray,
-                      eps_scale: float = 1e-3) -> jnp.ndarray:
-    """On-device eps-optimal assignment. cost [B,Q,G]; gt_mask [B,G]."""
-    spread = jnp.maximum(jnp.max(jnp.abs(cost), axis=(1, 2)), 1.0)  # [B]
-    eps = (eps_scale * spread / cost.shape[2]).astype(cost.dtype)
-    return jax.vmap(lambda c, m, e: _auction_single(c, m, e))(
-        cost, gt_mask, eps)
+def _jv_single(cost: jnp.ndarray, col_valid: jnp.ndarray):
+    """Exact rectangular assignment, fully on-device (jittable).
+
+    cost [Q, G] (queries x GT columns), col_valid [G]. Returns
+    (assign [G] int32 — query row per GT, -1 for padding; iters int32).
+
+    Jonker-Volgenant shortest-augmenting-path with dual variables: one
+    Dijkstra per GT row over the Q columns. Provably bounded — each
+    Dijkstra step marks one new column and at most G columns are ever
+    assigned, so a free column is reached within G+1 steps; total inner
+    iterations <= G*(G+1) regardless of the cost values (the fixed-eps
+    auction this replaces had a data-dependent 10^4-10^5 worst case and an
+    optimality gap on asymmetric problems)."""
+    N = cost.shape[1]   # GT rows to assign
+    M = cost.shape[0]   # query columns
+    # rows = GT; padded rows get constant 0 cost: a constant row is
+    # indifferent to its column, so it never changes the valid rows' optimum
+    C = jnp.where(col_valid[:, None], cost.T.astype(jnp.float32), 0.0)
+
+    def assign_row(carry, r):
+        u, v, col2row, iters = carry
+
+        def dij_cond(s):
+            *_, done, _it = s
+            return ~done
+
+        def dij_body(s):
+            u, v, minv, way, used, row_mask, j0, i0, done, it = s
+            cur = C[i0] - u[i0] - v                       # [M]
+            upd = (~used) & (cur < minv)
+            minv = jnp.where(upd, cur, minv)
+            way = jnp.where(upd, j0, way)
+            cand = jnp.where(used, _INF, minv)
+            j1 = jnp.argmin(cand)
+            delta = cand[j1]
+            u = u + delta * row_mask
+            v = v - delta * used
+            minv = jnp.where(used, minv, minv - delta)
+            used = used.at[j1].set(True)
+            i_next = col2row[j1]
+            done = i_next < 0
+            row_mask = row_mask.at[jnp.where(done, N, i_next)].set(
+                1.0, mode="drop")
+            return (u, v, minv, way, used, row_mask,
+                    j1, jnp.where(done, i0, i_next), done, it + 1)
+
+        minv0 = jnp.full((M,), _INF, jnp.float32)
+        way0 = jnp.full((M,), -1, jnp.int32)
+        used0 = jnp.zeros((M,), bool)
+        rm0 = jnp.zeros((N,), jnp.float32).at[r].set(1.0)
+        u, v, minv, way, used, _, j_free, _, _, iters = jax.lax.while_loop(
+            dij_cond, dij_body,
+            (u, v, minv0, way0, used0, rm0, jnp.int32(-1), r,
+             jnp.asarray(False), iters))
+
+        # augment: walk predecessor columns back to the start row
+        def aug_cond(s):
+            j, _ = s
+            return j >= 0
+
+        def aug_body(s):
+            j, c2r = s
+            jprev = way[j]
+            rnew = jnp.where(jprev < 0, r, c2r[jnp.maximum(jprev, 0)])
+            return jprev, c2r.at[j].set(rnew)
+
+        _, col2row = jax.lax.while_loop(aug_cond, aug_body,
+                                        (j_free, col2row))
+        return (u, v, col2row, iters), 0
+
+    u0 = jnp.zeros((N,), jnp.float32)
+    v0 = jnp.zeros((M,), jnp.float32)
+    c2r0 = jnp.full((M,), -1, jnp.int32)
+    (u, v, col2row, iters), _ = jax.lax.scan(
+        assign_row, (u0, v0, c2r0, jnp.int32(0)),
+        jnp.arange(N, dtype=jnp.int32))
+    # invert: assign[g] = column j with col2row[j] == g
+    assign = jnp.full((N,), -1, jnp.int32).at[
+        jnp.where(col2row >= 0, col2row, N)].set(
+        jnp.arange(M, dtype=jnp.int32), mode="drop")
+    return jnp.where(col_valid, assign, -1), iters
+
+
+def hungarian_jv(cost: jnp.ndarray, gt_mask: jnp.ndarray,
+                 with_stats: bool = False):
+    """Exact on-device assignment. cost [B,Q,G]; gt_mask [B,G]."""
+    assign, iters = jax.vmap(_jv_single)(cost, gt_mask)
+    if with_stats:
+        return assign, iters
+    return assign
 
 
 def hungarian(cost: jnp.ndarray, gt_mask: jnp.ndarray,
-              impl: str = "auction") -> jnp.ndarray:
-    """Default = on-device auction: host callbacks are unsupported on some
-    TPU runtimes (and the scipy path host-syncs every call); the scipy
-    implementation remains available as the parity oracle."""
+              impl: str = "jv") -> jnp.ndarray:
+    """Default = on-device Jonker-Volgenant (exact, hard iteration bound):
+    host callbacks are unsupported on some TPU runtimes (and the scipy
+    path host-syncs every call); scipy remains the parity oracle."""
     if impl == "scipy":
         return hungarian_scipy(cost, gt_mask)
-    return hungarian_auction(cost, gt_mask)
+    return hungarian_jv(cost, gt_mask)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import optax
 
 from mo_yolo_tpu.ops.denoising import build_cdn_group
-from mo_yolo_tpu.ops.matching import hungarian_auction, match_cost
+from mo_yolo_tpu.ops.matching import hungarian_jv, match_cost
 from mo_yolo_tpu.train.losses import (
     LossConfig, dn_losses, layer_loss, matched_layer_losses)
 from mo_yolo_tpu.train.train_step import TrainConfig, TrainState, make_optimizer
@@ -38,13 +38,13 @@ def detect_loss_fn(model, lcfg: LossConfig, params, batch_stats, batch, key):
                                  batch["gt_mask"])
     cost = jax.vmap(match_cost)(det_boxes[-1], det_logits[-1], gt_boxes,
                                 gt_cls, gt_mask)
-    assign = hungarian_auction(cost, gt_mask)
+    assign = hungarian_jv(cost, gt_mask)
     terms = matched_layer_losses(lcfg, det_boxes, det_logits, gt_boxes,
                                  gt_cls, gt_mask, assign)
     enc_cost = jax.vmap(match_cost)(out["enc_bboxes"], out["enc_scores"],
                                     gt_boxes, gt_cls, gt_mask)
     enc = layer_loss(lcfg, out["enc_bboxes"], out["enc_scores"], gt_boxes,
-                     gt_cls, gt_mask, hungarian_auction(enc_cost, gt_mask))
+                     gt_cls, gt_mask, hungarian_jv(enc_cost, gt_mask))
     terms["loss_class_enc"] = enc["loss_class"]
     terms["loss_bbox_enc"] = enc["loss_bbox"]
     terms["loss_giou_enc"] = enc["loss_giou"]

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from mo_yolo_tpu.ops.boxes import elementwise_iou
-from mo_yolo_tpu.ops.matching import hungarian_auction, match_cost
+from mo_yolo_tpu.ops.matching import hungarian_jv, match_cost
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,7 +148,7 @@ def matched_layer_losses(cfg: LossConfig, dec_boxes, dec_logits, gt_boxes,
             cost = jnp.where(aux_query_mask[:, :, None], cost, big)
         else:
             cost = jax.vmap(match_cost)(pb, pl, gt_boxes, gt_cls, gt_mask)
-        assign_i = hungarian_auction(cost, gt_mask)
+        assign_i = hungarian_jv(cost, gt_mask)
         li = layer_loss(cfg, pb, pl, gt_boxes, gt_cls, gt_mask, assign_i,
                         query_mask=aux_query_mask)
         for k in aux:

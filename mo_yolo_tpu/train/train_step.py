@@ -26,7 +26,7 @@ from mo_yolo_tpu.models.tracker import init_track_state
 from mo_yolo_tpu.train.losses import (
     LossConfig, dn_losses, layer_loss, matched_layer_losses,
 )
-from mo_yolo_tpu.ops.matching import hungarian_auction, match_cost
+from mo_yolo_tpu.ops.matching import hungarian_jv, match_cost
 
 
 class TrainState(NamedTuple):
@@ -89,7 +89,7 @@ def frame_losses(lcfg: LossConfig, outs: Dict, gt_cls, gt_boxes, gt_mask,
     # encoder layer (detect queries only, fresh Hungarian)
     enc_cost = jax.vmap(match_cost)(outs["enc_boxes"], outs["enc_logits"],
                                     gt_boxes, gt_cls, gt_mask)
-    enc_assign = hungarian_auction(enc_cost, gt_mask)
+    enc_assign = hungarian_jv(enc_cost, gt_mask)
     enc = layer_loss(lcfg, outs["enc_boxes"], outs["enc_logits"], gt_boxes,
                      gt_cls, gt_mask, enc_assign)
     dn = dn_losses(lcfg, outs["dn_boxes"], outs["dn_logits"], gt_boxes,

@@ -74,3 +74,43 @@ def test_pallas_grads_match_oracle():
     for a, b in zip(g_pl, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-2)
+
+
+def test_pallas_grads_multi_tile_accumulation():
+    """Q spanning multiple query tiles exercises the backward kernel's
+    d_value accumulation across grid steps (init at q==0, += after)."""
+    from mo_yolo_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+    value, shapes, loc, attn = _rand_inputs(Q=130, seed=9)  # 3 tiles of 64
+
+    def f_pl(v, l, a):
+        return jnp.sum(ms_deform_attn_pallas(v, shapes, l, a) ** 2)
+
+    def f_xla(v, l, a):
+        return jnp.sum(ms_deform_attn_xla(v, shapes, l, a) ** 2)
+
+    g_pl = jax.grad(f_pl, argnums=(0, 1, 2))(value, loc, attn)
+    g_xla = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc, attn)
+    for a, b in zip(g_pl, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-2)
+
+
+def test_pallas_grads_out_of_range_and_batch():
+    """Out-of-range sampling points must produce zero grads everywhere they
+    contribute nothing (grid_sample zeros semantics), incl. batched input."""
+    from mo_yolo_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+    value, shapes, loc, attn = _rand_inputs(B=2, Q=16, seed=5)
+    loc = jnp.where(jnp.arange(loc.shape[1])[None, :, None, None, None, None]
+                    % 2 == 0, 3.0, loc)  # half the queries far out of range
+
+    def f_pl(v, l, a):
+        return jnp.sum(ms_deform_attn_pallas(v, shapes, l, a) ** 2)
+
+    def f_xla(v, l, a):
+        return jnp.sum(ms_deform_attn_xla(v, shapes, l, a) ** 2)
+
+    g_pl = jax.grad(f_pl, argnums=(0, 1, 2))(value, loc, attn)
+    g_xla = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc, attn)
+    for a, b in zip(g_pl, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-2)

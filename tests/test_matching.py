@@ -1,11 +1,12 @@
-"""Matching parity: on-device auction vs scipy optimal (SURVEY.md §7 step 7:
-'optional jittable variant with a parity test against scipy')."""
+"""Matching parity: on-device Jonker-Volgenant (exact) vs scipy
+(SURVEY.md §7 step 7: 'jittable variant with a parity test against
+scipy')."""
 
 import numpy as np
 import jax.numpy as jnp
 
 from mo_yolo_tpu.ops.matching import (
-    hungarian_auction, hungarian_scipy, match_cost,
+    hungarian_jv, hungarian_scipy, match_cost,
 )
 
 
@@ -23,22 +24,23 @@ def test_scipy_assignment_valid():
     assert (a[1, 5:] == -1).all()
 
 
-def test_auction_matches_scipy_total_cost():
+def test_jv_matches_scipy_exactly():
     rng = np.random.default_rng(1)
     B, Q, G = 4, 50, 12
     cost = rng.standard_normal((B, Q, G)).astype(np.float32) * 3
     mask = np.ones((B, G), bool)
     mask[2, 8:] = False
     s = np.asarray(hungarian_scipy(jnp.asarray(cost), jnp.asarray(mask)))
-    a = np.asarray(hungarian_auction(jnp.asarray(cost), jnp.asarray(mask)))
+    a = np.asarray(hungarian_jv(jnp.asarray(cost), jnp.asarray(mask)))
     for b in range(B):
         cols = np.nonzero(mask[b])[0]
         rows_a = a[b, cols]
-        assert (rows_a >= 0).all(), f"auction left unassigned in batch {b}"
+        assert (rows_a >= 0).all(), f"JV left unassigned in batch {b}"
         assert len(set(rows_a.tolist())) == len(rows_a), "duplicate rows"
         c_s = cost[b][s[b, cols], cols].sum()
         c_a = cost[b][rows_a, cols].sum()
-        assert c_a <= c_s + 0.05 * (abs(c_s) + 1), (c_a, c_s)
+        # exact optimum (same total up to fp noise)
+        assert abs(c_a - c_s) <= 1e-3 * (abs(c_s) + 1), (c_a, c_s)
 
 
 def test_match_cost_prefers_correct_box_and_class():
@@ -67,3 +69,59 @@ def test_match_cost_padding_masked():
                    jnp.asarray([True, True, False, False]))
     assert np.all(np.asarray(c[:, 2:]) >= 1e5)
     assert np.all(np.asarray(c[:, :2]) < 1e5)
+
+
+def test_jv_with_padding_sentinel():
+    """The 1e6 padding sentinel must not disturb the device matcher: with
+    many padded columns it must still match scipy's optimum on the valid
+    block (round-1 weak #5)."""
+    rng = np.random.default_rng(3)
+    Q, G = 60, 32
+    pb = jnp.asarray(rng.uniform(0.1, 0.9, (Q, 4)), dtype=jnp.float32)
+    pl = jnp.asarray(rng.standard_normal((Q, 3)), dtype=jnp.float32)
+    gb = jnp.asarray(rng.uniform(0.1, 0.9, (G, 4)), dtype=jnp.float32)
+    gc = jnp.asarray(rng.integers(0, 3, G), dtype=jnp.int32)
+    mask = np.zeros(G, bool)
+    mask[:5] = True  # heavy padding, like a sparse frame at max_gt=64
+    c = match_cost(pb, pl, gb, gc, jnp.asarray(mask))[None]
+    m = jnp.asarray(mask)[None]
+    s = np.asarray(hungarian_scipy(c, m))[0]
+    a = np.asarray(hungarian_jv(c, m))[0]
+    cn = np.asarray(c)[0]
+    cols = np.nonzero(mask)[0]
+    c_s = cn[s[cols], cols].sum()
+    c_a = cn[a[cols], cols].sum()
+    assert (a[cols] >= 0).all()
+    assert len(set(a[cols].tolist())) == len(cols)
+    assert c_a <= c_s + 1e-3 * (abs(c_s) + 1), (c_a, c_s)
+
+
+def test_jv_iteration_bound_hard_matrix():
+    """Regression bound on matcher iterations for a hard (near-degenerate)
+    cost at flagship shapes: JV's bound is structural (<= G*(G+1) Dijkstra
+    steps, typically ~G), independent of the cost values — the failure mode
+    that motivated this test was a fixed-eps auction whose iteration count
+    exploded on near-identical rows (round-1 weak #5)."""
+    rng = np.random.default_rng(4)
+    Q, G = 300, 64
+    # near-identical rows + tiny noise = worst case for value-dependent
+    # matchers
+    base = rng.standard_normal((1, G)).astype(np.float32)
+    cost = np.repeat(base, Q, 0)[None] + \
+        rng.normal(0, 1e-4, (1, Q, G)).astype(np.float32)
+    mask = np.ones((1, G), bool)
+    s = np.asarray(hungarian_scipy(jnp.asarray(cost), jnp.asarray(mask)))[0]
+    a, iters = hungarian_jv(jnp.asarray(cost), jnp.asarray(mask),
+                            with_stats=True)
+    a = np.asarray(a)[0]
+    assert (a >= 0).all() and len(set(a.tolist())) == G
+    assert int(iters[0]) < 300, int(iters[0])
+    cn = cost[0]
+    cols = np.arange(G)
+    assert abs(cn[a, cols].sum() - cn[s, cols].sum()) <= 1e-3
+    # and an easy realistic matrix stays cheap too
+    cost2 = rng.standard_normal((1, Q, G)).astype(np.float32) * 5
+    a2, it2 = hungarian_jv(jnp.asarray(cost2), jnp.asarray(mask),
+                           with_stats=True)
+    assert (np.asarray(a2)[0] >= 0).all()
+    assert int(it2[0]) < 300, int(it2[0])
