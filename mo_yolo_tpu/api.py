@@ -283,6 +283,35 @@ class Detector:
                                orig_shape=meta["orig_shape"], path=path,
                                names=self.names, orig_img=img)
 
+    def train(self, data: str, epochs: int = 1, batch: int = 8,
+              lr: float = 1e-4, max_gt: int = 64,
+              save_dir: str = "runs/detect", seed: int = 0,
+              log_every: int = 10, augment: bool = False):
+        """Train the RT-DETR-style detector on a dataset yaml (5- or 6-col
+        labels; track ids are ignored)."""
+        from mo_yolo_tpu.train.detect_trainer import DetectTrainer
+
+        return DetectTrainer(self, data=data, epochs=epochs, batch=batch,
+                             lr=lr, max_gt=max_gt, save_dir=save_dir,
+                             seed=seed, log_every=log_every,
+                             augment=augment).run()
+
+    def val(self, data: Union[str, List[str]], conf: float = 0.001,
+            max_gt: int = 64) -> Dict[str, float]:
+        """Standalone detection mAP over a dataset yaml or image list."""
+        from mo_yolo_tpu.engine.validator import DetectionValidator
+
+        if isinstance(data, str):
+            from mo_yolo_tpu.data.dataset import load_dataset_yaml
+            d = load_dataset_yaml(data)
+            files = d["val"]
+            self.names = self.names or d["names"]
+        else:
+            files = list(data)
+        v = DetectionValidator(self.model, self.variables, imgsz=self.imgsz,
+                               conf=conf)
+        return v(files, max_gt=max_gt)
+
     def track(self, source, conf: float = 0.1, tracker: str = "bytetrack"):
         """Detection + classic box tracker (BYTETracker / BOTSORT).
 

@@ -108,3 +108,43 @@ class TrackValidator:
         out.update(det.compute())
         out["fps"] = len(ds) / max(time.perf_counter() - t0, 1e-9)
         return out
+
+
+class DetectionValidator:
+    """Standalone detection mAP loop (reference `DetectionValidator`,
+    `models/yolo/detect/val.py`): per-frame set predictions at a low conf
+    threshold against 5/6-col labels. Track ids in labels are ignored."""
+
+    def __init__(self, model, variables, imgsz: int = 640,
+                 conf: float = 0.001, nc: Optional[int] = None):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.imgsz = imgsz
+        self.conf = conf
+        self.nc = nc or model.spec.nc
+        self._step = jax.jit(
+            lambda v, x: model.apply(v, x, method=model.predict_step))
+
+    def __call__(self, img_files: List[str], max_gt: int = 64
+                 ) -> Dict[str, float]:
+        import jax.numpy as jnp
+
+        ds = TrackDataset(img_files, imgsz=self.imgsz, max_gt=max_gt,
+                          clip_len=1)
+        det = DetMetrics(self.nc)
+        t0 = time.perf_counter()
+        for i in range(len(ds)):
+            s = ds.load_frame(i)
+            boxes, scores, cls = self._step(self.variables,
+                                            jnp.asarray(s.image[None]))
+            b = np.asarray(boxes[0], np.float32)
+            sc = np.asarray(scores[0], np.float32)
+            c = np.asarray(cls[0])
+            keep = sc >= self.conf
+            det.update(_xywhn2xyxy(b[keep]), sc[keep], c[keep],
+                       _xywhn2xyxy(s.boxes[s.mask]), s.cls[s.mask])
+        out = det.compute()
+        out["fps"] = len(ds) / max(time.perf_counter() - t0, 1e-9)
+        return out

