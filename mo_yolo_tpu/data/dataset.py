@@ -107,7 +107,8 @@ class TrackDataset:
 
     def __init__(self, img_files: Sequence[str], imgsz: int = 640,
                  max_gt: int = 64, clip_len: int = 5, augmenter=None,
-                 verify: bool = False, cache_labels: bool = True):
+                 verify: bool = False, cache_labels: bool = True,
+                 cache_images: bool = False, cache_limit_gb: float = 4.0):
         self.files = list(img_files)
         if verify:  # drop corrupt images (reference `data/utils.py:148-160`)
             ok = [f for f in self.files if verify_image(f)]
@@ -123,6 +124,13 @@ class TrackDataset:
         # label cache: parse each 6-col txt once, not once per epoch
         # (reference np-caches labels, `data/dataset.py:258-260`)
         self._labels: Dict[int, np.ndarray] = {} if cache_labels else None
+        # RAM image cache (reference BaseDataset cache='ram'): decoded
+        # uint8 frames, capped by estimated size. The device step is
+        # single-digit ms on TPU, so per-epoch re-decode dominates training
+        # wall-clock without this.
+        self._images: Dict[int, np.ndarray] = {} if cache_images else None
+        self._cache_budget = int(cache_limit_gb * 1e9)
+        self._cache_used = 0
         # group into videos preserving order
         groups: Dict[str, List[int]] = {}
         for i, f in enumerate(self.files):
@@ -135,6 +143,17 @@ class TrackDataset:
             for s in range(0, len(idxs) - clip_len + 1, clip_len):
                 self.clips.append(idxs[s:s + clip_len])
 
+    def _image(self, i: int) -> np.ndarray:
+        if self._images is None:
+            return load_image(self.files[i])
+        img = self._images.get(i)
+        if img is None:
+            img = load_image(self.files[i])
+            if self._cache_used + img.nbytes <= self._cache_budget:
+                self._images[i] = img
+                self._cache_used += img.nbytes
+        return img
+
     def __len__(self):
         return len(self.files)
 
@@ -146,7 +165,7 @@ class TrackDataset:
         return self._labels[i]
 
     def load_frame(self, i: int, augment: bool = False) -> TrackSample:
-        img = load_image(self.files[i])
+        img = self._image(i)
         lab = self._label(i)
         if augment and self.augmenter is not None:
             img, lab = self.augmenter(img, lab)

@@ -148,7 +148,7 @@ def nms_fixed(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray, cls: jnp.ndarray,
     earlier = jnp.triu(jnp.ones((N, N), bool), k=1)
     conflict = (iou > iou_thresh) & same_cls & earlier & \
         valid[:, None] & valid[None, :]
-    keep = greedy_keep_from_conflicts(conflict, valid, iters=16)
+    keep = greedy_keep_from_conflicts(conflict, valid)  # to convergence
     # compact to max_det
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     ok = keep & (pos < max_det)

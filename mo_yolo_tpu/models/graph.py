@@ -23,7 +23,9 @@ import jax.numpy as jnp
 import yaml
 from flax import linen as nn
 
-from mo_yolo_tpu.models.layers import C2f, ConvBnAct, SPPF, concat, upsample2x
+from mo_yolo_tpu.models.layers import (AIFI, C2f, C3, ConvBnAct, DWConv,
+                                       HGBlock, HGStem, RepC3, SPPF, concat,
+                                       upsample2x)
 
 HEAD_MODULES = {"MOTRTrack", "RTDETRDecoder", "MYDecoder", "Detect", "Segment",
                 "Pose", "Classify"}
@@ -80,6 +82,9 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
     for i, (frm, n, mod, args) in enumerate(rows):
         mod = str(mod)
         frm_t = tuple(frm) if isinstance(frm, (list, tuple)) else (frm,)
+        # resolve relative from-indices to absolute node indices; -1 at row 0
+        # stays -1 = the model input
+        frm_t = tuple(f if f >= 0 else i + f for f in frm_t)
         args = [nc if a == "nc" else a for a in (args or [])]
         n_rep = max(round(n * depth), 1) if n > 1 else n
 
@@ -88,22 +93,56 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
             break  # head is always the last row in these yamls
 
         def in_ch(f):
-            return ch[f + 1] if f >= 0 else ch[len(ch) + f]  # ch[0] is input
+            return ch[f + 1]                   # ch[0] is the model input
 
         def in_stride(f):
-            return node_stride[f] if f >= 0 else node_stride[len(node_stride) + f]
+            return node_stride[f] if f >= 0 else 1
 
         if mod == "Conv":
             c2 = make_divisible(min(args[0], max_channels) * width)
             k = args[1] if len(args) > 1 else 1
             s = args[2] if len(args) > 2 else 1
-            nodes.append(NodeSpec(i, frm_t, "Conv", 1, (c2, k, s), c2))
+            # extended reference signature (c2, k, s, p, g, d, act) — the
+            # rt-detr graphs use act=False 1x1 input-proj convs
+            act = args[6] if len(args) > 6 else True
+            nodes.append(NodeSpec(i, frm_t, "Conv", 1, (c2, k, s, act), c2))
             st = (in_stride(frm_t[0]) if node_stride else 1) * s
-        elif mod == "C2f":
+        elif mod == "DWConv":
             c2 = make_divisible(min(args[0], max_channels) * width)
-            shortcut = bool(args[1]) if len(args) > 1 else False
-            nodes.append(NodeSpec(i, frm_t, "C2f", n_rep, (c2, shortcut), c2))
+            k = args[1] if len(args) > 1 else 1
+            s = args[2] if len(args) > 2 else 1
+            act = args[4] if len(args) > 4 else True
+            nodes.append(NodeSpec(i, frm_t, "DWConv", 1, (c2, k, s, act), c2))
+            st = (in_stride(frm_t[0]) if node_stride else 1) * s
+        elif mod in ("C2f", "C3"):
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            shortcut = bool(args[1]) if len(args) > 1 else (mod == "C3")
+            nodes.append(NodeSpec(i, frm_t, mod, n_rep, (c2, shortcut), c2))
             st = in_stride(frm_t[0]) if node_stride else 1
+        elif mod == "RepC3":
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            nodes.append(NodeSpec(i, frm_t, "RepC3", n_rep, (c2,), c2))
+            st = in_stride(frm_t[0])
+        elif mod == "HGStem":
+            cm = make_divisible(min(args[0], max_channels) * width)
+            c2 = make_divisible(min(args[1], max_channels) * width)
+            nodes.append(NodeSpec(i, frm_t, "HGStem", 1, (cm, c2), c2))
+            st = (in_stride(frm_t[0]) if node_stride else 1) * 4
+        elif mod == "HGBlock":
+            cm = make_divisible(min(args[0], max_channels) * width)
+            c2 = make_divisible(min(args[1], max_channels) * width)
+            k = args[2] if len(args) > 2 else 3
+            light = bool(args[3]) if len(args) > 3 else False
+            shortcut = bool(args[4]) if len(args) > 4 else False
+            nodes.append(NodeSpec(i, frm_t, "HGBlock", n_rep,
+                                  (cm, c2, k, light, shortcut), c2))
+            st = in_stride(frm_t[0])
+        elif mod == "AIFI":
+            c2 = in_ch(frm_t[0])
+            cm = args[0] if args else 2048
+            heads = args[1] if len(args) > 1 else 8
+            nodes.append(NodeSpec(i, frm_t, "AIFI", 1, (cm, heads), c2))
+            st = in_stride(frm_t[0])
         elif mod == "SPPF":
             c2 = make_divisible(min(args[0], max_channels) * width)
             k = args[1] if len(args) > 1 else 5
@@ -154,12 +193,37 @@ class BackboneNeck(nn.Module):
         for node in self.spec.nodes:
             ins = [prev if f == -1 else outputs[f] for f in node.frm]
             if node.module == "Conv":
-                c2, k, s = node.args
-                y = ConvBnAct(c2, k, s, dtype=self.dtype, name=f"n{node.index}")(ins[0], train)
+                c2, k, s, act = node.args
+                y = ConvBnAct(c2, k, s, act=act, dtype=self.dtype,
+                              name=f"n{node.index}")(ins[0], train)
+            elif node.module == "DWConv":
+                c2, k, s, act = node.args
+                y = DWConv(c2, k, s, act=act, dtype=self.dtype,
+                           name=f"n{node.index}")(ins[0], train)
             elif node.module == "C2f":
                 c2, shortcut = node.args
                 y = C2f(c2, node.repeats, shortcut, dtype=self.dtype,
                         name=f"n{node.index}")(ins[0], train)
+            elif node.module == "C3":
+                c2, shortcut = node.args
+                y = C3(c2, node.repeats, shortcut, dtype=self.dtype,
+                       name=f"n{node.index}")(ins[0], train)
+            elif node.module == "RepC3":
+                y = RepC3(node.args[0], node.repeats, dtype=self.dtype,
+                          name=f"n{node.index}")(ins[0], train)
+            elif node.module == "HGStem":
+                cm, c2 = node.args
+                y = HGStem(cm, c2, dtype=self.dtype,
+                           name=f"n{node.index}")(ins[0], train)
+            elif node.module == "HGBlock":
+                cm, c2, k, light, shortcut = node.args
+                y = HGBlock(cm, c2, k, node.repeats, light, shortcut,
+                            dtype=self.dtype, name=f"n{node.index}")(ins[0],
+                                                                     train)
+            elif node.module == "AIFI":
+                cm, heads = node.args
+                y = AIFI(cm, heads, dtype=self.dtype,
+                         name=f"n{node.index}")(ins[0], train)
             elif node.module == "SPPF":
                 c2, k = node.args
                 y = SPPF(c2, k, dtype=self.dtype, name=f"n{node.index}")(ins[0], train)

@@ -25,11 +25,14 @@ def autopad(k: int, d: int = 1) -> int:
 
 
 class ConvBnAct(nn.Module):
-    """Conv2D + BatchNorm + SiLU (the reference's `Conv` primitive).
+    """Conv2D + BatchNorm + activation (the reference's `Conv` primitive).
 
     At inference the BN can be folded into the conv (`fuse`), mirroring
     `nn/tasks.py:122-147`; under XLA the unfused form compiles to the same
     fused HLO so we keep BN explicit and rely on `use_running_average`.
+
+    act: True = SiLU (reference default), "relu" = ReLU (HG blocks),
+    False = linear. padding: None = autopad ('same'), int = explicit.
     """
 
     filters: int
@@ -37,12 +40,14 @@ class ConvBnAct(nn.Module):
     stride: int = 1
     groups: int = 1
     dilation: int = 1
-    act: bool = True
+    act: Any = True
+    padding: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        p = autopad(self.kernel, self.dilation)
+        p = self.padding if self.padding is not None else \
+            autopad(self.kernel, self.dilation)
         x = nn.Conv(self.filters, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=((p, p), (p, p)),
@@ -51,7 +56,9 @@ class ConvBnAct(nn.Module):
                     use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(x)
-        if self.act:
+        if self.act == "relu":
+            x = nn.relu(x)
+        elif self.act:
             x = nn.silu(x)
         return x
 
@@ -118,24 +125,200 @@ class SPPF(nn.Module):
 
 
 class DWConv(nn.Module):
-    """Depthwise Conv+BN+SiLU (reference `conv.py:DWConv`)."""
+    """Depthwise Conv+BN+act (reference `conv.py:DWConv`)."""
 
     filters: int
     kernel: int = 1
     stride: int = 1
+    act: Any = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         g = _gcd(x.shape[-1], self.filters)
         return ConvBnAct(self.filters, self.kernel, self.stride, groups=g,
-                         dtype=self.dtype, name="conv")(x, train)
+                         act=self.act, dtype=self.dtype, name="conv")(x, train)
 
 
 def _gcd(a: int, b: int) -> int:
     while b:
         a, b = b, a % b
     return a
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convolutions (reference `block.py:C3`)."""
+
+    filters: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.filters * self.expansion)
+        a = ConvBnAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, (1, 3), 1.0,
+                           dtype=self.dtype, name=f"m{i}")(a, train)
+        b = ConvBnAct(c_, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([a, b], axis=-1)
+        return ConvBnAct(self.filters, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class RepConv(nn.Module):
+    """Re-parameterizable conv (reference `conv.py:RepConv`, train form):
+    3x3 conv+BN plus 1x1 conv+BN summed, then SiLU. On TPU the two
+    branches fuse into adjacent HLO convolutions; the deploy-time algebraic
+    fusion is unnecessary for inference speed under XLA."""
+
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = ConvBnAct(self.filters, 3, act=False, dtype=self.dtype,
+                      name="conv1")(x, train)
+        b = ConvBnAct(self.filters, 1, act=False, dtype=self.dtype,
+                      name="conv2")(x, train)
+        return nn.silu(a + b)
+
+
+class RepC3(nn.Module):
+    """RT-DETR neck block (reference `block.py:RepC3`)."""
+
+    filters: int
+    n: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = ConvBnAct(self.filters, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = RepConv(self.filters, dtype=self.dtype, name=f"m{i}")(a, train)
+        b = ConvBnAct(self.filters, 1, dtype=self.dtype, name="cv2")(x, train)
+        return a + b  # cv3 is Identity at e=1.0
+
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem (reference `block.py:HGStem`): 5 ReLU convs + a
+    stride-1 maxpool branch; overall stride 4."""
+
+    cm: int
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBnAct(self.cm, 3, 2, act="relu", dtype=self.dtype,
+                      name="stem1")(x, train)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = ConvBnAct(self.cm // 2, 2, 1, act="relu", padding=0,
+                       dtype=self.dtype, name="stem2a")(x, train)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = ConvBnAct(self.cm, 2, 1, act="relu", padding=0,
+                       dtype=self.dtype, name="stem2b")(x2, train)
+        x1 = nn.max_pool(x, (2, 2), strides=(1, 1))
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = ConvBnAct(self.cm, 3, 2, act="relu", dtype=self.dtype,
+                      name="stem3")(x, train)
+        return ConvBnAct(self.filters, 1, 1, act="relu", dtype=self.dtype,
+                         name="stem4")(x, train)
+
+
+class LightConv(nn.Module):
+    """1x1 linear conv + depthwise k conv (reference `conv.py:LightConv`)."""
+
+    filters: int
+    kernel: int = 3
+    act: Any = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBnAct(self.filters, 1, act=False, dtype=self.dtype,
+                      name="conv1")(x, train)
+        return ConvBnAct(self.filters, self.kernel, groups=self.filters,
+                         act=self.act, dtype=self.dtype, name="conv2")(x, train)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 block (reference `block.py:HGBlock`): n chained convs,
+    concat of all intermediates, squeeze/excite 1x1 convs, optional
+    residual."""
+
+    cm: int
+    filters: int
+    kernel: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ys = [x]
+        for i in range(self.n):
+            if self.lightconv:
+                ys.append(LightConv(self.cm, self.kernel, dtype=self.dtype,
+                                    name=f"m{i}")(ys[-1], train))
+            else:
+                ys.append(ConvBnAct(self.cm, self.kernel, act="relu",
+                                    dtype=self.dtype,
+                                    name=f"m{i}")(ys[-1], train))
+        y = jnp.concatenate(ys, axis=-1)
+        y = ConvBnAct(self.filters // 2, 1, act="relu", dtype=self.dtype,
+                      name="sc")(y, train)
+        y = ConvBnAct(self.filters, 1, act="relu", dtype=self.dtype,
+                      name="ec")(y, train)
+        if self.shortcut and x.shape[-1] == self.filters:
+            return y + x
+        return y
+
+
+def sincos_pos_2d(w: int, h: int, dim: int,
+                  temperature: float = 10000.0) -> jnp.ndarray:
+    """2D sin-cos positional embedding, reproducing the reference AIFI's
+    layout exactly (`transformer.py:79-96`, incl. its w-major flatten) so
+    imported weights see identical activations. Returns [1, w*h, dim]."""
+    assert dim % 4 == 0, "AIFI embed dim must be divisible by 4"
+    grid_w, grid_h = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                                  jnp.arange(h, dtype=jnp.float32),
+                                  indexing="ij")
+    pos_dim = dim // 4
+    omega = 1.0 / (temperature **
+                   (jnp.arange(pos_dim, dtype=jnp.float32) / pos_dim))
+    out_w = grid_w.reshape(-1)[:, None] * omega[None]
+    out_h = grid_h.reshape(-1)[:, None] * omega[None]
+    return jnp.concatenate([jnp.sin(out_w), jnp.cos(out_w),
+                            jnp.sin(out_h), jnp.cos(out_h)], axis=1)[None]
+
+
+class AIFI(nn.Module):
+    """RT-DETR intra-scale feature interaction: one post-norm transformer
+    encoder layer over the flattened P5 map with 2D sin-cos positional
+    embeddings (reference `AIFI`/`TransformerEncoderLayer`,
+    `nn/modules/transformer.py:15-96`)."""
+
+    cm: int = 2048
+    num_heads: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        pos = sincos_pos_2d(W, H, C).astype(x.dtype)
+        t = x.reshape(B, H * W, C)
+        qk = t + pos
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="ma")(
+            inputs_q=qk, inputs_k=qk, inputs_v=t)
+        t = nn.LayerNorm(dtype=self.dtype, name="norm1")(t + attn)
+        f = nn.Dense(self.cm, dtype=self.dtype, name="fc1")(t)
+        f = nn.Dense(C, dtype=self.dtype, name="fc2")(nn.gelu(f))
+        t = nn.LayerNorm(dtype=self.dtype, name="norm2")(t + f)
+        return t.reshape(B, H, W, C)
 
 
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:

@@ -42,7 +42,7 @@ class TrackerConfig:
     filter_score_thresh: float = 0.5  # keep threshold for existing tracks
     miss_tolerance: int = 5          # frames below threshold before drop
     dup_iou_thresh: float = 0.8      # duplicate suppression IoU
-    dedup_iters: int = 8             # fixed-point iterations (chain depth)
+    dedup_iters: int = 0             # 0 = iterate to convergence (exact)
 
 
 class TrackState(NamedTuple):
@@ -78,7 +78,7 @@ def init_track_state(batch: int, n_slots: int, hd: int = 256,
 
 
 def greedy_suppress(boxes: jnp.ndarray, valid: jnp.ndarray,
-                    iou_thresh: float, iters: int = 8) -> jnp.ndarray:
+                    iou_thresh: float, iters: int = 0) -> jnp.ndarray:
     """Greedy earlier-index-wins duplicate suppression, vectorized.
 
     Equivalent to the reference's sequential O(n^2) `_filter_tracks`
@@ -98,17 +98,36 @@ def greedy_suppress(boxes: jnp.ndarray, valid: jnp.ndarray,
 
 
 def greedy_keep_from_conflicts(conflict: jnp.ndarray, valid: jnp.ndarray,
-                               iters: int = 8) -> jnp.ndarray:
+                               iters: int = 0) -> jnp.ndarray:
     """Fixed-point iteration of earlier-index-wins suppression given a
     boolean conflict matrix (conflict[i, j] with i < j blocks j when i is
-    kept). Converges to the sequential greedy solution once `iters` reaches
-    the longest conflict chain."""
+    kept). iters=0 (default) runs to CONVERGENCE — exact equivalence with
+    the sequential greedy for any conflict-chain depth, bounded by M
+    iterations and typically done in 2-4 (each iteration resolves one more
+    level of chaining, and the loop exits as soon as `keep` is stable).
+    A positive `iters` runs that fixed count instead."""
 
-    def body(_, keep):
+    def step(keep):
         blocked = jnp.any(conflict & keep[:, None], axis=0)
         return valid & ~blocked
 
-    return jax.lax.fori_loop(0, iters, body, valid)
+    if iters > 0:
+        return jax.lax.fori_loop(0, iters, lambda _, k: step(k), valid)
+
+    M = conflict.shape[0]
+
+    def cond(s):
+        keep, changed, it = s
+        return changed & (it < M)
+
+    def body(s):
+        keep, _, it = s
+        new = step(keep)
+        return new, jnp.any(new != keep), it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (step(valid), jnp.asarray(True), jnp.int32(0)))
+    return keep
 
 
 def runtime_update(state: TrackState,

@@ -180,7 +180,7 @@ def _bwd_kernel(shapes, H, D, P, loc_ref, attn_ref, g_ref, *refs):
         gq = g_ref[0, h].astype(jnp.float32)                  # [TQ, D]
         ds = jnp.dot(expand_mat, gq,
                      preferred_element_type=jnp.float32)      # [R, D]
-        dmeta_h = jnp.zeros((R, 4 * L), jnp.float32)
+        dmeta_blocks = []
         for l, (Hl, Wl) in enumerate(shapes):
             v = v_refs[l][0, h].astype(jnp.float32)           # [Wl, Hl*D]
             x = loc_ref[0, :, h, l, 0:1] * Wl - 0.5           # [R, 1]
@@ -224,12 +224,10 @@ def _bwd_kernel(shapes, H, D, P, loc_ref, attn_ref, g_ref, *refs):
             d_aw = jnp.sum(d_cx * cxw, axis=1, keepdims=True)
             d_tx = jnp.sum(d_cx * aw * (sel_x1 - sel_x0), axis=1,
                            keepdims=True)
-            block = jnp.concatenate(
+            dmeta_blocks.append(jnp.concatenate(
                 [d_tx * Wl, d_ty * Hl, d_aw,
-                 jnp.zeros((R, 1), jnp.float32)], axis=1)     # [R, 4]
-            dmeta_h = jax.lax.dynamic_update_slice(
-                dmeta_h, block, (0, 4 * l))
-        dmeta_ref[0, h] = dmeta_h
+                 jnp.zeros((R, 1), jnp.float32)], axis=1))    # [R, 4]
+        dmeta_ref[0, h] = jnp.concatenate(dmeta_blocks, axis=1)
         return 0
 
     jax.lax.fori_loop(0, H, head_body, 0)

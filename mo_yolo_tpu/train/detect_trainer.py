@@ -97,7 +97,8 @@ class DetectTrainer:
             augmenter = ClipAugmenter(seed=self.seed)
         ds = TrackDataset(d["train"], imgsz=self.api.imgsz,
                           max_gt=self.max_gt, clip_len=1,
-                          augmenter=augmenter, verify=True)
+                          augmenter=augmenter, verify=True,
+                          cache_images=True)
         model = self.api.model
         lcfg = LossConfig(nc=model.spec.nc)
         steps_per_epoch = max(len(ds) // self.batch, 1)

@@ -95,7 +95,8 @@ class TrackTrainer:
                 seed=self.seed)
         ds = TrackDataset(d["train"], imgsz=self.api.imgsz,
                           max_gt=self.max_gt, clip_len=self.clip_len,
-                          augmenter=augmenter, verify=True)
+                          augmenter=augmenter, verify=True,
+                          cache_images=True)
         n_clips = len(ds.clips)
         if n_clips == 0:
             raise ValueError("no clips found — dataset too small for "

@@ -171,3 +171,45 @@ def test_random_drop_tracks():
     untouched = random_drop_tracks(jax.random.PRNGKey(0), state, 0.0)
     np.testing.assert_array_equal(np.asarray(untouched.obj_id),
                                   np.asarray(state.obj_id))
+
+
+def test_greedy_suppress_long_chain_converges_by_default():
+    """A 30-deep overlapping chain needs 15 suppression levels; the default
+    (converge-to-fixed-point) must match the sequential greedy exactly —
+    the old fixed iters=8 default under-suppressed such chains (round-1
+    weak #7)."""
+    import jax.numpy as jnp
+    from mo_yolo_tpu.models.tracker import greedy_suppress
+
+    M = 30
+    # boxes on a line, each overlapping its neighbor with IoU ~0.82
+    w = 1.0
+    step = 0.09  # IoU = (w-step)/(w+step) ~ 0.835 > 0.8
+    boxes = jnp.stack([jnp.arange(M) * step + w / 2,
+                       jnp.full((M,), 0.5),
+                       jnp.full((M,), w),
+                       jnp.full((M,), w)], 1)
+    valid = jnp.ones((M,), bool)
+    keep = np.asarray(greedy_suppress(boxes, valid, iou_thresh=0.8))
+
+    # sequential greedy oracle
+    import numpy as onp
+    b = onp.asarray(boxes)
+    xy = onp.stack([b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
+                    b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], 1)
+
+    def iou(a, c):
+        x1 = max(a[0], c[0]); y1 = max(a[1], c[1])
+        x2 = min(a[2], c[2]); y2 = min(a[3], c[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (c[2] - c[0]) * (c[3] - c[1]) - inter
+        return inter / ua
+
+    ref = onp.ones(M, bool)
+    for j in range(M):
+        for i in range(j):
+            if ref[i] and iou(xy[i], xy[j]) > 0.8:
+                ref[j] = False
+                break
+    onp.testing.assert_array_equal(keep, ref)
+    assert ref.sum() == 15  # alternating keeps on the chain
