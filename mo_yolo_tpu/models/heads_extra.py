@@ -46,9 +46,10 @@ class SegmentHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
-        boxes, cls = YoloDetectHead(self.nc, self.strides, dtype=self.dtype,
-                                    name="detect")(feats)
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False,
+                 raw: bool = False):
+        det = YoloDetectHead(self.nc, self.strides, dtype=self.dtype,
+                             name="detect")(feats, raw=raw)
         protos = Proto(nm=self.nm, dtype=self.dtype, name="proto")(
             feats[0], train)                                   # [B,2h,2w,nm]
         coefs = []
@@ -60,6 +61,10 @@ class SegmentHead(nn.Module):
                         name=f"cv4_{i}_2")(y)
             coefs.append(y.reshape(y.shape[0], -1, self.nm))
         coef = jnp.concatenate(coefs, 1)                       # [B,S,nm]
+        if raw:
+            box_dist, cls_logits, anchors, strides = det
+            return box_dist, cls_logits, anchors, strides, coef, protos
+        boxes, cls = det
         return boxes, cls, coef, protos
 
     @staticmethod
@@ -78,9 +83,10 @@ class PoseHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
-        boxes, cls = YoloDetectHead(self.nc, self.strides, dtype=self.dtype,
-                                    name="detect")(feats)
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False,
+                 raw: bool = False):
+        det = YoloDetectHead(self.nc, self.strides, dtype=self.dtype,
+                             name="detect")(feats, raw=raw)
         nk = self.kpt_shape[0] * self.kpt_shape[1]
         c4 = max(feats[0].shape[-1] // 4, nk)
         outs, ancs, strs = [], [], []
@@ -100,6 +106,12 @@ class PoseHead(nn.Module):
         st = jnp.concatenate(strs, 0)
         xy = (kpt[..., :2] * 2.0 + (anc[None, :, None, :] - 0.5)) * \
             st[None, :, None, None]
+        if raw:
+            box_dist, cls_logits, anchors, strides = det
+            # decoded keypoint xy in pixels + raw visibility logits
+            return (box_dist, cls_logits, anchors, strides,
+                    jnp.concatenate([xy, kpt[..., 2:3]], -1))
+        boxes, cls = det
         vis = jax.nn.sigmoid(kpt[..., 2:3])
         return boxes, cls, jnp.concatenate([xy, vis], -1)
 

@@ -42,7 +42,7 @@ def task_aligned_assign(cfg: V8LossConfig,
                         gt_bboxes: jnp.ndarray,   # [B,G,4] xyxy (px)
                         gt_mask: jnp.ndarray):    # [B,G] bool
     """Returns (target_labels [B,S], target_bboxes [B,S,4],
-    target_scores [B,S,nc], fg_mask [B,S])."""
+    target_scores [B,S,nc], fg_mask [B,S], assigned_gt [B,S])."""
     B, S, nc = pd_scores.shape
     G = gt_labels.shape[1]
 
@@ -94,7 +94,7 @@ def task_aligned_assign(cfg: V8LossConfig,
         norm.transpose(0, 2, 1), assigned_gt[..., None], axis=2)[..., 0]
     onehot = jax.nn.one_hot(target_labels, nc)
     target_scores = onehot * (norm_a * fg_mask)[..., None]
-    return target_labels, target_bboxes, target_scores, fg_mask
+    return target_labels, target_bboxes, target_scores, fg_mask, assigned_gt
 
 
 def v8_detection_loss(cfg: V8LossConfig,
@@ -114,8 +114,8 @@ def v8_detection_loss(cfg: V8LossConfig,
     pd_scores = jax.nn.sigmoid(cls_logits)
 
     anc_px = anc_points * strides[:, None]
-    tl, tb, ts, fg = task_aligned_assign(cfg, pd_scores, pd_bboxes, anc_px,
-                                         gt_labels, gt_bboxes_xyxy, gt_mask)
+    tl, tb, ts, fg, _ = task_aligned_assign(cfg, pd_scores, pd_bboxes, anc_px,
+                                            gt_labels, gt_bboxes_xyxy, gt_mask)
     ts_sum = jnp.maximum(ts.sum(), 1.0)
 
     # cls: BCE over all anchors against aligned target scores
@@ -143,3 +143,110 @@ def v8_detection_loss(cfg: V8LossConfig,
              cfg.gain_dfl * dfl_loss)
     return {"loss": total, "box": box_loss, "cls": cls_loss, "dfl": dfl_loss,
             "fg": fg.sum()}
+
+
+def _assignment(cfg, box_dist, cls_logits, anc_points, strides, gt_labels,
+                gt_bboxes_xyxy, gt_mask):
+    """Shared TAL assignment for the composite task losses. Returns
+    (target_bboxes, target_scores, fg [B,S], assigned_gt [B,S])."""
+    R = box_dist.shape[-1]
+    dist = jnp.sum(jax.nn.softmax(box_dist, -1) *
+                   jnp.arange(R, dtype=box_dist.dtype), -1)
+    x1y1 = (anc_points[None] - dist[..., :2]) * strides[None, :, None]
+    x2y2 = (anc_points[None] + dist[..., 2:]) * strides[None, :, None]
+    pd_bboxes = jnp.concatenate([x1y1, x2y2], -1)
+    pd_scores = jax.nn.sigmoid(cls_logits)
+    anc_px = anc_points * strides[:, None]
+    _, tb, ts, fg, assigned_gt = task_aligned_assign(
+        cfg, pd_scores, pd_bboxes, anc_px, gt_labels, gt_bboxes_xyxy, gt_mask)
+    return tb, ts, fg, assigned_gt
+
+
+def v8_segmentation_loss(cfg: V8LossConfig,
+                         box_dist, cls_logits, anc_points, strides,
+                         coef,           # [B,S,nm]
+                         protos,         # [B,Hp,Wp,nm]
+                         gt_labels, gt_bboxes_xyxy, gt_mask,
+                         gt_masks,       # [B,G,Hp,Wp] binary at proto res
+                         imgsz: float,
+                         gain_mask: float = 1.0) -> Dict[str, jnp.ndarray]:
+    """v8 segmentation loss (reference `v8SegmentationLoss`,
+    `utils/loss.py:231-330`): detect loss + per-fg-anchor BCE between
+    (coef @ protos) and the assigned GT mask, cropped to the GT box and
+    normalized by box area."""
+    det = v8_detection_loss(cfg, box_dist, cls_logits, anc_points, strides,
+                            gt_labels, gt_bboxes_xyxy, gt_mask)
+    tb, ts, fg, assigned = _assignment(cfg, box_dist, cls_logits, anc_points,
+                                       strides, gt_labels, gt_bboxes_xyxy,
+                                       gt_mask)
+    B, S, nm = coef.shape
+    Hp, Wp = protos.shape[1:3]
+    # predicted mask logits per anchor: [B,S,Hp,Wp]
+    pred = jnp.einsum("bsn,bhwn->bshw", coef, protos)
+    # assigned GT mask per anchor
+    tgt = jnp.take_along_axis(gt_masks, assigned[:, :, None, None], axis=1)
+    # crop to the assigned GT box (normalized to proto grid)
+    box = jnp.take_along_axis(gt_bboxes_xyxy, assigned[..., None], axis=1)
+    sx = Wp / imgsz
+    sy = Hp / imgsz
+    xs = jnp.arange(Wp, dtype=jnp.float32)[None, None, None, :]
+    ys = jnp.arange(Hp, dtype=jnp.float32)[None, None, :, None]
+    inside = ((xs >= box[..., 0:1, None] * sx) &
+              (xs <= box[..., 2:3, None] * sx) &
+              (ys >= box[..., 1:2, None] * sy) &
+              (ys <= box[..., 3:4, None] * sy))
+    bce = optax_sigmoid_bce(pred, tgt) * inside
+    area = jnp.maximum((box[..., 2] - box[..., 0]) *
+                       (box[..., 3] - box[..., 1]) * sx * sy, 1.0)  # [B,S]
+    per_anchor = bce.sum(axis=(2, 3)) / area
+    ts_sum = jnp.maximum(ts.sum(), 1.0)
+    w = ts.sum(-1) * fg
+    mask_loss = jnp.sum(per_anchor * w) / ts_sum
+    total = det["loss"] + gain_mask * mask_loss
+    return {"loss": total, "box": det["box"], "cls": det["cls"],
+            "dfl": det["dfl"], "mask": mask_loss, "fg": det["fg"]}
+
+
+def v8_pose_loss(cfg: V8LossConfig,
+                 box_dist, cls_logits, anc_points, strides,
+                 pred_kpts,      # [B,S,K,3] decoded xy px + vis logit
+                 gt_labels, gt_bboxes_xyxy, gt_mask,
+                 gt_kpts,        # [B,G,K,3] xy px + visibility {0,1,2}
+                 gain_pose: float = 12.0,
+                 gain_kobj: float = 1.0) -> Dict[str, jnp.ndarray]:
+    """v8 pose loss (reference `v8PoseLoss` + `KeypointLoss`,
+    `utils/loss.py:331-420`): detect loss + OKS-style keypoint regression
+    at fg anchors + BCE on keypoint visibility."""
+    det = v8_detection_loss(cfg, box_dist, cls_logits, anc_points, strides,
+                            gt_labels, gt_bboxes_xyxy, gt_mask)
+    tb, ts, fg, assigned = _assignment(cfg, box_dist, cls_logits, anc_points,
+                                       strides, gt_labels, gt_bboxes_xyxy,
+                                       gt_mask)
+    K = pred_kpts.shape[2]
+    tkpt = jnp.take_along_axis(gt_kpts, assigned[:, :, None, None], axis=1)
+    box = jnp.take_along_axis(gt_bboxes_xyxy, assigned[..., None], axis=1)
+    area = jnp.maximum((box[..., 2] - box[..., 0]) *
+                       (box[..., 3] - box[..., 1]), 1.0)          # [B,S]
+    vis = (tkpt[..., 2] > 0).astype(jnp.float32)                  # [B,S,K]
+    d2 = jnp.sum((pred_kpts[..., :2] - tkpt[..., :2]) ** 2, -1)   # [B,S,K]
+    # reference KeypointLoss: mean over kpts of (1 - exp(-d2 / (2*area*e)))
+    e = d2 / (2 * 4.0 * area[..., None] + 1e-9)
+    kpt_per = jnp.sum((1.0 - jnp.exp(-e)) * vis, -1) / \
+        jnp.maximum(vis.sum(-1), 1.0)                             # [B,S]
+    ts_sum = jnp.maximum(ts.sum(), 1.0)
+    w = ts.sum(-1) * fg
+    pose_loss = jnp.sum(kpt_per * w) / ts_sum
+    kobj = optax_sigmoid_bce(pred_kpts[..., 2], vis).mean(-1)     # [B,S]
+    kobj_loss = jnp.sum(kobj * w) / ts_sum
+    total = det["loss"] + gain_pose * pose_loss + gain_kobj * kobj_loss
+    return {"loss": total, "box": det["box"], "cls": det["cls"],
+            "dfl": det["dfl"], "pose": pose_loss, "kobj": kobj_loss,
+            "fg": det["fg"]}
+
+
+def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Image-classification cross entropy (reference
+    `v8ClassificationLoss`, `utils/loss.py`)."""
+    logp = jax.nn.log_softmax(logits, -1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))

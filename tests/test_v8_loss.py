@@ -27,7 +27,7 @@ def test_assigner_picks_anchors_inside_gt():
     # predictions: perfect box everywhere, high class-1 score
     pd_boxes = jnp.broadcast_to(gt_boxes[:, 0:1], (B, S, 4))
     pd_scores = jnp.full((B, S, 3), 0.01).at[..., 1].set(0.9)
-    tl, tb, ts, fg = task_aligned_assign(cfg, pd_scores, pd_boxes, anc_px,
+    tl, tb, ts, fg, _ = task_aligned_assign(cfg, pd_scores, pd_boxes, anc_px,
                                          gt_labels, gt_boxes, gt_mask)
     fg_np = np.asarray(fg[0])
     assert fg_np.sum() > 0
@@ -51,7 +51,7 @@ def test_assigner_respects_mask():
     gt_mask = jnp.asarray([[True, False]])
     pd_boxes = jnp.broadcast_to(jnp.asarray([20., 20., 30., 30.]), (B, S, 4))
     pd_scores = jnp.full((B, S, 2), 0.5)
-    _, _, _, fg = task_aligned_assign(cfg, pd_scores, pd_boxes, anc * 8.0,
+    _, _, _, fg, _ = task_aligned_assign(cfg, pd_scores, pd_boxes, anc * 8.0,
                                       gt_labels, gt_boxes, gt_mask)
     centers = np.asarray(anc * 8.0)[np.asarray(fg[0])]
     # no anchor assigned to the masked GT region
@@ -110,3 +110,140 @@ def test_v8_loss_grads_finite():
     g1, g2 = jax.grad(f, argnums=(0, 1))(dist, cls)
     assert np.isfinite(np.asarray(g1)).all()
     assert np.isfinite(np.asarray(g2)).all()
+
+
+def _raw_head_inputs(B=1, nc=2, G=3, reg_max=8, seed=0):
+    rng = np.random.default_rng(seed)
+    # one tiny 8x8 level at stride 8 (64px image)
+    S = 64
+    anc = np.stack(np.meshgrid(np.arange(8) + 0.5, np.arange(8) + 0.5,
+                               indexing="xy"), -1).reshape(-1, 2)
+    strides = np.full((S,), 8.0, np.float32)
+    box_dist = rng.standard_normal((B, S, 4, reg_max)).astype(np.float32)
+    cls_logits = rng.standard_normal((B, S, nc)).astype(np.float32)
+    gt_boxes = np.array([[[8, 8, 24, 24], [30, 30, 50, 52],
+                          [10, 40, 26, 60]]], np.float32)
+    gt_labels = np.array([[0, 1, 0]], np.int32)
+    gt_mask = np.ones((B, G), bool)
+    return (jnp.asarray(box_dist), jnp.asarray(cls_logits),
+            jnp.asarray(anc.astype(np.float32)), jnp.asarray(strides),
+            jnp.asarray(gt_labels), jnp.asarray(gt_boxes),
+            jnp.asarray(gt_mask))
+
+
+def test_segmentation_loss_prefers_correct_masks():
+    from mo_yolo_tpu.train.v8_loss import v8_segmentation_loss
+
+    box_dist, cls_logits, anc, strides, gl, gb, gm = _raw_head_inputs()
+    rng = np.random.default_rng(1)
+    B, S = cls_logits.shape[:2]
+    nm, Hp, Wp = 8, 16, 16
+    protos = jnp.asarray(rng.standard_normal((B, Hp, Wp, nm)), jnp.float32)
+    coef = jnp.asarray(rng.standard_normal((B, S, nm)), jnp.float32)
+    # GT masks: filled boxes at proto resolution (imgsz 64 -> 16 grid)
+    gt_masks = np.zeros((B, 3, Hp, Wp), np.float32)
+    for g in range(3):
+        x1, y1, x2, y2 = (np.asarray(gb)[0, g] / 64 * Hp).astype(int)
+        gt_masks[0, g, y1:y2, x1:x2] = 1.0
+    cfg = V8LossConfig(nc=2, reg_max=8)
+    out = v8_segmentation_loss(cfg, box_dist, cls_logits, anc, strides,
+                               coef, protos, gl, gb, gm,
+                               jnp.asarray(gt_masks), imgsz=64.0)
+    assert np.isfinite(float(out["loss"])) and float(out["mask"]) > 0
+    # grads flow into coef and protos
+    g = jax.grad(lambda c, p: v8_segmentation_loss(
+        cfg, box_dist, cls_logits, anc, strides, c, p, gl, gb, gm,
+        jnp.asarray(gt_masks), imgsz=64.0)["loss"], argnums=(0, 1))(
+        coef, protos)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
+    assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in g)
+
+
+def test_pose_loss_zero_for_perfect_keypoints():
+    from mo_yolo_tpu.train.v8_loss import v8_pose_loss
+
+    box_dist, cls_logits, anc, strides, gl, gb, gm = _raw_head_inputs()
+    B, S = cls_logits.shape[:2]
+    K = 4
+    rng = np.random.default_rng(2)
+    gt_kpts = np.zeros((B, 3, K, 3), np.float32)
+    for g in range(3):
+        x1, y1, x2, y2 = np.asarray(gb)[0, g]
+        gt_kpts[0, g, :, 0] = np.linspace(x1, x2, K)
+        gt_kpts[0, g, :, 1] = np.linspace(y1, y2, K)
+        gt_kpts[0, g, :, 2] = 2.0
+    cfg = V8LossConfig(nc=2, reg_max=8)
+    # pred == gt at every anchor (broadcast the right GT is impossible per
+    # anchor; instead set preds so that anchor's ASSIGNED gt kpts match)
+    # simpler property: perfect kpts with huge vis logits -> pose ~ 0
+    from mo_yolo_tpu.train.v8_loss import _assignment
+    tb, ts, fg, assigned = _assignment(cfg, box_dist, cls_logits, anc,
+                                       strides, gl, gb, gm)
+    tk = jnp.take_along_axis(jnp.asarray(gt_kpts),
+                             assigned[:, :, None, None], axis=1)
+    perfect = jnp.concatenate([tk[..., :2],
+                               jnp.full((B, S, K, 1), 20.0)], -1)
+    out = v8_pose_loss(cfg, box_dist, cls_logits, anc, strides, perfect,
+                       gl, gb, gm, jnp.asarray(gt_kpts))
+    assert float(out["pose"]) < 1e-5
+    assert float(out["kobj"]) < 1e-4
+    # shifted keypoints -> positive pose loss
+    out2 = v8_pose_loss(cfg, box_dist, cls_logits, anc, strides,
+                        perfect.at[..., :2].add(10.0), gl, gb, gm,
+                        jnp.asarray(gt_kpts))
+    assert float(out2["pose"]) > float(out["pose"])
+
+
+def test_classification_loss():
+    from mo_yolo_tpu.train.v8_loss import classification_loss
+
+    logits = jnp.asarray([[5.0, -5.0], [-5.0, 5.0]])
+    labels = jnp.asarray([0, 1])
+    assert float(classification_loss(logits, labels)) < 1e-3
+    assert float(classification_loss(logits, jnp.asarray([1, 0]))) > 5.0
+
+
+def test_segment_pose_heads_raw_mode_and_training_step():
+    """Raw-mode heads feed their losses end-to-end: one SGD step on each
+    task decreases (or keeps finite) its loss — the seg/pose training path
+    exists (round-1 missing #6)."""
+    from mo_yolo_tpu.models.heads_extra import PoseHead, SegmentHead
+    from mo_yolo_tpu.train.v8_loss import (v8_pose_loss,
+                                           v8_segmentation_loss)
+
+    rng = np.random.default_rng(3)
+    feats = [jnp.asarray(rng.standard_normal((1, 8, 8, 32)), jnp.float32),
+             jnp.asarray(rng.standard_normal((1, 4, 4, 64)), jnp.float32),
+             jnp.asarray(rng.standard_normal((1, 2, 2, 64)), jnp.float32)]
+    gb = jnp.asarray([[[8, 8, 24, 24]]], jnp.float32)
+    gl = jnp.zeros((1, 1), jnp.int32)
+    gm = jnp.ones((1, 1), bool)
+    cfg = V8LossConfig(nc=2, reg_max=16)
+
+    seg = SegmentHead(nc=2, nm=8)
+    vs = seg.init(jax.random.PRNGKey(0), feats, False, True)
+    gt_masks = jnp.zeros((1, 1, 16, 16)).at[0, 0, 2:6, 2:6].set(1.0)
+
+    def seg_loss(v):
+        bd, cl, anc, st, coef, protos = seg.apply(v, feats, False, True)
+        return v8_segmentation_loss(cfg, bd, cl, anc, st, coef, protos,
+                                    gl, gb, gm, gt_masks, imgsz=64.0)["loss"]
+
+    l0, g = jax.value_and_grad(seg_loss)(vs)
+    v1 = jax.tree.map(lambda p, gg: p - 1e-3 * gg, vs, g)
+    l1 = seg_loss(v1)
+    assert np.isfinite(float(l0)) and float(l1) < float(l0)
+
+    pose = PoseHead(nc=2, kpt_shape=(3, 3))
+    vp = pose.init(jax.random.PRNGKey(0), feats, False, True)
+    gt_kpts = jnp.asarray([[[[10, 10, 2], [16, 16, 2], [20, 20, 0]]]],
+                          jnp.float32)
+
+    def pose_loss(v):
+        bd, cl, anc, st, kpts = pose.apply(v, feats, False, True)
+        return v8_pose_loss(cfg, bd, cl, anc, st, kpts, gl, gb, gm,
+                            gt_kpts)["loss"]
+
+    l0, g = jax.value_and_grad(pose_loss)(vp)
+    v1 = jax.tree.map(lambda p, gg: p - 1e-3 * gg, vp, g)
+    assert np.isfinite(float(l0)) and float(pose_loss(v1)) < float(l0)
