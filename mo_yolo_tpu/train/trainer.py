@@ -61,7 +61,7 @@ class TrackTrainer:
         self.val_every = val_every
         self.log_every = log_every
         self.stopper = EarlyStopping(patience)
-        self.callbacks = callbacks or default_callbacks()
+        self.callbacks = callbacks or default_callbacks(save_dir)
         self.resume = resume
         # reference: accumulate = max(round(nbs / batch_size), 1)
         # (`models/MOTRtrack/train.py:238`); here it's explicit config
@@ -191,6 +191,11 @@ class TrackTrainer:
                 LOGGER.info(f"early stopping at epoch {epoch} "
                             f"(best epoch {self.stopper.best_epoch})")
                 break
+        try:  # training curves (reference plots results.png at train end)
+            from mo_yolo_tpu.utils.plotting import plot_results
+            plot_results(str(csv_path))
+        except Exception as e:  # never fail a run on plotting
+            LOGGER.warning(f"plot_results failed: {e}")
         self.callbacks.fire("on_train_end", trainer=self, metrics=metrics)
         metrics["final_loss"] = -best_fitness if not metrics else \
             metrics.get("final_loss", -best_fitness)

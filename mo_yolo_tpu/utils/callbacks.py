@@ -61,9 +61,55 @@ class JsonlLogger:
             f.write(json.dumps(rec) + "\n")
 
 
-def default_callbacks() -> CallbackBus:
+class TensorBoardLogger:
+    """TensorBoard scalar logging (the reference auto-registers a TB
+    callback when the package exists, `utils/callbacks/tensorboard.py`).
+    Uses tensorboardX; silently inert when unavailable."""
+
+    def __init__(self, log_dir: str, every: int = 10):
+        try:
+            from tensorboardX import SummaryWriter
+            self.writer = SummaryWriter(log_dir)
+        except Exception:
+            self.writer = None
+        self.every = max(every, 1)
+
+    def on_batch(self, step: int = 0, metrics=None, **kw):
+        # throttled: float(v) on a jax array is a device sync, so scalars
+        # are only pulled every `every` batches
+        if self.writer is None or metrics is None or step % self.every:
+            return
+        for k, v in metrics.items():
+            try:
+                self.writer.add_scalar(f"train/{k}", float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def on_epoch(self, epoch: int = 0, metrics=None, **kw):
+        if self.writer is None or not metrics:
+            return
+        for k, v in metrics.items():
+            try:
+                self.writer.add_scalar(f"val/{k}", float(v), epoch)
+            except (TypeError, ValueError):
+                pass
+        self.writer.flush()
+
+    def close(self, **kw):
+        if self.writer is not None:
+            self.writer.close()
+
+
+def default_callbacks(save_dir: str = "runs/track",
+                      tensorboard: bool = True) -> CallbackBus:
     bus = CallbackBus()
-    logger = JsonlLogger()
+    logger = JsonlLogger(str(Path(save_dir) / "events.jsonl"))
     bus.add("on_train_epoch_end", logger)
     bus.add("on_train_end", logger)
+    if tensorboard:
+        tb = TensorBoardLogger(str(Path(save_dir) / "tb"))
+        if tb.writer is not None:
+            bus.add("on_train_batch_end", tb.on_batch)
+            bus.add("on_train_epoch_end", tb.on_epoch)
+            bus.add("on_train_end", tb.close)
     return bus

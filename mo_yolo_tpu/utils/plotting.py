@@ -1,0 +1,139 @@
+"""Training/eval plotting (reference `utils/plotting.py`, 527 LoC —
+the subset that matters for a headless TPU stack: results curves, label
+stats, and annotated image grids; the reference's interactive windows and
+font machinery are out of scope).
+
+matplotlib is used with the Agg backend so nothing here ever needs a
+display. All functions are best-effort: callers may fire them from
+callbacks and must never crash training on a plotting failure.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_results(csv_path: str, out_png: Optional[str] = None) -> str:
+    """Training curves from a results.csv (reference `plot_results`).
+    Plots every numeric column except epoch/step against step index."""
+    plt = _plt()
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    if not rows:
+        raise ValueError(f"empty results csv: {csv_path}")
+    cols = [c for c in rows[0] if c not in ("epoch", "step")]
+    n = len(cols)
+    fig, axes = plt.subplots(1, n, figsize=(4 * n, 3.2), squeeze=False)
+    x = np.arange(len(rows))
+    for ax, c in zip(axes[0], cols):
+        y = np.array([float(r[c]) for r in rows])
+        ax.plot(x, y, marker=".", lw=1)
+        ax.set_title(c, fontsize=10)
+        ax.set_xlabel("log step")
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    out = out_png or str(Path(csv_path).with_name("results.png"))
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
+def plot_labels(cls: np.ndarray, boxes_xywhn: np.ndarray,
+                out_png: str, names: Optional[Dict[int, str]] = None) -> str:
+    """Label statistics (reference `plot_labels`): class histogram +
+    box-center heatmap + w/h scatter."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.6))
+    cls = np.asarray(cls).astype(int).ravel()
+    b = np.asarray(boxes_xywhn).reshape(-1, 4)
+    axes[0].hist(cls, bins=np.arange(cls.max() + 2) - 0.5, rwidth=0.8)
+    axes[0].set_title("classes")
+    if names:
+        axes[0].set_xticks(sorted(names))
+        axes[0].set_xticklabels([names[k] for k in sorted(names)],
+                                rotation=45, fontsize=8)
+    axes[1].hist2d(b[:, 0], b[:, 1], bins=32, range=[[0, 1], [0, 1]])
+    axes[1].set_title("xy centers")
+    axes[2].scatter(b[:, 2], b[:, 3], s=3, alpha=0.4)
+    axes[2].set_title("w/h")
+    axes[2].set_xlim(0, 1)
+    axes[2].set_ylim(0, 1)
+    fig.tight_layout()
+    Path(out_png).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return out_png
+
+
+def plot_image_grid(images: Sequence[np.ndarray],
+                    boxes_per_image: Sequence[np.ndarray],
+                    out_png: str,
+                    ids_per_image: Optional[Sequence[np.ndarray]] = None,
+                    max_images: int = 16) -> str:
+    """Annotated image mosaic (reference `plot_images`): images are HWC
+    uint8 or [0,1] float; boxes are xyxy pixels; optional per-box ids."""
+    plt = _plt()
+    n = min(len(images), max_images)
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows),
+                             squeeze=False)
+    for i in range(rows * cols):
+        ax = axes[i // cols][i % cols]
+        ax.axis("off")
+        if i >= n:
+            continue
+        img = np.asarray(images[i])
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        ax.imshow(img)
+        bx = np.asarray(boxes_per_image[i]).reshape(-1, 4)
+        ids = (np.asarray(ids_per_image[i]).ravel()
+               if ids_per_image is not None else [None] * len(bx))
+        for k, (x1, y1, x2, y2) in enumerate(bx):
+            ax.add_patch(plt.Rectangle((x1, y1), x2 - x1, y2 - y1,
+                                       fill=False, lw=1.2,
+                                       color=f"C{k % 10}"))
+            if ids[k] is not None:
+                ax.text(x1, y1 - 2, f"id:{int(ids[k])}", fontsize=7,
+                        color=f"C{k % 10}")
+    fig.tight_layout()
+    Path(out_png).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png
+
+
+def plot_confusion_matrix(matrix: np.ndarray, out_png: str,
+                          names: Optional[List[str]] = None) -> str:
+    """Confusion-matrix heatmap (reference `ConfusionMatrix.plot`)."""
+    plt = _plt()
+    m = np.asarray(matrix, float)
+    fig, ax = plt.subplots(figsize=(5, 4.2))
+    im = ax.imshow(m / np.maximum(m.sum(0, keepdims=True), 1e-9),
+                   cmap="Blues", vmin=0, vmax=1)
+    fig.colorbar(im)
+    n = m.shape[0]
+    labels = (names or [str(i) for i in range(n - 1)]) + ["background"]
+    ax.set_xticks(range(n))
+    ax.set_yticks(range(n))
+    ax.set_xticklabels(labels, rotation=60, fontsize=7)
+    ax.set_yticklabels(labels, fontsize=7)
+    ax.set_xlabel("true")
+    ax.set_ylabel("predicted")
+    fig.tight_layout()
+    Path(out_png).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return out_png
