@@ -11,8 +11,10 @@ imported reference weights reproduce activations exactly.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+import math
+from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -277,6 +279,34 @@ class HGBlock(nn.Module):
         return y
 
 
+_NEG_INF = -1e9
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Query self-attention with additive mask (torch `nn.MultiheadAttention`
+    semantics: shared qkv projections, softmax over keys)."""
+
+    d_model: int
+    n_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, mask: Optional[jnp.ndarray] = None):
+        """q/k/v [B,Q,C]; mask [B,Q,Q] bool (True = blocked) or None."""
+        B, Q, C = q.shape
+        H = self.n_heads
+        D = C // H
+        qp = nn.Dense(C, dtype=self.dtype, name="q_proj")(q).reshape(B, Q, H, D)
+        kp = nn.Dense(C, dtype=self.dtype, name="k_proj")(k).reshape(B, Q, H, D)
+        vp = nn.Dense(C, dtype=self.dtype, name="v_proj")(v).reshape(B, Q, H, D)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp) / math.sqrt(D)
+        if mask is not None:
+            logits = jnp.where(mask[:, None, :, :], _NEG_INF, logits)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, vp).reshape(B, Q, C)
+        return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
+
+
 def sincos_pos_2d(w: int, h: int, dim: int,
                   temperature: float = 10000.0) -> jnp.ndarray:
     """2D sin-cos positional embedding, reproducing the reference AIFI's
@@ -311,9 +341,8 @@ class AIFI(nn.Module):
         pos = sincos_pos_2d(W, H, C).astype(x.dtype)
         t = x.reshape(B, H * W, C)
         qk = t + pos
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="ma")(
-            inputs_q=qk, inputs_k=qk, inputs_v=t)
+        attn = MultiHeadSelfAttention(C, self.num_heads, dtype=self.dtype,
+                                      name="ma")(qk, qk, t)
         t = nn.LayerNorm(dtype=self.dtype, name="norm1")(t + attn)
         f = nn.Dense(self.cm, dtype=self.dtype, name="fc1")(t)
         f = nn.Dense(C, dtype=self.dtype, name="fc2")(nn.gelu(f))

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mo_yolo_tpu.models.layers import MLP
+from mo_yolo_tpu.models.layers import MLP, MultiHeadSelfAttention
 from mo_yolo_tpu.ops.deform_attn import ms_deform_attn
 from mo_yolo_tpu.ops.embed import inverse_sigmoid
 
@@ -84,31 +84,6 @@ class MSDeformAttnModule(nn.Module):
 
         out = ms_deform_attn(v, tuple(shapes), loc, attn, impl=self.impl)
         return nn.Dense(C, dtype=self.dtype, name="output_proj")(out)
-
-
-class MultiHeadSelfAttention(nn.Module):
-    """Query self-attention with additive mask (torch `nn.MultiheadAttention`
-    semantics: shared qkv projections, softmax over keys)."""
-
-    d_model: int
-    n_heads: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, q, k, v, mask: Optional[jnp.ndarray] = None):
-        """q/k/v [B,Q,C]; mask [B,Q,Q] bool (True = blocked) or None."""
-        B, Q, C = q.shape
-        H = self.n_heads
-        D = C // H
-        qp = nn.Dense(C, dtype=self.dtype, name="q_proj")(q).reshape(B, Q, H, D)
-        kp = nn.Dense(C, dtype=self.dtype, name="k_proj")(k).reshape(B, Q, H, D)
-        vp = nn.Dense(C, dtype=self.dtype, name="v_proj")(v).reshape(B, Q, H, D)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp) / math.sqrt(D)
-        if mask is not None:
-            logits = jnp.where(mask[:, None, :, :], NEG_INF, logits)
-        w = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w, vp).reshape(B, Q, C)
-        return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
 
 
 class TrackDecoderLayer(nn.Module):

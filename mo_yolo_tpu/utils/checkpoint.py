@@ -197,6 +197,15 @@ def _expand_torch_entry(tk: str, tv):
 
 
 def _expand_backbone_entry(idx: str, rest, tv):
+    # AIFI rows (rt-detr graphs): MHA + dense FFN + LayerNorms, not convs
+    if rest[0] == "ma":
+        return _mha_entries(f"params/backbone/n{idx}/ma", rest[1:], tv)
+    if rest[0] in ("fc1", "fc2"):
+        return _linear_or_norm(f"params/backbone/n{idx}/{rest[0]}", True,
+                               rest[1], tv)
+    if rest[0] in ("norm1", "norm2") and len(rest) == 2:
+        return _linear_or_norm(f"params/backbone/n{idx}/{rest[0]}", False,
+                               rest[1], tv)
     out = ["params", "backbone", f"n{idx}"]
     for p in rest[:-1]:
         if p == "m":
@@ -391,6 +400,24 @@ def _inverse_map(key: str, arr, head_idx: int, pend_qkv):
 
     if top == "backbone":
         idx = parts[2][1:]             # n{i}
+        if len(parts) > 3 and parts[3] == "ma":        # AIFI attention
+            proj, leaf = parts[4], parts[5]
+            if proj == "out_proj":
+                val = dense(arr) if leaf == "kernel" else arr
+                return (f"model.{idx}.ma.out_proj."
+                        f"{'weight' if leaf == 'kernel' else 'bias'}", val)
+            pend_qkv.setdefault(f"model.{idx}.ma",
+                                {})[f"{proj}/{leaf}"] = arr
+            return None, None
+        if len(parts) == 5 and parts[3] in ("fc1", "fc2"):
+            leaf = parts[4]
+            return (f"model.{idx}.{parts[3]}."
+                    f"{'weight' if leaf == 'kernel' else 'bias'}",
+                    dense(arr) if leaf == "kernel" else arr)
+        if len(parts) == 5 and parts[3] in ("norm1", "norm2"):
+            leaf = parts[4]
+            return (f"model.{idx}.{parts[3]}."
+                    f"{'weight' if leaf == 'scale' else 'bias'}", arr)
         mids = []
         for p in parts[3:-1]:
             if p[0] == "m" and p[1:].isdigit():

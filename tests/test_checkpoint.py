@@ -157,3 +157,32 @@ def test_torch_import_backbone_conv():
     np.testing.assert_allclose(got, want, atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(out["params"]["backbone"]["n0"]["bn"]["scale"]), 2.0)
+
+
+def test_torch_import_full_coverage_hg_aifi_graph():
+    """Full-coverage import round-trip over the HGNetV2+AIFI+RepC3 graph
+    family (detr_track.yaml structure): every leaf including the AIFI
+    attention (torch in_proj split), LightConv/DWConv depthwise kernels,
+    and RepConv branches."""
+    from mo_yolo_tpu.models.graph import parse_model_yaml
+    from mo_yolo_tpu.models.tracking_model import TrackingModel, init_variables
+    from mo_yolo_tpu.models.tracker import TrackerConfig
+    from mo_yolo_tpu.utils.checkpoint import (
+        apply_torch_state_dict, export_torch_state_dict)
+
+    def mk(seed):
+        spec = parse_model_yaml("tests/tiny_detr.yaml")
+        model = TrackingModel(spec=spec, tracker=TrackerConfig(n_slots=4),
+                              nq=8, ndl=2, d_ffn=32, hd=32, num_denoising=4)
+        return init_variables(model, jax.random.PRNGKey(seed),
+                              image_size=(64, 64))
+
+    va, vb = mk(0), mk(1)
+    sd = export_torch_state_dict(vb, head_idx=25)
+    out, report = apply_torch_state_dict(sd, va, strict=True,
+                                         require_full=True)
+    assert not report["missed"] and not report["untouched"], report["missed"][:5]
+    for got, want in zip(jax.tree_util.tree_leaves(out),
+                         jax.tree_util.tree_leaves(vb)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
