@@ -19,6 +19,47 @@ import time
 BASELINE_FPS = 7.5  # MOTR reference inference speed (BASELINE.md)
 
 
+def _render_frames(k: int, size: int):
+    """Deterministic moving-object video (same renderer as the eval
+    fixture) — content-bearing frames so data-dependent paths (duplicate
+    suppression convergence, active-track lifecycle) run realistic
+    iteration counts instead of the empty-scene fast path."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        from scripts.make_synth_mot import _background, _object_patch
+        rng = np.random.default_rng(0)
+        bg = _background(rng, size)
+        objs = []
+        for _ in range(6):
+            w = int(rng.uniform(size * 0.08, size * 0.18))
+            h = int(rng.uniform(size * 0.08, size * 0.18))
+            patch, mask = _object_patch(rng, w, h)
+            objs.append([patch, mask, rng.uniform(w, size - w),
+                         rng.uniform(h, size - h),
+                         rng.uniform(-4, 4), rng.uniform(-4, 4), w, h])
+        out = np.empty((k, 1, size, size, 3), np.float32)
+        for t in range(k):
+            frame = bg.copy()
+            for o in objs:
+                patch, mask, x, y, vx, vy, w, h = o
+                o[2] = np.clip(x + vx, w / 2, size - w / 2)
+                o[3] = np.clip(y + vy, h / 2, size - h / 2)
+                x1, y1 = int(o[2] - w / 2), int(o[3] - h / 2)
+                region = frame[y1:y1 + h, x1:x1 + w]
+                m = mask[:region.shape[0], :region.shape[1]]
+                region[m] = patch[:region.shape[0], :region.shape[1]][m]
+            out[t, 0] = np.clip(frame, 0, 255) / 255.0
+        return out
+    except Exception:  # renderer unavailable: fall back to noise
+        rng = np.random.default_rng(0)
+        return rng.uniform(0, 1, (k, 1, size, size, 3)).astype(np.float32)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -50,8 +91,7 @@ def main():
         return jax.lax.scan(body, s, frames)
 
     step = jax.jit(multi_step, donate_argnums=(1,))
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.uniform(0, 1, (K, 1, size, size, 3)).astype(np.float32))
+    frames = jnp.asarray(_render_frames(K, size))
 
     for i in range(n_warmup):
         state, out = step(variables, state, frames)

@@ -149,16 +149,16 @@ class TrackTrainer:
             self.callbacks.fire("on_train_epoch_start", trainer=self,
                                 epoch=epoch)
             t_ep = time.time()
-            losses = []
+            loss_dev = []   # device scalars; ONE batched fetch at epoch end
             for i, clip in enumerate(clip_loader(ds, self.batch, shuffle=True,
                                                  seed=self.seed + epoch)):
                 key, k = jax.random.split(key)
                 t0 = time.time()
                 clip = {kk: np_to_jnp(v) for kk, v in clip.items()}
                 ts, m = step(ts, clip, k)
+                loss_dev.append(m["loss"])
                 if i % self.log_every == 0:
                     loss = float(m["loss"])  # host sync for logging only
-                    losses.append(loss)
                     dt = time.time() - t0
                     LOGGER.info(f"epoch {epoch} step {i}/{steps_per_epoch} "
                                 f"loss {loss:.4f} gnorm "
@@ -175,7 +175,11 @@ class TrackTrainer:
             save_params(str(self.save_dir / "last"), self.api.variables)
             save_checkpoint(str(self.save_dir / "last_full"), ts,
                             config={"epoch": epoch, "step": int(ts.step)})
-            fitness = -float(np.mean(losses)) if losses else 0.0
+            # fitness fallback = -mean loss over EVERY step of the epoch
+            # (round-1 weak #9: the old sampled-loss proxy tracked only
+            # every log_every-th step)
+            import jax.numpy as jnp
+            fitness = -float(jnp.stack(loss_dev).mean()) if loss_dev else 0.0
             if self.val_every and (epoch + 1) % self.val_every == 0 and d["val"]:
                 metrics = self.api.val(d["val"][:200])
                 fitness = metrics.get("HOTA", fitness)
