@@ -184,9 +184,11 @@ class MOTRTrack:
         return self
 
     def export(self, fmt: str = "stablehlo", path: str = "model_export"):
-        """Export the jitted stream step (stablehlo text or orbax params —
-        the TPU-relevant subset of the reference's 12 formats,
-        `engine/exporter.py:76-93`)."""
+        """Export the jitted stream step. Formats: 'stablehlo' (text IR),
+        'jaxexport' (serialized AOT artifact), 'params' (orbax weights),
+        'saved_model' (TF SavedModel via jax2tf), 'tflite' — the
+        TPU-relevant subset of the reference's 12 formats
+        (`engine/exporter.py:76-93`)."""
         import jax
         import jax.numpy as jnp
         from mo_yolo_tpu.models.tracker import init_track_state
@@ -194,29 +196,73 @@ class MOTRTrack:
         if fmt == "params":
             self.save(path)
             return path
+        if fmt in ("saved_model", "tflite"):
+            # jax2tf: state flattened to a tuple (TF cannot carry custom
+            # pytree nodes); weights baked in as constants
+            import tensorflow as tf
+            from jax.experimental import jax2tf
+            from mo_yolo_tpu.models.tracker import TrackState
+            state = init_track_state(1, self.model.tracker.n_slots,
+                                     self.model.hd)
+            frames = jnp.zeros((1, self.imgsz, self.imgsz, 3))
+
+            def fn(state_leaves, f):
+                st = TrackState(*state_leaves)
+                new_st, out = self.model.apply(
+                    self.variables, st, f, method=self.model.stream_step)
+                return tuple(new_st), out
+
+            tf_fn = tf.function(
+                jax2tf.convert(fn, with_gradient=False),
+                input_signature=[
+                    tuple(tf.TensorSpec(x.shape, tf.as_dtype(
+                        jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype))
+                        for x in state),
+                    tf.TensorSpec(frames.shape, tf.float32)],
+                autograph=False)
+            if fmt == "saved_model":
+                out_dir = str(Path(path)) + "_saved_model"
+                module = tf.Module()
+                module.f = tf_fn
+                tf.saved_model.save(module, out_dir)
+                return out_dir
+            conv = tf.lite.TFLiteConverter.from_concrete_functions(
+                [tf_fn.get_concrete_function()])
+            conv.target_spec.supported_ops = [
+                tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+            blob = conv.convert()
+            out = Path(path).with_suffix(".tflite")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_bytes(blob)
+            return str(out)
         if fmt == "jaxexport":
             # serialized AOT artifact (jax.export): portable StableHLO with
-            # calling convention + shardings; reload with
-            # jax.export.deserialize(bytes).call(...)
+            # calling convention + shardings. Weights are BAKED IN (closure
+            # constants) so the artifact is self-contained for serving;
+            # reload via AutoBackend or jax.export.deserialize(bytes).call
             from jax import export as jexport
             state = init_track_state(1, self.model.tracker.n_slots,
                                      self.model.hd)
             frames = jnp.zeros((1, self.imgsz, self.imgsz, 3))
             from mo_yolo_tpu.models.tracker import TrackState
+            variables = self.variables
 
-            def fn(v, state_leaves, f):
+            def fn(state_leaves, f):
                 # plain-tuple state: jax.export cannot serialize custom
                 # pytree node types (NamedTuple) without registration
                 st = TrackState(*state_leaves)
-                new_st, out = self.model.apply(v, st, f,
+                new_st, out = self.model.apply(variables, st, f,
                                                method=self.model.stream_step)
                 return tuple(new_st), out
 
-            exp = jexport.export(jax.jit(fn))(self.variables, tuple(state),
-                                              frames)
+            exp = jexport.export(jax.jit(fn))(tuple(state), frames)
             out = Path(path).with_suffix(".jaxexport")
             out.parent.mkdir(parents=True, exist_ok=True)
             out.write_bytes(exp.serialize())
+            import json
+            with open(str(out) + ".meta.json", "w") as f:
+                json.dump({"n_slots": self.model.tracker.n_slots,
+                           "hd": self.model.hd, "imgsz": self.imgsz}, f)
             return str(out)
         if fmt == "stablehlo":
             state = init_track_state(1, self.model.tracker.n_slots,
@@ -231,8 +277,9 @@ class MOTRTrack:
             out.parent.mkdir(parents=True, exist_ok=True)
             out.write_text(txt)
             return str(out)
-        raise ValueError(f"unsupported export format {fmt!r} "
-                         "(supported: 'stablehlo', 'jaxexport', 'params')")
+        raise ValueError(f"unsupported export format {fmt!r} (supported: "
+                         "'stablehlo', 'jaxexport', 'params', 'saved_model',"
+                         " 'tflite')")
 
 
 class Detector:

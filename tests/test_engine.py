@@ -199,10 +199,20 @@ def test_export_stablehlo_and_jaxexport(tmp_path):
     assert "stablehlo" in open(p1).read()[:10000].lower() or \
         "module" in open(p1).read()[:200]
     p2 = m.export(fmt="jaxexport", path=str(tmp_path / "m"))
-    import jax
-    from jax import export as jexport
-    exp = jexport.deserialize(open(p2, "rb").read())
-    assert exp is not None
+    # reload via AutoBackend and check numeric parity with the live model
+    import jax.numpy as jnp
+    from mo_yolo_tpu.engine.autobackend import AutoBackend
+    from mo_yolo_tpu.models.tracker import init_track_state
+
+    ab = AutoBackend(p2, imgsz=64)
+    state = ab.new_state()
+    frame = jnp.full((1, 64, 64, 3), 0.5, jnp.float32)
+    st2, out_exp = ab.stream_step(state, frame)
+    live_state = init_track_state(1, m.model.tracker.n_slots, m.model.hd)
+    _, out_live = m.model.apply(m.variables, live_state, frame,
+                                method=m.model.stream_step)
+    np.testing.assert_allclose(np.asarray(out_exp), np.asarray(out_live),
+                               atol=1e-5)
 
 
 def _mini_mot_tree(tmp_path, n_seqs=3, lens=(4, 3, 2), size=96):
@@ -244,3 +254,26 @@ def test_multistream_validator_matches_single_stream(tiny, tmp_path):
     for k in ("HOTA", "DetA", "AssA", "MOTA", "IDF1", "IDSW", "mAP50"):
         assert k in multi, k
         assert abs(single[k] - multi[k]) < 1e-4, (k, single[k], multi[k])
+
+
+def test_export_saved_model_roundtrip(tmp_path):
+    """jax2tf SavedModel export: reload in TF and verify the packed output
+    matches the jax stream step on the same frame."""
+    import pytest
+    tf = pytest.importorskip("tensorflow")
+    from mo_yolo_tpu.api import MOTRTrack
+    from mo_yolo_tpu.models.tracker import init_track_state
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
+                  nq=8, ndl=1, d_ffn=32, hd=32, num_denoising=4)
+    out_dir = m.export(fmt="saved_model", path=str(tmp_path / "m"))
+    mod = tf.saved_model.load(out_dir)
+    state = init_track_state(1, m.model.tracker.n_slots, m.model.hd)
+    import jax.numpy as jnp
+    frame = jnp.full((1, 64, 64, 3), 0.5, jnp.float32)
+    new_state, out_jax = m.model.apply(m.variables, state, frame,
+                                       method=m.model.stream_step)
+    tf_state = tuple(tf.constant(np.asarray(x)) for x in state)
+    _, out_tf = mod.f(tf_state, tf.constant(np.asarray(frame)))
+    np.testing.assert_allclose(np.asarray(out_tf), np.asarray(out_jax),
+                               atol=1e-4, rtol=1e-3)
