@@ -206,3 +206,26 @@ def test_trainer_end_to_end_on_disk_dataset(tmp_path):
             lr=1e-3, max_gt=8, save_dir=str(root / "run"), resume=True)
     cfg1 = json.load(open(root / "run" / "last_full.config.json"))
     assert cfg1["epoch"] == 1 and cfg1["step"] > cfg0["step"]
+
+
+def test_distributed_helpers_single_process():
+    """Multi-host bootstrap is a clean no-op on one host; env-spec parsing
+    follows the reference DDP launcher's variables (`utils/dist.py`)."""
+    from mo_yolo_tpu.parallel import distributed as D
+
+    assert D.initialize() is False          # single process: no-op
+    assert D._env_spec() is None
+    import os
+    os.environ.update(MASTER_ADDR="10.0.0.1", WORLD_SIZE="4", RANK="2",
+                      MASTER_PORT="29500")
+    try:
+        assert D._env_spec() == ("10.0.0.1:29500", 4, 2)
+    finally:
+        for k in ("MASTER_ADDR", "WORLD_SIZE", "RANK", "MASTER_PORT"):
+            os.environ.pop(k, None)
+    mesh = D.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    # shard a host batch over the mesh (single-process: local == global)
+    batch = {"x": np.zeros((8, 4), np.float32)}
+    out = D.shard_host_batch(mesh, batch)
+    assert out["x"].shape == (8, 4)
