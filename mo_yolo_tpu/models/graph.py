@@ -23,9 +23,10 @@ import jax.numpy as jnp
 import yaml
 from flax import linen as nn
 
-from mo_yolo_tpu.models.layers import (AIFI, C2f, C3, ConvBnAct, DWConv,
-                                       HGBlock, HGStem, RepC3, SPPF, concat,
-                                       upsample2x)
+from mo_yolo_tpu.models.layers import (AIFI, C2f, C3, ConvBnAct,
+                                       ConvTranspose, DWConv, Focus,
+                                       GhostConv, HGBlock, HGStem, RepC3,
+                                       SPPF, concat, upsample2x)
 
 HEAD_MODULES = {"MOTRTrack", "RTDETRDecoder", "MYDecoder", "Detect", "Segment",
                 "Pose", "Classify"}
@@ -107,6 +108,24 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
             act = args[6] if len(args) > 6 else True
             nodes.append(NodeSpec(i, frm_t, "Conv", 1, (c2, k, s, act), c2))
             st = (in_stride(frm_t[0]) if node_stride else 1) * s
+        elif mod == "ConvTranspose":
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            k = args[1] if len(args) > 1 else 2
+            s = args[2] if len(args) > 2 else 2
+            nodes.append(NodeSpec(i, frm_t, "ConvTranspose", 1, (c2, k, s),
+                                  c2))
+            st = max(in_stride(frm_t[0]) // s, 1)
+        elif mod == "Focus":
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            k = args[1] if len(args) > 1 else 1
+            nodes.append(NodeSpec(i, frm_t, "Focus", 1, (c2, k), c2))
+            st = in_stride(frm_t[0]) * 2
+        elif mod == "GhostConv":
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            k = args[1] if len(args) > 1 else 1
+            s = args[2] if len(args) > 2 else 1
+            nodes.append(NodeSpec(i, frm_t, "GhostConv", 1, (c2, k, s), c2))
+            st = in_stride(frm_t[0]) * s
         elif mod == "DWConv":
             c2 = make_divisible(min(args[0], max_channels) * width)
             k = args[1] if len(args) > 1 else 1
@@ -195,6 +214,18 @@ class BackboneNeck(nn.Module):
             if node.module == "Conv":
                 c2, k, s, act = node.args
                 y = ConvBnAct(c2, k, s, act=act, dtype=self.dtype,
+                              name=f"n{node.index}")(ins[0], train)
+            elif node.module == "ConvTranspose":
+                c2, k, s = node.args
+                y = ConvTranspose(c2, k, s, dtype=self.dtype,
+                                  name=f"n{node.index}")(ins[0], train)
+            elif node.module == "Focus":
+                c2, k = node.args
+                y = Focus(c2, k, dtype=self.dtype,
+                          name=f"n{node.index}")(ins[0], train)
+            elif node.module == "GhostConv":
+                c2, k, s = node.args
+                y = GhostConv(c2, k, s, dtype=self.dtype,
                               name=f"n{node.index}")(ins[0], train)
             elif node.module == "DWConv":
                 c2, k, s, act = node.args

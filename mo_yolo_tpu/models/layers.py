@@ -148,6 +148,71 @@ def _gcd(a: int, b: int) -> int:
     return a
 
 
+class ConvTranspose(nn.Module):
+    """Transposed conv + optional BN + act (reference
+    `conv.py:ConvTranspose`; used by upsampling necks)."""
+
+    filters: int
+    kernel: int = 2
+    stride: int = 2
+    bn: bool = True
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.filters, (self.kernel, self.kernel),
+                             strides=(self.stride, self.stride),
+                             padding="VALID" if self.kernel == self.stride
+                             else "SAME",
+                             use_bias=not self.bn, dtype=self.dtype,
+                             name="conv_transpose")(x)
+        if self.bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                             epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        if self.act == "relu":
+            x = nn.relu(x)
+        elif self.act:
+            x = nn.silu(x)
+        return x
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem (reference `conv.py:Focus`): 2x2 pixel
+    de-interleave into channels, then a conv — stride-2 with no
+    information loss."""
+
+    filters: int
+    kernel: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.concatenate([x[:, ::2, ::2], x[:, 1::2, ::2],
+                             x[:, ::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
+        return ConvBnAct(self.filters, self.kernel, dtype=self.dtype,
+                         name="conv")(x, train)
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution (reference `conv.py:GhostConv`): half the
+    channels from a dense conv, half from a cheap depthwise 5x5 on top."""
+
+    filters: int
+    kernel: int = 1
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.filters // 2
+        y = ConvBnAct(c_, self.kernel, self.stride, dtype=self.dtype,
+                      name="cv1")(x, train)
+        y2 = ConvBnAct(c_, 5, 1, groups=c_, dtype=self.dtype,
+                       name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
 class C3(nn.Module):
     """CSP bottleneck with 3 convolutions (reference `block.py:C3`)."""
 

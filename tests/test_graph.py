@@ -67,3 +67,40 @@ def test_c3_and_repc3_layers():
         v = M.init(jax.random.PRNGKey(0), x)
         y = M.apply(v, x)
         assert y.shape == (1, 8, 8, 32)
+
+
+def test_conv_primitive_variants():
+    """ConvTranspose / Focus / GhostConv forward shapes (reference
+    `conv.py` primitives) + graph rows parse."""
+    from mo_yolo_tpu.models.layers import ConvTranspose, Focus, GhostConv
+
+    x = jnp.ones((1, 8, 8, 16))
+    ct = ConvTranspose(8)
+    y = ct.apply(ct.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 16, 16, 8)
+    f = Focus(24)
+    y = f.apply(f.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 4, 4, 24)
+    g = GhostConv(32)
+    y = g.apply(g.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 8, 8, 32)
+
+    cfg = {
+        "nc": 2,
+        "backbone": [
+            [-1, 1, "Focus", [16]],
+            [-1, 1, "GhostConv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+        ],
+        "head": [
+            [-1, 1, "ConvTranspose", [16]],
+            [[1, 2, 3], 1, "Detect", ["nc"]],
+        ],
+    }
+    spec = parse_model_yaml(cfg)
+    assert spec.out_strides == (4, 8, 16)
+    bb = BackboneNeck(spec)
+    xx = jnp.zeros((1, 32, 32, 3))
+    feats = bb.apply(bb.init(jax.random.PRNGKey(0), xx), xx)
+    assert [f.shape[-1] for f in feats] == [32, 32, 32]
