@@ -1,0 +1,129 @@
+"""FastSAM — segment-anything via a YOLOv8-seg model + prompt postprocess.
+
+Equivalent of the reference FastSAM family (`ultralytics/models/fastsam/`,
+886 LoC: a YOLOv8-seg checkpoint run in "everything" mode with
+`FastSAMPrompt` selecting masks by box / point / everything prompts). Here
+the model is our BackboneNeck + SegmentHead(nc=1) and the prompt logic is
+host-side numpy over the device-produced masks.
+
+The reference's text prompt (CLIP) is out of scope (no CLIP weights in
+this environment); box/point/everything prompts are implemented.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mo_yolo_tpu.models.graph import BackboneNeck, GraphSpec, parse_model_yaml
+from mo_yolo_tpu.models.heads_extra import SegmentHead
+
+
+class FastSAMModel(nn.Module):
+    """Backbone + single-class segmentation head ("everything" mode)."""
+
+    spec: GraphSpec
+    nm: int = 32
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = BackboneNeck(self.spec, dtype=self.dtype)
+        self.head = SegmentHead(nc=1, nm=self.nm, dtype=self.dtype)
+
+    def __call__(self, images, train: bool = False):
+        feats = self.backbone(images, train=train)
+        return self.head(feats, train=train)
+
+    def predict_step(self, images):
+        """-> (boxes xyxy px [B,S,4], scores [B,S], coef [B,S,nm],
+        protos [B,Hp,Wp,nm])."""
+        boxes, cls, coef, protos = self(images, train=False)
+        return boxes, cls[..., 0], coef, protos
+
+
+class FastSAM:
+    """Reference-shaped facade: `FastSAM(cfg)(image, bboxes=/points=)`."""
+
+    def __init__(self, model: str = "yolo_track.yaml", imgsz: int = 640,
+                 dtype=jnp.float32, seed: int = 0,
+                 conf: float = 0.4, iou: float = 0.9, max_det: int = 64):
+        spec = parse_model_yaml(model if "/" in str(model) else
+                                _resolve(model))
+        self.model = FastSAMModel(spec=spec, dtype=dtype)
+        self.imgsz = imgsz
+        self.conf = conf
+        self.iou = iou
+        self.max_det = max_det
+        self.variables = self.model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, imgsz, imgsz, 3)))
+        self._step = jax.jit(lambda v, x: self.model.apply(
+            v, x, method=self.model.predict_step))
+
+    def everything(self, image: np.ndarray):
+        """All detected masks above conf, NMS'd. Returns dict with
+        boxes [n,4] xyxy (model coords), scores [n], masks [n,Hp,Wp] bool
+        at proto resolution."""
+        from mo_yolo_tpu.data.letterbox import preprocess
+        from mo_yolo_tpu.metrics.detection import box_iou_np
+        from mo_yolo_tpu.models.heads_extra import SegmentHead as SH
+
+        x, meta = preprocess(image, self.imgsz, scale_fill=True)
+        boxes, scores, coef, protos = self._step(self.variables,
+                                                 jnp.asarray(x))
+        b = np.asarray(boxes[0], np.float32)
+        s = np.asarray(scores[0], np.float32)
+        order = np.argsort(-s)
+        order = order[s[order] >= self.conf][:4 * self.max_det]
+        kept = []
+        for i in order:                       # host greedy NMS (n is small)
+            if len(kept) >= self.max_det:
+                break
+            if kept and box_iou_np(b[i][None], b[kept]).max() > self.iou:
+                continue
+            kept.append(i)
+        kept = np.asarray(kept, int)
+        if len(kept) == 0:
+            Hp, Wp = protos.shape[1:3]
+            return {"boxes": np.zeros((0, 4), np.float32),
+                    "scores": np.zeros(0, np.float32),
+                    "masks": np.zeros((0, Hp, Wp), bool), "meta": meta}
+        masks = np.asarray(SH.masks(coef[:, kept], protos)[0]) > 0.5
+        return {"boxes": b[kept], "scores": s[kept], "masks": masks,
+                "meta": meta}
+
+    def __call__(self, image: np.ndarray, bboxes=None, points=None):
+        """Prompted segmentation (reference `FastSAMPrompt`): select from
+        the everything-mode masks by box IoU or by point membership."""
+        out = self.everything(image)
+        if bboxes is None and points is None:
+            return out
+        keep = np.zeros(len(out["boxes"]), bool)
+        if bboxes is not None:
+            from mo_yolo_tpu.metrics.detection import box_iou_np
+            bb = np.asarray(bboxes, float).reshape(-1, 4)
+            if len(out["boxes"]):
+                iou = box_iou_np(bb, out["boxes"])
+                keep[np.argmax(iou, axis=1)] |= iou.max(1) > 0
+        if points is not None and len(out["masks"]):
+            Hp, Wp = out["masks"].shape[1:]
+            for (px, py) in np.asarray(points, float).reshape(-1, 2):
+                gx = int(px / self.imgsz * Wp)
+                gy = int(py / self.imgsz * Hp)
+                hits = out["masks"][:, min(gy, Hp - 1), min(gx, Wp - 1)]
+                if hits.any():
+                    # smallest containing mask (reference point behavior)
+                    areas = out["masks"].sum(axis=(1, 2)).astype(float)
+                    areas[~hits] = np.inf
+                    keep[int(np.argmin(areas))] = True
+        return {k: (v[keep] if isinstance(v, np.ndarray) and
+                    len(v) == len(keep) else v)
+                for k, v in out.items()}
+
+
+def _resolve(name: str) -> str:
+    from mo_yolo_tpu.api import _resolve_model_cfg
+    return _resolve_model_cfg(name)
