@@ -92,8 +92,10 @@ class TrackValidator:
             # mAP sees the full (near-unthresholded) prediction set so the
             # PR curve is not truncated at the tracking conf — the reference
             # validator scores detections at conf~0.001 (`val.py:99-123`);
-            # the high conf gate above applies only to the identity streams.
-            det_keep = o["valid"] & (o["score"] >= self.det_conf)
+            # the `valid` (track-identity) gate applies only to the HOTA/
+            # CLEAR streams, NOT here: detection quality must be measurable
+            # before any track ever passes the entry threshold.
+            det_keep = o["score"] >= self.det_conf
             det.update(_xywhn2xyxy(o["box"][det_keep]), o["score"][det_keep],
                        o["cls"][det_keep], gt_boxes, s.cls[s.mask])
         flush()
@@ -181,7 +183,7 @@ class MultiStreamValidator:
                     gt_ids.append(smp.track_id[smp.mask])
                     pr_ids.append(o["obj_id"][keep])
                     sims.append(box_iou_np(gt_boxes, pr_boxes))
-                    det_keep = o["valid"] & (o["score"] >= self.det_conf)
+                    det_keep = o["score"] >= self.det_conf
                     det.update(_xywhn2xyxy(o["box"][det_keep]),
                                o["score"][det_keep], o["cls"][det_keep],
                                gt_boxes, smp.cls[smp.mask])

@@ -43,7 +43,14 @@ def initialize(coordinator_address: Optional[str] = None,
             else:
                 jax.distributed.initialize()  # TPU-pod auto-detection
     except RuntimeError as e:
-        if "already initialized" not in str(e):
+        # "already initialized" -> idempotent no-op. "must be called before
+        # any JAX calls" -> the backend is already up in this process; on a
+        # genuinely multi-process fabric that is a launcher bug, but when
+        # auto-detection merely *suspected* a pod (TPU env vars present on a
+        # single-host setup) it means single-process — report what we are.
+        msg = str(e)
+        if "already initialized" not in msg and \
+                "before any JAX calls" not in msg:
             raise
     except ValueError:
         # auto-detection found no coordinator: single-process run

@@ -163,7 +163,10 @@ def make_detect_train_step(model, lcfg: LossConfig, tcfg: TrainConfig,
                                      key), has_aux=True)(ts.params)
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
-        d = tcfg.ema_decay
+        # ramped decay (reference ModelEMA): EMA must track params closely
+        # early in training
+        d = tcfg.ema_decay * (1.0 - jnp.exp(
+            -(ts.step.astype(jnp.float32) + 1.0) / 2000.0))
         ema = jax.tree.map(lambda e, p: e * d + p * (1 - d), ts.ema_params,
                            params)
         metrics["loss"] = loss

@@ -178,7 +178,11 @@ def make_train_step(model, lcfg: LossConfig, tcfg: TrainConfig,
             loss_fn, has_aux=True)(ts.params, ts.batch_stats, clip, key)
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
-        d = jnp.asarray(tcfg.ema_decay)
+        # ramped decay (reference ModelEMA, `torch_utils.py:342`:
+        # decay * (1 - exp(-updates/tau)), tau=2000): without the ramp a
+        # flat 0.9999 leaves the EMA ~66% random init after 4k steps
+        d = jnp.asarray(tcfg.ema_decay) * \
+            (1.0 - jnp.exp(-(ts.step.astype(jnp.float32) + 1.0) / 2000.0))
         if tcfg.accumulate > 1:
             # EMA tracks emitted optimizer steps only: during accumulation
             # mini-steps params are unchanged and the EMA must not decay
