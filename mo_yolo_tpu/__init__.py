@@ -22,7 +22,7 @@ Reference layer map: see /root/repo/SURVEY.md (reference repo liaopan-lp/MO-YOLO
 
 __version__ = "0.1.0"
 
-__all__ = ["MOTRTrack", "YOLO", "__version__"]
+__all__ = ["MOTRTrack", "YOLO", "SAM", "FastSAM", "__version__"]
 
 
 def __getattr__(name):
@@ -30,4 +30,10 @@ def __getattr__(name):
     if name in ("MOTRTrack", "YOLO"):
         from mo_yolo_tpu import api
         return getattr(api, name)
+    if name == "SAM":
+        from mo_yolo_tpu.models.sam import SAM
+        return SAM
+    if name == "FastSAM":
+        from mo_yolo_tpu.models.fastsam import FastSAM
+        return FastSAM
     raise AttributeError(name)
