@@ -26,7 +26,7 @@ from flax import linen as nn
 from mo_yolo_tpu.models.layers import (AIFI, C2f, C3, ConvBnAct,
                                        ConvTranspose, DWConv, Focus,
                                        GhostConv, HGBlock, HGStem, RepC3,
-                                       SPPF, concat, upsample2x)
+                                       RepConv, SPPF, concat, upsample2x)
 
 HEAD_MODULES = {"MOTRTrack", "RTDETRDecoder", "MYDecoder", "Detect", "Segment",
                 "Pose", "Classify"}
@@ -138,6 +138,11 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
             shortcut = bool(args[1]) if len(args) > 1 else (mod == "C3")
             nodes.append(NodeSpec(i, frm_t, mod, n_rep, (c2, shortcut), c2))
             st = in_stride(frm_t[0]) if node_stride else 1
+        elif mod == "RepConv":
+            # n chained re-param convs (YOLO-NAS QSP/QCI stage shape)
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            nodes.append(NodeSpec(i, frm_t, "RepConv", n_rep, (c2,), c2))
+            st = in_stride(frm_t[0])
         elif mod == "RepC3":
             c2 = make_divisible(min(args[0], max_channels) * width)
             nodes.append(NodeSpec(i, frm_t, "RepC3", n_rep, (c2,), c2))
@@ -239,6 +244,11 @@ class BackboneNeck(nn.Module):
                 c2, shortcut = node.args
                 y = C3(c2, node.repeats, shortcut, dtype=self.dtype,
                        name=f"n{node.index}")(ins[0], train)
+            elif node.module == "RepConv":
+                y = ins[0]
+                for r in range(node.repeats):
+                    y = RepConv(node.args[0], dtype=self.dtype,
+                                name=f"n{node.index}_{r}")(y, train)
             elif node.module == "RepC3":
                 y = RepC3(node.args[0], node.repeats, dtype=self.dtype,
                           name=f"n{node.index}")(ins[0], train)

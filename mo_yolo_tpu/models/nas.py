@@ -1,0 +1,129 @@
+"""YOLO-NAS family.
+
+The reference NAS family (`ultralytics/models/nas/`) wraps an external
+pretrained super-gradients supernet and adapts it to the predict/val
+surface (`model.py:27-60`, `predict.py`: boxes arrive already-decoded
+xyxy + per-class scores, then standard NMS). There is no in-repo
+architecture, so the TPU-native equivalent is a first-class model:
+`cfg/models/yolo_nas_s.yaml` (RepConv QSP/QCI stages, re-parameterizable
+under XLA fusion) + the anchor-free `YoloDetectHead`, with the NMS run
+ON DEVICE inside the jitted predict step (`detect.nms_fixed`) — the
+whole frame pipeline is one compiled program with fixed output slots.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mo_yolo_tpu.models.detect import YoloDetectHead, nms_fixed
+from mo_yolo_tpu.models.graph import BackboneNeck, GraphSpec, parse_model_yaml
+
+
+class NASModel(nn.Module):
+    """Backbone/neck graph + anchor-free detect head + on-device NMS."""
+
+    spec: GraphSpec
+    max_det: int = 300
+    conf: float = 0.001
+    iou: float = 0.7
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = BackboneNeck(self.spec, dtype=self.dtype)
+        self.head = YoloDetectHead(self.spec.nc, self.spec.out_strides,
+                                   dtype=self.dtype)
+
+    def __call__(self, images, train: bool = False, raw: bool = False):
+        feats = self.backbone(images, train=train)
+        return self.head(feats, raw=raw)
+
+    def predict_step(self, images):
+        """One jitted step -> (boxes cxcywh [B,max_det,4] normalized,
+        scores [B,max_det], cls [B,max_det]); suppressed slots have
+        score 0. Matches `DetectionModel.predict_step`'s contract so the
+        standalone `DetectionValidator` drives either family."""
+        boxes, cls_p = self(images, train=False)     # xyxy px, [B,S,nc]
+        size = jnp.asarray(images.shape[1], boxes.dtype)
+
+        def one(b, c):
+            bb, ss, cc, valid = nms_fixed(b, c.max(-1), jnp.argmax(c, -1),
+                                          iou_thresh=self.iou,
+                                          conf_thresh=self.conf,
+                                          max_det=self.max_det)
+            cxy = (bb[:, :2] + bb[:, 2:]) / 2 / size
+            wh = (bb[:, 2:] - bb[:, :2]) / size
+            return (jnp.concatenate([cxy, wh], -1), ss * valid,
+                    cc.astype(jnp.int32))
+
+        return jax.vmap(one)(boxes, cls_p)
+
+
+class NAS:
+    """Reference-shaped facade (`nas/model.py`): predict/val/export over
+    a yolo_nas graph; weight loading comes from orbax params (no
+    super-gradients checkpoints in a TPU deployment)."""
+
+    def __init__(self, model: str = "yolo_nas_s.yaml", nc: Optional[int] = None,
+                 imgsz: int = 640, dtype: str = "float32",
+                 names: Optional[Dict[int, str]] = None, seed: int = 0,
+                 max_det: int = 300):
+        jdt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+        from mo_yolo_tpu.api import _resolve_model_cfg
+        spec = parse_model_yaml(_resolve_model_cfg(str(model)), nc=nc)
+        self.model = NASModel(spec=spec, dtype=jdt, max_det=max_det)
+        self.imgsz = imgsz
+        self.names = names or {}
+        self.task = "detect"
+        self.variables = self.model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, imgsz, imgsz, 3)))
+        self._step = jax.jit(lambda v, x: self.model.apply(
+            v, x, method=self.model.predict_step))
+
+    def predict(self, source, conf: float = 0.25):
+        from mo_yolo_tpu.data.letterbox import boxes_to_original, preprocess
+        from mo_yolo_tpu.data.loaders import make_source
+        from mo_yolo_tpu.engine.results import TrackResults
+
+        for path, img in make_source(source):
+            x, meta = preprocess(img, self.imgsz, scale_fill=True)
+            boxes, scores, cls = self._step(self.variables, jnp.asarray(x))
+            b = np.asarray(boxes[0], np.float32)
+            s = np.asarray(scores[0], np.float32)
+            c = np.asarray(cls[0])
+            keep = s >= conf
+            size = self.imgsz
+            xyxy = np.stack([(b[:, 0] - b[:, 2] / 2) * size,
+                             (b[:, 1] - b[:, 3] / 2) * size,
+                             (b[:, 0] + b[:, 2] / 2) * size,
+                             (b[:, 1] + b[:, 3] / 2) * size], 1)[keep]
+            yield TrackResults(boxes_xyxy=boxes_to_original(xyxy, meta),
+                               conf=s[keep], cls=c[keep].astype(int),
+                               track_id=np.full(int(keep.sum()), -1),
+                               orig_shape=meta["orig_shape"], path=path,
+                               names=self.names, orig_img=img)
+
+    __call__ = predict
+
+    def val(self, data, max_gt: int = 64) -> Dict[str, float]:
+        from mo_yolo_tpu.engine.validator import DetectionValidator
+
+        if isinstance(data, str):
+            from mo_yolo_tpu.data.dataset import load_dataset_yaml
+            d = load_dataset_yaml(data)
+            files = d["val"]
+            self.names = self.names or d["names"]
+        else:
+            files = list(data)
+        v = DetectionValidator(self.model, self.variables, imgsz=self.imgsz,
+                               conf=0.001)
+        return v(files, max_gt=max_gt)
+
+    def info(self):
+        n = sum(x.size for x in jax.tree.leaves(self.variables))
+        return {"params": int(n), "nc": self.model.spec.nc,
+                "strides": tuple(self.model.spec.out_strides)}
