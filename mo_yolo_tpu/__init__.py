@@ -22,14 +22,18 @@ Reference layer map: see /root/repo/SURVEY.md (reference repo liaopan-lp/MO-YOLO
 
 __version__ = "0.1.0"
 
-__all__ = ["MOTRTrack", "YOLO", "SAM", "FastSAM", "__version__"]
+__all__ = ["MOTRTrack", "YOLO", "RTDETR", "SAM", "FastSAM", "NAS",
+           "__version__"]
 
 
 def __getattr__(name):
     # lazy: keep `import mo_yolo_tpu.ops` cheap (no jax tracing at import)
-    if name in ("MOTRTrack", "YOLO"):
+    if name in ("MOTRTrack", "YOLO", "RTDETR"):
         from mo_yolo_tpu import api
         return getattr(api, name)
+    if name == "NAS":
+        from mo_yolo_tpu.models.nas import NAS
+        return NAS
     if name == "SAM":
         from mo_yolo_tpu.models.sam import SAM
         return SAM

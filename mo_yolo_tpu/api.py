@@ -381,6 +381,16 @@ class Detector:
                 orig_img=r.orig_img)
 
 
+class RTDETR(Detector):
+    """RT-DETR family facade (reference `models/rtdetr/model.py`): the
+    detect-only decoder model under its published name. Defaults to the
+    AIFI/HGNetV2-style `detr_track.yaml` graph; identical surface to
+    `Detector` (set prediction, no NMS)."""
+
+    def __init__(self, model: str = "detr_track.yaml", **kw):
+        super().__init__(model, **kw)
+
+
 class YOLO:
     """Generic facade routing by task (reference `engine/model.py`)."""
 
@@ -390,6 +400,8 @@ class YOLO:
             return MOTRTrack(model, **kw)
         if task == "detect":
             return Detector(model, **kw)
+        if task == "rtdetr":
+            return RTDETR(model, **kw)
         raise NotImplementedError(
             f"task {task!r} not yet implemented in mo_yolo_tpu "
-            "(available: 'track', 'detect')")
+            "(available: 'track', 'detect', 'rtdetr')")

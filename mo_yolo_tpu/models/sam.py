@@ -343,7 +343,12 @@ class MaskDecoder(nn.Module):
 # full model + API
 # --------------------------------------------------------------------- #
 class SAMModel(nn.Module):
-    """`embed` once per image, `decode` per prompt batch (both jittable)."""
+    """`embed` once per image, `decode` per prompt batch (both jittable).
+
+    encoder='vit' -> ImageEncoderViT (sam_b/l/h); encoder='tiny' ->
+    TinyViT (MobileSAM, `build.py:55-64`). Both produce the same
+    [B, img/16, img/16, 256] embedding, so prompt/mask decoding is
+    identical."""
 
     img_size: int = 1024
     dim: int = 768
@@ -351,14 +356,20 @@ class SAMModel(nn.Module):
     num_heads: int = 12
     global_idx: Tuple[int, ...] = (2, 5, 8, 11)
     window: int = 14
+    encoder: str = "vit"
     dtype: Any = jnp.float32
 
     def setup(self):
         g = self.img_size // 16
-        self.image_encoder = ImageEncoderViT(
-            img_size=self.img_size, dim=self.dim, depth=self.depth,
-            num_heads=self.num_heads, global_idx=self.global_idx,
-            window=self.window, dtype=self.dtype)
+        if self.encoder == "tiny":
+            from mo_yolo_tpu.models.sam_tiny import TinyViT
+            self.image_encoder = TinyViT(img_size=self.img_size,
+                                         dtype=self.dtype)
+        else:
+            self.image_encoder = ImageEncoderViT(
+                img_size=self.img_size, dim=self.dim, depth=self.depth,
+                num_heads=self.num_heads, global_idx=self.global_idx,
+                window=self.window, dtype=self.dtype)
         self.prompt_encoder = PromptEncoder(grid=g, img_size=self.img_size,
                                             dtype=self.dtype)
         self.mask_decoder = MaskDecoder(dtype=self.dtype)
@@ -394,8 +405,15 @@ _VARIANTS = {   # build.py:22-53
 
 def build_sam(variant: str = "b", img_size: int = 1024,
               dtype=jnp.float32) -> SAMModel:
-    return SAMModel(img_size=img_size, dtype=dtype,
-                    **_VARIANTS[variant.lower().lstrip("vit_")])
+    v = variant.lower().lstrip("vit_")
+    if v in ("mobile", "mobile_sam", "t", "tiny"):
+        return build_mobile_sam(img_size, dtype)
+    return SAMModel(img_size=img_size, dtype=dtype, **_VARIANTS[v])
+
+
+def build_mobile_sam(img_size: int = 1024, dtype=jnp.float32) -> SAMModel:
+    """MobileSAM: TinyViT encoder + the standard SAM decoders."""
+    return SAMModel(img_size=img_size, encoder="tiny", dtype=dtype)
 
 
 class SAM:

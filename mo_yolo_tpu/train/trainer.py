@@ -43,17 +43,32 @@ class EarlyStopping:
 
 class TrackTrainer:
     def __init__(self, api_model, data: str, epochs: int = 1, batch: int = 1,
-                 clip_len: int = 5, lr: float = 1e-4, max_gt: int = 64,
+                 clip_len=5, lr: float = 1e-4, max_gt: int = 64,
                  save_dir: str = "runs/track", seed: int = 0,
                  val_every: int = 0, log_every: int = 10,
                  patience: int = 50, callbacks=None,
                  resume: bool = False, accumulate: int = 1,
-                 augment: bool = False, hyp=None):
+                 augment: bool = False, hyp=None, clip_stages=None):
         self.api = api_model
         self.data = data
         self.epochs = epochs
         self.batch = batch
-        self.clip_len = clip_len
+        # progressive clip length (MOTR `sampler_lengths`/`sampler_steps`,
+        # `MOTR/main.py:172-173`): clip_len may be a list, advancing at the
+        # epochs in clip_stages. Each stage is its own compiled scan length;
+        # params/EMA/optimizer state carry across stages unchanged (none of
+        # them depend on T).
+        if isinstance(clip_len, (list, tuple)):
+            self.clip_lens = [int(t) for t in clip_len]
+            self.clip_stages = [int(e) for e in (clip_stages or [])]
+            if len(self.clip_stages) != len(self.clip_lens) - 1:
+                raise ValueError(
+                    f"clip_stages needs {len(self.clip_lens) - 1} epoch "
+                    f"thresholds for clip_len={self.clip_lens}")
+        else:
+            self.clip_lens = [int(clip_len)]
+            self.clip_stages = []
+        self.clip_len = self.clip_lens[0]
         self.lr = lr
         self.max_gt = max_gt
         self.save_dir = Path(save_dir)
@@ -93,25 +108,50 @@ class TrackTrainer:
                 translate=float(hyp.get("translate", 0.05)),
                 scale=float(hyp.get("scale", 0.2)),
                 seed=self.seed)
-        ds = TrackDataset(d["train"], imgsz=self.api.imgsz,
-                          max_gt=self.max_gt, clip_len=self.clip_len,
-                          augmenter=augmenter, verify=True,
-                          cache_images=True)
-        n_clips = len(ds.clips)
-        if n_clips == 0:
-            raise ValueError("no clips found — dataset too small for "
-                             f"clip_len={self.clip_len}")
-        steps_per_epoch = max(n_clips // self.batch, 1)
         model = self.api.model
         lcfg = LossConfig(nc=model.spec.nc)
-        # LR schedule advances per EMITTED optimizer step (MultiSteps calls
-        # the inner update once per `accumulate` mini-steps)
-        tcfg = TrainConfig(
-            clip_len=self.clip_len, lr=self.lr, accumulate=self.accumulate,
-            total_steps=max(self.epochs * steps_per_epoch // self.accumulate,
-                            1))
-        mesh = make_mesh()
-        init_fn, step = make_sharded_train_step(model, lcfg, tcfg, mesh)
+        # the batch (stream) axis shards over the mesh, so the mesh size
+        # must divide the batch — clamp to gcd(batch, n_devices) the way
+        # the reference clamps DDP world size to available GPUs
+        import math
+        n_dev = math.gcd(self.batch, len(jax.devices()))
+        mesh = make_mesh(jax.devices()[:n_dev])
+
+        def stage_for(epoch: int) -> int:
+            s = 0
+            for thr in self.clip_stages:
+                if epoch >= thr:
+                    s += 1
+            return s
+
+        total_steps = None      # fixed across stages so the LR schedule
+                                # (and optax state structure) is identical
+
+        def build_stage(T: int):
+            nonlocal total_steps
+            ds = TrackDataset(d["train"], imgsz=self.api.imgsz,
+                              max_gt=self.max_gt, clip_len=T,
+                              augmenter=augmenter, verify=True,
+                              cache_images=True)
+            n_clips = len(ds.clips)
+            if n_clips == 0:
+                raise ValueError("no clips found — dataset too small for "
+                                 f"clip_len={T}")
+            steps_per_epoch = max(n_clips // self.batch, 1)
+            if total_steps is None:
+                # LR schedule advances per EMITTED optimizer step
+                # (MultiSteps calls the inner update once per `accumulate`
+                # mini-steps)
+                total_steps = max(
+                    self.epochs * steps_per_epoch // self.accumulate, 1)
+            tcfg = TrainConfig(clip_len=T, lr=self.lr,
+                               accumulate=self.accumulate,
+                               total_steps=total_steps)
+            init_fn, step = make_sharded_train_step(model, lcfg, tcfg, mesh)
+            return ds, steps_per_epoch, init_fn, step
+
+        cur_stage = 0
+        ds, steps_per_epoch, init_fn, step = build_stage(self.clip_lens[0])
         ts = init_fn(self.api.variables)
 
         # ---- resume (reference `engine/trainer.py:621-671`) ----
@@ -136,9 +176,9 @@ class TrackTrainer:
                            "starting fresh")
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), start_epoch)
 
-        LOGGER.info(f"training: {len(ds)} frames, {n_clips} clips, "
+        LOGGER.info(f"training: {len(ds)} frames, {len(ds.clips)} clips, "
                     f"{steps_per_epoch} steps/epoch x {self.epochs} epochs, "
-                    f"mesh={mesh.devices.shape}")
+                    f"clip_len={self.clip_lens}, mesh={mesh.devices.shape}")
         self.save_dir.mkdir(parents=True, exist_ok=True)
         csv_path = self.save_dir / "results.csv"
         csv_rows = ["epoch,step,loss,grad_norm,num_objects,sec_per_step"]
@@ -146,6 +186,13 @@ class TrackTrainer:
         metrics: Dict[str, float] = {}
 
         for epoch in range(start_epoch, self.epochs):
+            if stage_for(epoch) != cur_stage:
+                cur_stage = stage_for(epoch)
+                T = self.clip_lens[cur_stage]
+                LOGGER.info(f"epoch {epoch}: clip_len -> {T} "
+                            "(progressive sampler stage switch)")
+                ds, steps_per_epoch, _, step = build_stage(T)
+                self.clip_len = T
             self.callbacks.fire("on_train_epoch_start", trainer=self,
                                 epoch=epoch)
             t_ep = time.time()

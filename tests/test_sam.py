@@ -95,3 +95,19 @@ def test_variant_table():
     assert _VARIANTS["h"]["dim"] == 1280
     m = build_sam("vit_b", img_size=64)
     assert isinstance(m, SAMModel) and m.dim == 768
+
+
+def test_mobile_sam_tinyvit_encoder():
+    """TinyViT (MobileSAM) produces the same embedding contract as the ViT
+    encoder and drives the same decoders (`build.py:55-64`)."""
+    from mo_yolo_tpu.models.sam import SAM, build_sam
+
+    m = build_sam("mobile", img_size=64)
+    assert m.encoder == "tiny"
+    sam = SAM(img_size=64, max_points=4, encoder="tiny")
+    img = (np.random.default_rng(2).uniform(0, 1, (64, 64, 3)) * 255
+           ).astype(np.uint8)
+    out = sam(img, points=[[32, 32]])
+    assert out["masks"].shape == (1, 64, 64)
+    emb, _ = sam._emb_cache
+    assert emb.shape == (4, 4, 256)   # img/16 grid, 256ch — ViT contract

