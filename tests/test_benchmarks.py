@@ -1,0 +1,20 @@
+"""Export-format benchmark harness test (reference `utils/benchmarks.py`)."""
+
+import numpy as np
+
+
+def test_benchmark_formats(tmp_path):
+    from mo_yolo_tpu.api import MOTRTrack
+    from mo_yolo_tpu.utils.benchmarks import benchmark
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
+                  nq=8, ndl=1, d_ffn=32, hd=32, num_denoising=4)
+    rows = benchmark(m, imgsz=64, formats=["live", "params", "jaxexport"],
+                     out_dir=str(tmp_path), n_iter=2)
+    by = {r["format"]: r for r in rows}
+    assert by["live"]["ok"]
+    assert by["params"]["ok"] and by["params"]["size_mb"] > 0
+    assert by["jaxexport"]["ok"] and by["jaxexport"]["max_err"] <= 2e-2
+    for r in rows:
+        if r["ok"] and r["ms_per_frame"] is not None:
+            assert r["ms_per_frame"] > 0
