@@ -440,6 +440,21 @@ class SAM:
             v, e, p, l, method=self.model.decode))
         self._emb_cache = None
 
+    def load_torch(self, path: str, strict: bool = True):
+        """Load an official `sam_vit_*.pt` checkpoint (reference
+        `build.py:105-112`). Accepts a path or an in-memory state_dict."""
+        from mo_yolo_tpu.utils.sam_import import import_sam_torch_weights
+        sd = path
+        if isinstance(path, str):
+            import torch
+            sd = torch.load(path, map_location="cpu")
+            sd = sd.get("model", sd) if isinstance(sd, dict) else sd
+            sd = {k: v.numpy() for k, v in sd.items()}
+        self.variables = import_sam_torch_weights(
+            self.variables, sd, depth=self.model.depth, strict=strict)
+        self._emb_cache = None
+        return self
+
     # -- prompt plumbing ------------------------------------------------ #
     def _pack(self, points, labels, boxes):
         """-> [B,P,2] coords + [B,P] labels, one row per prompt set."""

@@ -1,0 +1,131 @@
+"""SAM torch-checkpoint import: full-coverage synthetic state_dict must
+map onto every flax leaf (methodology mirrors the track-model importer
+test: no real weights ship in-repo, so coverage is proven by inverting
+the mapping)."""
+
+import numpy as np
+import pytest
+
+
+def _synthetic_state_dict(variables, depth):
+    """Build a torch-shaped state_dict by inverting the importer rules."""
+    import jax
+    from mo_yolo_tpu.utils import sam_import as si
+
+    rules = {}
+    rules.update(si._vit_rules(depth))
+    rules.update(si._prompt_rules())
+    rules.update(si._decoder_rules())
+    inverse = {si._lin: lambda w: np.asarray(w).T,
+               si._conv: lambda w: np.asarray(w).transpose(3, 2, 0, 1),
+               si._convT: lambda w: np.asarray(w).transpose(2, 3, 0, 1),
+               si._id: np.asarray}
+
+    sd = {}
+    rng = np.random.default_rng(0)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        keys = tuple(getattr(p, "key", None) for p in path)
+        keys = tuple(k for k in keys if k is not None)
+        sub = keys[1:] if keys[0] == "params" else keys
+        val = rng.normal(size=np.shape(leaf)).astype(np.float32)
+        if sub == ("prompt_encoder", "type_embed"):
+            names = ["prompt_encoder.not_a_point_embed.weight"] + [
+                f"prompt_encoder.point_embeddings.{i}.weight"
+                for i in range(4)]
+            for i, n in enumerate(names):
+                sd[n] = val[i:i + 1]
+            continue
+        rule = rules.get(sub)
+        assert rule is not None, f"no rule for {sub}"
+        tk, tf = rule
+        inv = None
+        for fwd, back in inverse.items():
+            if tf is fwd:
+                inv = back
+        if inv is None:  # lambda for single-row embeddings
+            sd[tk] = val[None]
+            continue
+        sd[tk] = inv(val)
+    # plus a buffer that must be skipped silently
+    sd["pixel_mean"] = np.zeros((3, 1, 1), np.float32)
+    return sd
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    import jax
+    import jax.numpy as jnp
+    from mo_yolo_tpu.models.sam import SAMModel, PAD
+
+    model = SAMModel(img_size=64, dim=32, depth=2, num_heads=2,
+                     global_idx=(1,), window=4)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   jnp.zeros((1, 4, 2)),
+                   jnp.full((1, 4), PAD, jnp.int32))
+    return model, v
+
+
+def test_full_coverage_roundtrip(tiny):
+    import jax
+    from mo_yolo_tpu.utils.sam_import import import_sam_torch_weights
+
+    model, v = tiny
+    sd = _synthetic_state_dict(v, depth=2)
+    v2 = import_sam_torch_weights(v, sd, depth=2, strict=True)
+    # every leaf replaced (not equal to init) and shapes preserved
+    changed = 0
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v)[0],
+            jax.tree_util.tree_flatten_with_path(v2)[0]):
+        assert np.shape(a) == np.shape(b)
+        if not np.allclose(np.asarray(a), np.asarray(b)):
+            changed += 1
+    n_leaves = len(jax.tree_util.tree_flatten(v)[0])
+    assert changed >= n_leaves - 2   # init zeros may collide by chance
+
+    # linear-weight transpose is applied: pick one known leaf
+    qkv = np.asarray(
+        v2["params"]["image_encoder"]["block0"]["attn"]["qkv"]["kernel"])
+    np.testing.assert_allclose(
+        qkv, sd["image_encoder.blocks.0.attn.qkv.weight"].T)
+
+
+def test_strict_flags_missing_and_unused(tiny):
+    from mo_yolo_tpu.utils.sam_import import import_sam_torch_weights
+
+    model, v = tiny
+    sd = _synthetic_state_dict(v, depth=2)
+    sd.pop("mask_decoder.iou_token.weight")
+    sd["mask_decoder.bogus.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="incomplete"):
+        import_sam_torch_weights(v, sd, depth=2, strict=True)
+    # non-strict: best effort, no raise
+    import_sam_torch_weights(v, sd, depth=2, strict=False)
+
+
+def test_shape_mismatch_raises(tiny):
+    from mo_yolo_tpu.utils.sam_import import import_sam_torch_weights
+
+    model, v = tiny
+    sd = _synthetic_state_dict(v, depth=2)
+    sd["image_encoder.pos_embed"] = np.zeros((1, 2, 2, 32), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_sam_torch_weights(v, sd, depth=2, strict=True)
+
+
+def test_facade_load_torch_statedict(tiny):
+    """SAM.load_torch accepts an in-memory state_dict and swaps weights."""
+    from mo_yolo_tpu.models.sam import SAM
+    import numpy as np
+
+    sam = SAM(img_size=64, max_points=4, dim=32, depth=2, num_heads=2,
+              global_idx=(1,), window=4)
+    sd = _synthetic_state_dict(sam.variables, depth=2)
+    before = np.asarray(
+        sam.variables["params"]["mask_decoder"]["iou_token"]).copy()
+    sam.load_torch(sd)
+    after = np.asarray(sam.variables["params"]["mask_decoder"]["iou_token"])
+    assert not np.allclose(before, after)
+    img = np.full((64, 64, 3), 128, np.uint8)
+    out = sam(img, points=[[32, 32]])       # still runs end-to-end
+    assert out["masks"].shape == (1, 64, 64)
