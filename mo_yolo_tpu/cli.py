@@ -18,8 +18,8 @@ from typing import Any, Dict
 
 from mo_yolo_tpu.utils.logging import LOGGER
 
-TASKS = ("track", "detect")
-MODES = ("train", "val", "predict", "export", "bench")
+TASKS = ("track", "detect", "rtdetr", "nas", "sam", "fastsam")
+MODES = ("train", "val", "predict", "export", "bench", "benchmark")
 
 
 def parse_kv(args) -> Dict[str, Any]:
@@ -53,17 +53,55 @@ def main(argv=None):
                          f"<{'|'.join(MODES)}> k=v ...")
     mode, kv = rest[0], parse_kv(rest[1:])
 
-    from mo_yolo_tpu.api import MOTRTrack
-
-    model_arg = kv.pop("model", "yolo_track.yaml")
+    model_arg = kv.pop("model", None)
     imgsz = kv.pop("imgsz", 640)
 
     if mode == "bench":
         import subprocess
         return subprocess.call([sys.executable, "bench.py", str(imgsz)])
+    if mode == "benchmark":
+        from mo_yolo_tpu.utils.benchmarks import benchmark
+        benchmark(imgsz=imgsz, **kv)
+        return 0
 
-    m = MOTRTrack(model_arg, imgsz=imgsz,
-                  dtype=kv.pop("dtype", "bfloat16"))
+    if task in ("sam", "fastsam"):
+        return _segment_anything(task, mode, model_arg, imgsz, kv)
+
+    if task == "detect":
+        from mo_yolo_tpu.api import Detector as cls
+        model_arg = model_arg or "yolo_track.yaml"
+    elif task == "rtdetr":
+        from mo_yolo_tpu.api import RTDETR as cls
+        model_arg = model_arg or "detr_track.yaml"
+    elif task == "nas":
+        from mo_yolo_tpu.models.nas import NAS as cls
+        model_arg = model_arg or "yolo_nas_s.yaml"
+    else:
+        from mo_yolo_tpu.api import MOTRTrack as cls
+        model_arg = model_arg or "yolo_track.yaml"
+
+    if task == "track":
+        m = cls(model_arg, imgsz=imgsz, dtype=kv.pop("dtype", "bfloat16"))
+    else:
+        m = cls(model_arg, imgsz=imgsz)
+        if mode == "predict":
+            n = 0
+            for r in m.predict(kv.pop("source"),
+                               conf=kv.pop("conf", 0.25)):
+                n += 1
+                LOGGER.info(f"{r.path}: {len(r)} detections")
+            LOGGER.info(f"processed {n} frames")
+            return 0
+        if mode == "val":
+            metrics = m.val(kv.pop("data"))
+            LOGGER.info(" ".join(f"{k}={v:.2f}" if isinstance(v, float)
+                                 else f"{k}={v}"
+                                 for k, v in metrics.items()))
+            return 0
+        if mode == "train":
+            m.train(kv.pop("data"), **kv)
+            return 0
+        raise SystemExit(f"mode {mode!r} not supported for task {task!r}")
     if mode == "predict":
         source = kv.pop("source")
         save_mot = kv.pop("save_mot", None)
@@ -85,6 +123,34 @@ def main(argv=None):
         out = m.export(fmt=kv.pop("format", "stablehlo"),
                        path=kv.pop("path", "model_export"))
         LOGGER.info(f"exported to {out}")
+    return 0
+
+
+def _segment_anything(task, mode, model_arg, imgsz, kv):
+    """`sam`/`fastsam` predict: everything-mode or prompted segmentation,
+    masks + boxes logged (reference `yolo sam predict source=...`)."""
+    if mode != "predict":
+        raise SystemExit(f"task {task!r} supports only predict")
+    from mo_yolo_tpu.data.loaders import make_source
+
+    if task == "sam":
+        from mo_yolo_tpu.models.sam import SAM
+        m = SAM(variant=str(model_arg or "b"), img_size=imgsz)
+        weights = kv.pop("weights", None)
+        if weights:
+            m.load_torch(weights)
+    else:
+        from mo_yolo_tpu.models.fastsam import FastSAM
+        m = FastSAM(str(model_arg or "yolo_track.yaml"), imgsz=imgsz)
+    n = 0
+    for path, img in make_source(kv.pop("source")):
+        if task == "sam":
+            out = m.generate(img, grid=kv.get("grid", 8))
+        else:
+            out = m.everything(img)
+        LOGGER.info(f"{path}: {len(out['masks'])} masks")
+        n += 1
+    LOGGER.info(f"processed {n} frames")
     return 0
 
 

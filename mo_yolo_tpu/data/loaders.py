@@ -224,6 +224,39 @@ class StreamSource:
             pipe.close()
 
 
+class ScreenshotSource:
+    """Screen-capture frames (reference `LoadScreenshots`,
+    `loaders.py:123-152`: mss-based). Gated on the `mss` package; screen
+    geometry is (monitor, left, top, width, height) like the reference's
+    `screen 0 100 100 512 256` source syntax."""
+
+    def __init__(self, spec: str = "screen", max_frames: int = 0):
+        try:
+            import mss  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "screenshot sources need the `mss` package") from e
+        parts = str(spec).split()
+        self.monitor = int(parts[1]) if len(parts) > 1 else 0
+        self.region = [int(p) for p in parts[2:6]] if len(parts) >= 6 else None
+        self.max_frames = max_frames
+
+    def __iter__(self) -> Iterator[Tuple[str, np.ndarray]]:
+        import mss
+
+        with mss.mss() as sct:
+            mon = sct.monitors[self.monitor]
+            if self.region:
+                left, top, w, h = self.region
+                mon = {"left": mon["left"] + left, "top": mon["top"] + top,
+                       "width": w, "height": h}
+            i = 0
+            while not self.max_frames or i < self.max_frames:
+                shot = np.asarray(sct.grab(mon))[..., :3][..., ::-1]  # BGRA->RGB
+                yield f"screen_{i:06d}", np.ascontiguousarray(shot)
+                i += 1
+
+
 class TensorSource:
     """Pre-decoded tensors (reference `LoadTensor`, `loaders.py:280-307`):
     torch/jax/numpy [B,C,H,W] or [B,H,W,C], float in [0,1] or uint8 —
@@ -264,6 +297,8 @@ def make_source(source) -> Union["ImageFolderSource", "ArraySource",
         s = str(source)
         if s.isdigit():
             return StreamSource(s)
+        if s == "screen" or s.startswith("screen "):
+            return ScreenshotSource(s)
         if s.lower().startswith(STREAM_PREFIXES):
             return StreamSource(s)
         if Path(source).suffix.lower() in VID_EXTS:

@@ -100,6 +100,90 @@ class TensorBoardLogger:
             self.writer.close()
 
 
+class MLflowLogger:
+    """MLflow integration (reference `utils/callbacks/mlflow.py`): params
+    at train start, metrics per epoch, artifact at end. Inert unless the
+    `mlflow` package is importable AND MLFLOW_TRACKING_URI is set (the
+    reference gates on SETTINGS['mlflow'])."""
+
+    def __init__(self, run_name: str = "mo_yolo_tpu"):
+        import os
+        self.mlflow = None
+        if not os.environ.get("MLFLOW_TRACKING_URI"):
+            return
+        try:
+            import mlflow
+            self.mlflow = mlflow
+            mlflow.start_run(run_name=run_name)
+        except Exception:
+            self.mlflow = None
+
+    def on_start(self, trainer=None, **kw):
+        if self.mlflow is None or trainer is None:
+            return
+        params = {k: v for k, v in vars(trainer).items()
+                  if isinstance(v, (int, float, str, bool))}
+        self.mlflow.log_params(params)
+
+    def on_epoch(self, epoch: int = 0, metrics=None, **kw):
+        if self.mlflow is None or not metrics:
+            return
+        clean = {}
+        for k, v in metrics.items():
+            try:
+                clean[k.replace("(", "").replace(")", "")] = float(v)
+            except (TypeError, ValueError):
+                pass
+        self.mlflow.log_metrics(clean, step=epoch)
+
+    def on_end(self, **kw):
+        if self.mlflow is not None:
+            self.mlflow.end_run()
+
+
+class WandbLogger:
+    """Weights & Biases integration (reference `utils/callbacks/wb.py`).
+    Inert unless `wandb` imports and WANDB_API_KEY/WANDB_MODE is set."""
+
+    def __init__(self, project: str = "mo_yolo_tpu", every: int = 10):
+        import os
+        self.wb = None
+        self.every = max(every, 1)
+        if not (os.environ.get("WANDB_API_KEY") or
+                os.environ.get("WANDB_MODE")):
+            return
+        try:
+            import wandb
+            self.wb = wandb
+            wandb.init(project=project)
+        except Exception:
+            self.wb = None
+
+    def on_batch(self, step: int = 0, metrics=None, **kw):
+        if self.wb is None or metrics is None or step % self.every:
+            return
+        self.wb.log({f"train/{k}": float(v) for k, v in metrics.items()
+                     if _is_scalar(v)}, step=step)
+
+    def on_epoch(self, epoch: int = 0, metrics=None, **kw):
+        if self.wb is None or not metrics:
+            return
+        self.wb.log({f"val/{k}": float(v) for k, v in metrics.items()
+                     if _is_scalar(v)})
+
+    def on_end(self, **kw):
+        if self.wb is not None:
+            self.wb.finish()
+
+
+def _is_scalar(v) -> bool:
+    try:
+        float(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
 def default_callbacks(save_dir: str = "runs/track",
                       tensorboard: bool = True) -> CallbackBus:
     bus = CallbackBus()
@@ -112,4 +196,14 @@ def default_callbacks(save_dir: str = "runs/track",
             bus.add("on_train_batch_end", tb.on_batch)
             bus.add("on_train_epoch_end", tb.on_epoch)
             bus.add("on_train_end", tb.close)
+    ml = MLflowLogger()
+    if ml.mlflow is not None:
+        bus.add("on_train_start", ml.on_start)
+        bus.add("on_train_epoch_end", ml.on_epoch)
+        bus.add("on_train_end", ml.on_end)
+    wb = WandbLogger()
+    if wb.wb is not None:
+        bus.add("on_train_batch_end", wb.on_batch)
+        bus.add("on_train_epoch_end", wb.on_epoch)
+        bus.add("on_train_end", wb.on_end)
     return bus

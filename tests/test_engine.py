@@ -277,3 +277,22 @@ def test_export_saved_model_roundtrip(tmp_path):
     _, out_tf = mod.f(tf_state, tf.constant(np.asarray(frame)))
     np.testing.assert_allclose(np.asarray(out_tf), np.asarray(out_jax),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_cli_task_routing(tmp_path):
+    """CLI routes detect/nas/sam tasks (reference `yolo <task> <mode>`)."""
+    import numpy as np
+    from PIL import Image
+    from mo_yolo_tpu.cli import main, parse_kv
+
+    assert parse_kv(["a=1", "b=true", "c=x.yaml"]) == \
+        {"a": 1, "b": True, "c": "x.yaml"}
+    for i in range(2):
+        Image.fromarray(np.full((48, 48, 3), 90, np.uint8)).save(
+            tmp_path / f"{i}.jpg")
+    rc = main(["detect", "predict", "model=tests/tiny_detr.yaml",
+               f"source={tmp_path}", "imgsz=64"])
+    assert rc == 0
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["nas", "export", "format=params"])   # unsupported combo
