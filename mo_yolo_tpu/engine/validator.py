@@ -245,3 +245,100 @@ class DetectionValidator:
         out = det.compute()
         out["fps"] = len(ds) / max(time.perf_counter() - t0, 1e-9)
         return out
+
+
+class SegmentationValidator:
+    """Mask + box mAP loop (reference `models/yolo/segment/val.py`):
+    polygon labels rasterized at proto resolution, predictions from the
+    jitted SegmentationModel.predict_step (NMS on device), mask mAP via
+    mask-IoU at the same 10 thresholds as boxes."""
+
+    def __init__(self, model, variables, imgsz: int = 256,
+                 mask_size: int = 0):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.imgsz = imgsz
+        self.mask_size = mask_size or imgsz // 4   # proto resolution
+        self._step = jax.jit(
+            lambda v, x: model.apply(v, x, method=model.predict_step))
+
+    def __call__(self, img_files: List[str]) -> Dict[str, float]:
+        import jax.numpy as jnp
+        from mo_yolo_tpu.data.dataset import img2label_path
+        from mo_yolo_tpu.data.letterbox import preprocess
+        from mo_yolo_tpu.data.loaders import load_image
+        from mo_yolo_tpu.data.seg_pose_labels import (
+            parse_seg_label, polygons_to_boxes, rasterize_polygons)
+        from mo_yolo_tpu.metrics.segment_pose import SegmentMetrics
+        from mo_yolo_tpu.models.heads_extra import SegmentHead
+
+        m = SegmentMetrics(self.model.spec.nc)
+        t0 = time.perf_counter()
+        for f in img_files:
+            img = load_image(f)
+            x, _ = preprocess(img, self.imgsz, scale_fill=True)
+            boxes, scores, cls, coef, protos = self._step(
+                self.variables, jnp.asarray(x))
+            keep = np.asarray(scores[0]) > 0
+            pb = np.asarray(boxes[0])[keep] / self.imgsz
+            masks = np.asarray(
+                SegmentHead.masks(coef[:, keep], protos)[0]) > 0.5
+            ms = self.mask_size
+            if masks.shape[-1] != ms:
+                import jax
+                masks = np.asarray(jax.image.resize(
+                    jnp.asarray(masks, jnp.float32),
+                    (len(masks), ms, ms), "nearest")) > 0.5
+            gcls, polys = parse_seg_label(img2label_path(f))
+            gb = polygons_to_boxes(polys)
+            gm = rasterize_polygons(polys, ms)
+            m.update(pb * 1.0, masks, np.asarray(scores[0])[keep],
+                     np.asarray(cls[0])[keep], gb, gm, gcls)
+        out = m.compute()
+        out["fps"] = len(img_files) / max(time.perf_counter() - t0, 1e-9)
+        return out
+
+
+class PoseValidator:
+    """Keypoint OKS + box mAP loop (reference `models/yolo/pose/val.py`)."""
+
+    def __init__(self, model, variables, imgsz: int = 256):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.imgsz = imgsz
+        self._step = jax.jit(
+            lambda v, x: model.apply(v, x, method=model.predict_step))
+
+    def __call__(self, img_files: List[str]) -> Dict[str, float]:
+        import jax.numpy as jnp
+        from mo_yolo_tpu.data.dataset import img2label_path
+        from mo_yolo_tpu.data.letterbox import preprocess
+        from mo_yolo_tpu.data.loaders import load_image
+        from mo_yolo_tpu.data.seg_pose_labels import parse_pose_label
+        from mo_yolo_tpu.metrics.segment_pose import PoseMetrics
+
+        K = self.model.kpt_shape[0]
+        m = PoseMetrics(self.model.spec.nc)
+        t0 = time.perf_counter()
+        for f in img_files:
+            img = load_image(f)
+            x, _ = preprocess(img, self.imgsz, scale_fill=True)
+            boxes, scores, cls, kpts = self._step(self.variables,
+                                                  jnp.asarray(x))
+            keep = np.asarray(scores[0]) > 0
+            gcls, gboxes, gkpts = parse_pose_label(img2label_path(f), K)
+            s = self.imgsz
+            gk = gkpts.copy()
+            gk[..., :2] *= s
+            m.update(np.asarray(boxes[0])[keep],
+                     np.asarray(kpts[0])[keep],
+                     np.asarray(scores[0])[keep],
+                     np.asarray(cls[0])[keep],
+                     _xywhn2xyxy(gboxes, s), gk, gcls)
+        out = m.compute()
+        out["fps"] = len(img_files) / max(time.perf_counter() - t0, 1e-9)
+        return out

@@ -129,7 +129,7 @@ class YoloDetectHead(nn.Module):
 
 def nms_fixed(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray, cls: jnp.ndarray,
               iou_thresh: float = 0.7, conf_thresh: float = 0.25,
-              max_det: int = 300):
+              max_det: int = 300, extras=None):
     """Jittable class-aware NMS with fixed output size (reference
     `ops.non_max_suppression` surface): sort by score, greedy-suppress via
     the same fixed-point algorithm as the tracker's duplicate filter.
@@ -158,5 +158,10 @@ def nms_fixed(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray, cls: jnp.ndarray,
         buf = jnp.full((max_det + 1, *src.shape[1:]), fill, src.dtype)
         return buf.at[slot].set(src)[:max_det]
 
-    return (scat(b), scat(s), scat(c, fill=-1),
+    base = (scat(b), scat(s), scat(c, fill=-1),
             scat(ok.astype(jnp.int32)).astype(bool))
+    if extras is None:
+        return base
+    # per-anchor payloads (mask coefs, keypoints, ...) compact through the
+    # same keep/slot mapping, pre-sorted by the same score order
+    return base + tuple(scat(e[order]) for e in extras)

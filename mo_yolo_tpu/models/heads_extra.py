@@ -116,6 +116,76 @@ class PoseHead(nn.Module):
         return boxes, cls, jnp.concatenate([xy, vis], -1)
 
 
+class SegmentationModel(nn.Module):
+    """Backbone graph + SegmentHead + on-device NMS (the reference
+    SegmentationModel, `tasks.py:286-303`). `predict_step` returns
+    fixed-slot (boxes xyxy px, scores, cls, coef, protos)."""
+
+    spec: Any
+    nm: int = 32
+    max_det: int = 100
+    conf: float = 0.001
+    iou: float = 0.7
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from mo_yolo_tpu.models.graph import BackboneNeck
+        self.backbone = BackboneNeck(self.spec, dtype=self.dtype)
+        self.head = SegmentHead(self.spec.nc, self.nm,
+                                self.spec.out_strides, dtype=self.dtype)
+
+    def __call__(self, images, train: bool = False, raw: bool = False):
+        return self.head(self.backbone(images, train=train), train=train,
+                         raw=raw)
+
+    def predict_step(self, images):
+        from mo_yolo_tpu.models.detect import nms_fixed
+        boxes, cls_p, coef, protos = self(images, train=False)
+
+        def one(b, c, co):
+            bb, ss, cc, valid, cok = nms_fixed(
+                b, c.max(-1), jnp.argmax(c, -1), iou_thresh=self.iou,
+                conf_thresh=self.conf, max_det=self.max_det, extras=[co])
+            return bb, ss * valid, cc.astype(jnp.int32), cok
+
+        bb, ss, cc, cok = jax.vmap(one)(boxes, cls_p, coef)
+        return bb, ss, cc, cok, protos
+
+
+class PoseModel(nn.Module):
+    """Backbone graph + PoseHead + on-device NMS; `predict_step` returns
+    (boxes xyxy px, scores, cls, kpts [.,K,3])."""
+
+    spec: Any
+    kpt_shape: Tuple[int, int] = (17, 3)
+    max_det: int = 100
+    conf: float = 0.001
+    iou: float = 0.7
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from mo_yolo_tpu.models.graph import BackboneNeck
+        self.backbone = BackboneNeck(self.spec, dtype=self.dtype)
+        self.head = PoseHead(self.spec.nc, self.kpt_shape,
+                             self.spec.out_strides, dtype=self.dtype)
+
+    def __call__(self, images, train: bool = False, raw: bool = False):
+        return self.head(self.backbone(images, train=train), train=train,
+                         raw=raw)
+
+    def predict_step(self, images):
+        from mo_yolo_tpu.models.detect import nms_fixed
+        boxes, cls_p, kpts = self(images, train=False)
+
+        def one(b, c, k):
+            bb, ss, cc, valid, kk = nms_fixed(
+                b, c.max(-1), jnp.argmax(c, -1), iou_thresh=self.iou,
+                conf_thresh=self.conf, max_det=self.max_det, extras=[k])
+            return bb, ss * valid, cc.astype(jnp.int32), kk
+
+        return jax.vmap(one)(boxes, cls_p, kpts)
+
+
 class ClassifyHead(nn.Module):
     """Image classification head (reference `Classify`): conv -> GAP ->
     dense logits over the deepest feature map."""
