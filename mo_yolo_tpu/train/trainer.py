@@ -110,6 +110,15 @@ class TrackTrainer:
                 seed=self.seed)
         model = self.api.model
         lcfg = LossConfig(nc=model.spec.nc)
+        if self.batch == -1:
+            # autobatch (reference `check_train_batch_size`, batch=-1):
+            # per-device stream count from XLA compile-time memory
+            # analysis, scaled by device count
+            per_dev = self._autobatch(model, lcfg)
+            self.batch = per_dev * len(jax.devices())
+            LOGGER.info(f"autobatch: {per_dev} streams/device x "
+                        f"{len(jax.devices())} devices -> batch "
+                        f"{self.batch}")
         # the batch (stream) axis shards over the mesh, so the mesh size
         # must divide the batch — clamp to gcd(batch, n_devices) the way
         # the reference clamps DDP world size to available GPUs
@@ -251,6 +260,49 @@ class TrackTrainer:
         metrics["final_loss"] = -best_fitness if not metrics else \
             metrics.get("final_loss", -best_fitness)
         return metrics
+
+
+    def _autobatch(self, model, lcfg, candidates=(1, 2, 4, 8)) -> int:
+        """Largest per-device stream count whose compiled train step fits
+        in device memory (utils/autobatch.py semantics, applied to the
+        full clip train step at real shapes)."""
+        import jax
+        import jax.numpy as jnp
+        from mo_yolo_tpu.parallel.mesh import (make_mesh,
+                                               make_sharded_train_step)
+        from mo_yolo_tpu.train.train_step import TrainConfig
+        from mo_yolo_tpu.utils.autobatch import device_memory_bytes
+
+        T = self.clip_lens[0]
+        mesh = make_mesh(jax.devices()[:1])
+        init_fn, step = make_sharded_train_step(
+            model, lcfg, TrainConfig(clip_len=T, lr=self.lr,
+                                     total_steps=10), mesh)
+        ts = init_fn(self.api.variables)
+        s = self.api.imgsz
+        limit = device_memory_bytes()
+        best = candidates[0]
+        for b in candidates:
+            clip = {
+                "images": jnp.zeros((T, b, s, s, 3), jnp.float32),
+                "gt_cls": jnp.zeros((T, b, self.max_gt), jnp.int32),
+                "gt_boxes": jnp.zeros((T, b, self.max_gt, 4), jnp.float32),
+                "gt_track_id": jnp.zeros((T, b, self.max_gt), jnp.int32),
+                "gt_mask": jnp.ones((T, b, self.max_gt), bool),
+            }
+            try:
+                mem = step.lower(ts, clip, jax.random.PRNGKey(0)) \
+                    .compile().memory_analysis()
+                need = (getattr(mem, "temp_size_in_bytes", 0) +
+                        getattr(mem, "argument_size_in_bytes", 0) +
+                        getattr(mem, "output_size_in_bytes", 0))
+                if limit is not None and need > 0.9 * limit:
+                    break
+                best = b
+            except Exception as e:
+                LOGGER.warning(f"autobatch probe b={b} failed: {e}")
+                break
+        return best
 
 
 def np_to_jnp(x):

@@ -279,3 +279,18 @@ def test_trainer_progressive_clip_stages(tmp_path):
     csv = (root / "run" / "results.csv").read_text().splitlines()
     assert any(r.startswith("1,") for r in csv)  # epoch 1 ran (clip_len 3)
     assert np.isfinite(out.get("final_loss", np.nan))
+
+
+def test_autobatch_probe():
+    """batch=-1 resolves to a positive per-device stream count via XLA
+    memory analysis (reference check_train_batch_size semantics)."""
+    from mo_yolo_tpu.api import MOTRTrack
+    from mo_yolo_tpu.train.losses import LossConfig
+    from mo_yolo_tpu.train.trainer import TrackTrainer
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
+                  nq=8, ndl=1, d_ffn=32, hd=32, num_denoising=4)
+    t = TrackTrainer(m, data="x.yaml", clip_len=1, max_gt=4, batch=-1)
+    per_dev = t._autobatch(m.model, LossConfig(nc=m.model.spec.nc),
+                           candidates=(1, 2))
+    assert per_dev in (1, 2)
