@@ -391,6 +391,78 @@ class RTDETR(Detector):
         super().__init__(model, **kw)
 
 
+class _TaskModel:
+    """Shared facade for segment / pose / classify (reference task models,
+    `models/yolo/{segment,pose,classify}/`): train via the task trainers,
+    val via the task validators."""
+
+    def __init__(self, task: str, model: str = "yolo_track.yaml",
+                 nc: Optional[int] = None, imgsz: int = 256, seed: int = 0,
+                 kpt_shape=(17, 3)):
+        import jax
+        import jax.numpy as jnp
+        from mo_yolo_tpu.models.graph import parse_model_yaml
+        from mo_yolo_tpu.models.heads_extra import (ClassifyModel,
+                                                    PoseModel,
+                                                    SegmentationModel)
+
+        spec = parse_model_yaml(_resolve_model_cfg(str(model)), nc=nc)
+        self.task = task
+        self.imgsz = imgsz
+        if task == "segment":
+            self.model = SegmentationModel(spec=spec)
+        elif task == "pose":
+            self.model = PoseModel(spec=spec, kpt_shape=tuple(kpt_shape))
+        else:
+            self.model = ClassifyModel(spec=spec, nc=spec.nc)
+        self.variables = self.model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, imgsz, imgsz, 3)))
+
+    def train(self, data: str, **kw):
+        from mo_yolo_tpu.train.task_trainers import (ClassifyTrainer,
+                                                     PoseTrainer,
+                                                     SegTrainer)
+
+        cls = {"segment": SegTrainer, "pose": PoseTrainer,
+               "classify": ClassifyTrainer}[self.task]
+        t = cls(self.model, self.variables, data, imgsz=self.imgsz, **kw)
+        out = t.run()
+        self.variables = t.variables
+        return out
+
+    def val(self, data) -> Dict[str, float]:
+        from mo_yolo_tpu.engine.validator import (PoseValidator,
+                                                  SegmentationValidator)
+
+        if isinstance(data, str):
+            from mo_yolo_tpu.data.dataset import load_dataset_yaml
+            files = load_dataset_yaml(data)["val"]
+        else:
+            files = list(data)
+        if self.task == "segment":
+            return SegmentationValidator(self.model, self.variables,
+                                         imgsz=self.imgsz)(files)
+        if self.task == "pose":
+            return PoseValidator(self.model, self.variables,
+                                 imgsz=self.imgsz)(files)
+        raise NotImplementedError("classify val: accuracy via predict")
+
+    def predict(self, source):
+        """Per-image raw task outputs (fixed-slot, host numpy)."""
+        import jax.numpy as jnp
+        from mo_yolo_tpu.data.letterbox import preprocess
+        from mo_yolo_tpu.data.loaders import make_source
+        import jax
+
+        step = jax.jit(lambda v, x: self.model.apply(
+            v, x, method=getattr(self.model, "predict_step", None) or
+            self.model.__call__))
+        for path, img in make_source(source):
+            x, _ = preprocess(img, self.imgsz, scale_fill=True)
+            yield path, jax.tree.map(np.asarray, step(self.variables,
+                                                      jnp.asarray(x)))
+
+
 class YOLO:
     """Generic facade routing by task (reference `engine/model.py`)."""
 
@@ -402,6 +474,8 @@ class YOLO:
             return Detector(model, **kw)
         if task == "rtdetr":
             return RTDETR(model, **kw)
+        if task in ("segment", "pose", "classify"):
+            return _TaskModel(task, model, **kw)
         raise NotImplementedError(
-            f"task {task!r} not yet implemented in mo_yolo_tpu "
-            "(available: 'track', 'detect', 'rtdetr')")
+            f"task {task!r} not implemented in mo_yolo_tpu (available: "
+            "'track', 'detect', 'rtdetr', 'segment', 'pose', 'classify')")

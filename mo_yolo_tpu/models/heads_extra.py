@@ -199,3 +199,22 @@ class ClassifyHead(nn.Module):
         x = ConvBnAct(self.c_, 1, dtype=self.dtype, name="conv")(feat, train)
         x = x.mean(axis=(1, 2))
         return nn.Dense(self.nc, dtype=self.dtype, name="linear")(x)
+
+
+class ClassifyModel(nn.Module):
+    """Backbone graph + ClassifyHead over the deepest tap (reference
+    ClassificationModel, `tasks.py:306-337`)."""
+
+    spec: Any
+    nc: int
+    c_: int = 1280
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from mo_yolo_tpu.models.graph import BackboneNeck
+        self.backbone = BackboneNeck(self.spec, dtype=self.dtype)
+        self.head = ClassifyHead(self.nc, self.c_, dtype=self.dtype)
+
+    def __call__(self, images, train: bool = False):
+        feats = self.backbone(images, train=train)
+        return self.head(feats[-1], train=train)

@@ -1,0 +1,341 @@
+"""Segment / Pose / Classify host trainers.
+
+Thin drivers in the DetectTrainer mold (reference
+`models/yolo/{segment,pose,classify}/train.py`): epochs over shuffled
+image batches, one jitted step (loss from `train.v8_loss`), ramped EMA,
+per-epoch orbax checkpoints. Labels follow the reference txt formats
+(`data/seg_pose_labels.py`); masks are rasterized once at proto
+resolution and cached.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from pathlib import Path
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mo_yolo_tpu.train.train_step import (TrainConfig, TrainState,
+                                          make_optimizer)
+from mo_yolo_tpu.train.v8_loss import (V8LossConfig, classification_loss,
+                                       v8_pose_loss, v8_segmentation_loss)
+from mo_yolo_tpu.utils.logging import LOGGER
+
+
+# --------------------------------------------------------------------- #
+# datasets
+# --------------------------------------------------------------------- #
+class SegDataset:
+    """Images + polygon labels -> fixed-shape (image, cls, boxes xyxy px,
+    pad mask, masks at proto resolution)."""
+
+    def __init__(self, files, imgsz: int, max_gt: int = 16):
+        self.files = list(files)
+        self.imgsz = imgsz
+        self.proto = imgsz // 4
+        self.max_gt = max_gt
+
+    def __len__(self):
+        return len(self.files)
+
+    def load(self, i: int):
+        from mo_yolo_tpu.data.dataset import img2label_path
+        from mo_yolo_tpu.data.letterbox import preprocess
+        from mo_yolo_tpu.data.loaders import load_image
+        from mo_yolo_tpu.data.seg_pose_labels import (
+            parse_seg_label, polygons_to_boxes, rasterize_polygons)
+
+        img = load_image(self.files[i])
+        x, _ = preprocess(img, self.imgsz, scale_fill=True)
+        cls, polys = parse_seg_label(img2label_path(self.files[i]))
+        G = self.max_gt
+        n = min(len(cls), G)
+        out_cls = np.zeros(G, np.int32)
+        out_box = np.zeros((G, 4), np.float32)
+        out_m = np.zeros(G, bool)
+        out_masks = np.zeros((G, self.proto, self.proto), np.float32)
+        if n:
+            out_cls[:n] = cls[:n]
+            out_box[:n] = polygons_to_boxes(polys[:n]) * self.imgsz
+            out_m[:n] = True
+            out_masks[:n] = rasterize_polygons(polys[:n], self.proto)
+        return x[0], out_cls, out_box, out_m, out_masks
+
+
+class PoseDataset:
+    """Images + keypoint labels -> fixed-shape (image, cls, boxes xyxy px,
+    pad mask, kpts px [G,K,3])."""
+
+    def __init__(self, files, imgsz: int, n_kpt: int, max_gt: int = 16):
+        self.files = list(files)
+        self.imgsz = imgsz
+        self.n_kpt = n_kpt
+        self.max_gt = max_gt
+
+    def __len__(self):
+        return len(self.files)
+
+    def load(self, i: int):
+        from mo_yolo_tpu.data.dataset import img2label_path
+        from mo_yolo_tpu.data.letterbox import preprocess
+        from mo_yolo_tpu.data.loaders import load_image
+        from mo_yolo_tpu.data.seg_pose_labels import parse_pose_label
+
+        img = load_image(self.files[i])
+        x, _ = preprocess(img, self.imgsz, scale_fill=True)
+        cls, boxes, kpts = parse_pose_label(
+            img2label_path(self.files[i]), self.n_kpt)
+        s = self.imgsz
+        G = self.max_gt
+        n = min(len(cls), G)
+        out_cls = np.zeros(G, np.int32)
+        out_box = np.zeros((G, 4), np.float32)
+        out_m = np.zeros(G, bool)
+        out_k = np.zeros((G, self.n_kpt, 3), np.float32)
+        if n:
+            out_cls[:n] = cls[:n]
+            cx, cy, w, h = (boxes[:n] * s).T
+            out_box[:n] = np.stack([cx - w / 2, cy - h / 2,
+                                    cx + w / 2, cy + h / 2], 1)
+            out_m[:n] = True
+            out_k[:n] = kpts[:n]
+            out_k[:n, :, :2] *= s
+        return x[0], out_cls, out_box, out_m, out_k
+
+
+# --------------------------------------------------------------------- #
+# trainers
+# --------------------------------------------------------------------- #
+class _TaskTrainer:
+    """Shared epoch loop; subclasses provide dataset + loss closure."""
+
+    task = "task"
+
+    def __init__(self, model, variables, data: str, epochs: int = 1,
+                 batch: int = 4, lr: float = 1e-4, max_gt: int = 16,
+                 imgsz: int = 256, save_dir: str = "", seed: int = 0,
+                 log_every: int = 10):
+        self.model = model
+        self.variables = variables
+        self.data = data
+        self.epochs = epochs
+        self.batch = batch
+        self.lr = lr
+        self.max_gt = max_gt
+        self.imgsz = imgsz
+        self.save_dir = Path(save_dir or f"runs/{self.task}")
+        self.seed = seed
+        self.log_every = log_every
+
+    # subclass API ------------------------------------------------------ #
+    def make_dataset(self, files):
+        raise NotImplementedError
+
+    def loss_fn(self, params, batch_stats, batch):
+        raise NotImplementedError
+
+    def batch_from(self, samples) -> Dict[str, jnp.ndarray]:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------ #
+    def run(self) -> Dict[str, float]:
+        from mo_yolo_tpu.data.dataset import load_dataset_yaml
+        from mo_yolo_tpu.utils.checkpoint import save_params
+
+        d = load_dataset_yaml(self.data)
+        ds = self.make_dataset(d["train"])
+        steps = max(len(ds) // self.batch, 1)
+        tcfg = TrainConfig(clip_len=1, lr=self.lr,
+                           total_steps=max(self.epochs * steps, 1))
+        tx = make_optimizer(tcfg)
+        params = self.variables["params"]
+        ts = TrainState(params=params,
+                        batch_stats=self.variables.get("batch_stats", {}),
+                        opt_state=tx.init(params),
+                        ema_params=jax.tree.map(lambda x: x.copy(), params),
+                        step=jnp.zeros((), jnp.int32))
+
+        @jax.jit
+        def step_fn(ts, batch):
+            (loss, (bstats, metrics)), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True)(ts.params, ts.batch_stats,
+                                            batch)
+            updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+            params = optax.apply_updates(ts.params, updates)
+            dd = tcfg.ema_decay * (1.0 - jnp.exp(
+                -(ts.step.astype(jnp.float32) + 1.0) / 2000.0))
+            ema = jax.tree.map(lambda e, p: e * dd + p * (1 - dd),
+                               ts.ema_params, params)
+            metrics["loss"] = loss
+            return TrainState(params, bstats, opt_state, ema,
+                              ts.step + 1), metrics
+
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        losses = []
+        for epoch in range(self.epochs):
+            order = list(range(len(ds)))
+            random.Random(self.seed + epoch).shuffle(order)
+            t0 = time.time()
+            for i in range(steps):
+                idx = order[i * self.batch:(i + 1) * self.batch]
+                if len(idx) < self.batch:
+                    break
+                ts, m = step_fn(ts, self.batch_from(
+                    [ds.load(j) for j in idx]))
+                if i % self.log_every == 0:
+                    loss = float(m["loss"])
+                    losses.append(loss)
+                    LOGGER.info(f"{self.task} epoch {epoch} step {i}/{steps} "
+                                f"loss {loss:.4f}")
+            self.variables = {"params": ts.ema_params,
+                              "batch_stats": ts.batch_stats}
+            save_params(str(self.save_dir / "last"), self.variables)
+            LOGGER.info(f"{self.task} epoch {epoch} done in "
+                        f"{time.time()-t0:.1f}s")
+        return {"final_loss": losses[-1] if losses else float("nan")}
+
+
+class SegTrainer(_TaskTrainer):
+    task = "segment"
+
+    def make_dataset(self, files):
+        return SegDataset(files, self.imgsz, self.max_gt)
+
+    def batch_from(self, samples):
+        img, cls, box, m, masks = (np.stack(z) for z in zip(*samples))
+        return {"images": jnp.asarray(img), "gt_cls": jnp.asarray(cls),
+                "gt_boxes": jnp.asarray(box), "gt_mask": jnp.asarray(m),
+                "gt_masks": jnp.asarray(masks)}
+
+    def loss_fn(self, params, batch_stats, batch):
+        cfg = V8LossConfig(nc=self.model.spec.nc)
+        out, mut = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"], True, True, mutable=["batch_stats"])
+        box_dist, cls_logits, anc, strides, coef, protos = out
+        losses = v8_segmentation_loss(
+            cfg, box_dist, cls_logits, anc, strides, coef, protos,
+            batch["gt_cls"], batch["gt_boxes"], batch["gt_mask"],
+            batch["gt_masks"], imgsz=float(self.imgsz))
+        return losses["loss"], (mut["batch_stats"],
+                                {k: v for k, v in losses.items()
+                                 if k != "loss"})
+
+
+class PoseTrainer(_TaskTrainer):
+    task = "pose"
+
+    def make_dataset(self, files):
+        return PoseDataset(files, self.imgsz, self.model.kpt_shape[0],
+                           self.max_gt)
+
+    def batch_from(self, samples):
+        img, cls, box, m, kpts = (np.stack(z) for z in zip(*samples))
+        return {"images": jnp.asarray(img), "gt_cls": jnp.asarray(cls),
+                "gt_boxes": jnp.asarray(box), "gt_mask": jnp.asarray(m),
+                "gt_kpts": jnp.asarray(kpts)}
+
+    def loss_fn(self, params, batch_stats, batch):
+        cfg = V8LossConfig(nc=self.model.spec.nc)
+        out, mut = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"], True, True, mutable=["batch_stats"])
+        box_dist, cls_logits, anc, strides, kpts = out
+        losses = v8_pose_loss(
+            cfg, box_dist, cls_logits, anc, strides, kpts,
+            batch["gt_cls"], batch["gt_boxes"], batch["gt_mask"],
+            batch["gt_kpts"])
+        return losses["loss"], (mut["batch_stats"],
+                                {k: v for k, v in losses.items()
+                                 if k != "loss"})
+
+
+class ClassifyTrainer(_TaskTrainer):
+    """Image classification over a directory-per-class tree (reference
+    `models/yolo/classify/train.py`)."""
+
+    task = "classify"
+
+    def __init__(self, model, variables, data: str, names=None, **kw):
+        super().__init__(model, variables, data, **kw)
+        self.names = names
+
+    def run(self):
+        # classification datasets are class-subdir trees, not yamls
+        import glob
+        import os
+
+        root = Path(self.data)
+        classes = sorted(p.name for p in root.iterdir() if p.is_dir())
+        files, labels = [], []
+        for ci, c in enumerate(classes):
+            for f in glob.glob(str(root / c / "*")):
+                files.append(f)
+                labels.append(ci)
+        if not files:
+            raise ValueError(f"no class-subdir images under {root}")
+        self._files, self._labels = files, np.asarray(labels, np.int32)
+        self.data_is_tree = True
+
+        tcfg = TrainConfig(clip_len=1, lr=self.lr,
+                           total_steps=max(
+                               self.epochs * len(files) // self.batch, 1))
+        tx = make_optimizer(tcfg)
+        params = self.variables["params"]
+        ts = TrainState(params=params,
+                        batch_stats=self.variables.get("batch_stats", {}),
+                        opt_state=tx.init(params),
+                        ema_params=jax.tree.map(lambda x: x.copy(), params),
+                        step=jnp.zeros((), jnp.int32))
+
+        @jax.jit
+        def step_fn(ts, images, labels):
+            def lf(p, bs):
+                logits, mut = self.model.apply(
+                    {"params": p, "batch_stats": bs}, images, True,
+                    mutable=["batch_stats"])
+                return classification_loss(logits, labels), mut["batch_stats"]
+
+            (loss, bstats), grads = jax.value_and_grad(
+                lf, has_aux=True)(ts.params, ts.batch_stats)
+            updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+            params = optax.apply_updates(ts.params, updates)
+            dd = tcfg.ema_decay * (1.0 - jnp.exp(
+                -(ts.step.astype(jnp.float32) + 1.0) / 2000.0))
+            ema = jax.tree.map(lambda e, p: e * dd + p * (1 - dd),
+                               ts.ema_params, params)
+            return TrainState(params, bstats, opt_state, ema,
+                              ts.step + 1), loss
+
+        from mo_yolo_tpu.data.letterbox import preprocess
+        from mo_yolo_tpu.data.loaders import load_image
+        from mo_yolo_tpu.utils.checkpoint import save_params
+
+        steps = max(len(files) // self.batch, 1)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        losses = []
+        for epoch in range(self.epochs):
+            order = list(range(len(files)))
+            random.Random(self.seed + epoch).shuffle(order)
+            for i in range(steps):
+                idx = order[i * self.batch:(i + 1) * self.batch]
+                if len(idx) < self.batch:
+                    break
+                imgs = np.concatenate([
+                    preprocess(load_image(files[j]), self.imgsz,
+                               scale_fill=True)[0] for j in idx])
+                ts, loss = step_fn(ts, jnp.asarray(imgs),
+                                   jnp.asarray(self._labels[idx]))
+                if i % self.log_every == 0:
+                    losses.append(float(loss))
+                    LOGGER.info(f"classify epoch {epoch} step {i}/{steps} "
+                                f"loss {losses[-1]:.4f}")
+            self.variables = {"params": ts.ema_params,
+                              "batch_stats": ts.batch_stats}
+            save_params(str(self.save_dir / "last"), self.variables)
+        return {"final_loss": losses[-1] if losses else float("nan")}
