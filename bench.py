@@ -71,13 +71,18 @@ def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 640
     dtype = jnp.bfloat16 if "--f32" not in sys.argv else jnp.float32
     n_warmup, n_iter = 3, 12
+    # --streams N: aggregate multi-stream throughput (B independent video
+    # streams batched on one chip; the production serving shape)
+    n_streams = 1
+    if "--streams" in sys.argv:
+        n_streams = int(sys.argv[sys.argv.index("--streams") + 1])
 
     impl = "xla" if "--xla" in sys.argv else None  # None = auto (pallas on TPU)
     model = build_tracking_model("mo_yolo_tpu/cfg/models/yolo_track.yaml",
                                  impl=impl, dtype=dtype)
     variables = init_variables(model, jax.random.PRNGKey(0),
                                image_size=(size, size), batch=1)
-    state = init_track_state(1, model.tracker.n_slots, model.hd)
+    state = init_track_state(n_streams, model.tracker.n_slots, model.hd)
 
     # chain K frames per dispatch (lax.scan) — measures device throughput
     # rather than the harness's per-dispatch tunnel latency; in production
@@ -92,6 +97,8 @@ def main():
 
     step = jax.jit(multi_step, donate_argnums=(1,))
     frames = jnp.asarray(_render_frames(K, size))
+    if n_streams > 1:
+        frames = jnp.tile(frames, (1, n_streams, 1, 1, 1))
 
     for i in range(n_warmup):
         state, out = step(variables, state, frames)
@@ -104,9 +111,10 @@ def main():
     float(out.sum())
     dt = time.perf_counter() - t0
 
-    fps = n_iter * K / dt
+    fps = n_iter * K * n_streams / dt
+    tag = "" if n_streams == 1 else f"_x{n_streams}streams"
     print(json.dumps({
-        "metric": f"streaming_tracking_fps_{size}x{size}_per_chip",
+        "metric": f"streaming_tracking_fps_{size}x{size}_per_chip{tag}",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
