@@ -451,7 +451,8 @@ class SAM:
             sd = sd.get("model", sd) if isinstance(sd, dict) else sd
             sd = {k: v.numpy() for k, v in sd.items()}
         self.variables = import_sam_torch_weights(
-            self.variables, sd, depth=self.model.depth, strict=strict)
+            self.variables, sd, depth=self.model.depth, strict=strict,
+            encoder=self.model.encoder)
         self._emb_cache = None
         return self
 

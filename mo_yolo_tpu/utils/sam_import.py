@@ -167,19 +167,91 @@ def _decoder_rules(depth: int = 2, n_mask: int = 4
     return r
 
 
-# torch-side tensors that have no flax counterpart (non-param buffers)
+def _tiny_rules(depths=(2, 2, 6, 2)) -> Dict[Tuple[str, ...],
+                                             Tuple[str, callable]]:
+    """MobileSAM TinyViT encoder (`tiny_encoder.py`). Covers BOTH flax
+    collections: Conv2d_BN maps c.weight -> c/kernel (params) and
+    bn.{weight,bias,running_mean,running_var} -> bn/{scale,bias} (params)
+    + bn/{mean,var} (batch_stats)."""
+    r: Dict[Tuple[str, ...], Tuple[str, callable]] = {}
+    enc = "image_encoder"
+
+    def conv_bn(flax_prefix: Tuple[str, ...], torch_prefix: str):
+        r[flax_prefix + ("c", "kernel")] = (f"{torch_prefix}.c.weight",
+                                            _conv)
+        r[flax_prefix + ("bn", "scale")] = (f"{torch_prefix}.bn.weight",
+                                            _id)
+        r[flax_prefix + ("bn", "bias")] = (f"{torch_prefix}.bn.bias", _id)
+        r[flax_prefix + ("bn", "mean")] = (
+            f"{torch_prefix}.bn.running_mean", _id)
+        r[flax_prefix + ("bn", "var")] = (
+            f"{torch_prefix}.bn.running_var", _id)
+
+    conv_bn((enc, "patch0"), "image_encoder.patch_embed.seq.0")
+    conv_bn((enc, "patch1"), "image_encoder.patch_embed.seq.2")
+    for i in range(depths[0]):
+        for c in ("conv1", "conv2", "conv3"):
+            conv_bn((enc, f"s0_b{i}", c),
+                    f"image_encoder.layers.0.blocks.{i}.{c}")
+    for s in (1, 2, 3):
+        tb = f"image_encoder.layers.{s}"
+        for i in range(depths[s]):
+            fb = (enc, f"s{s}_b{i}")
+            r[fb + ("attn", "norm", "scale")] = (
+                f"{tb}.blocks.{i}.attn.norm.weight", _id)
+            r[fb + ("attn", "norm", "bias")] = (
+                f"{tb}.blocks.{i}.attn.norm.bias", _id)
+            r[fb + ("attn", "qkv", "kernel")] = (
+                f"{tb}.blocks.{i}.attn.qkv.weight", _lin)
+            r[fb + ("attn", "qkv", "bias")] = (
+                f"{tb}.blocks.{i}.attn.qkv.bias", _id)
+            r[fb + ("attn", "proj", "kernel")] = (
+                f"{tb}.blocks.{i}.attn.proj.weight", _lin)
+            r[fb + ("attn", "proj", "bias")] = (
+                f"{tb}.blocks.{i}.attn.proj.bias", _id)
+            r[fb + ("attn", "attention_biases")] = (
+                f"{tb}.blocks.{i}.attn.attention_biases", _id)
+            conv_bn(fb + ("local_conv",), f"{tb}.blocks.{i}.local_conv")
+            r[fb + ("mlp_norm", "scale")] = (
+                f"{tb}.blocks.{i}.mlp.norm.weight", _id)
+            r[fb + ("mlp_norm", "bias")] = (
+                f"{tb}.blocks.{i}.mlp.norm.bias", _id)
+            r[fb + ("fc1", "kernel")] = (f"{tb}.blocks.{i}.mlp.fc1.weight",
+                                         _lin)
+            r[fb + ("fc1", "bias")] = (f"{tb}.blocks.{i}.mlp.fc1.bias", _id)
+            r[fb + ("fc2", "kernel")] = (f"{tb}.blocks.{i}.mlp.fc2.weight",
+                                         _lin)
+            r[fb + ("fc2", "bias")] = (f"{tb}.blocks.{i}.mlp.fc2.bias", _id)
+    # downsamplers live inside the PRECEDING torch layer
+    for s, merge in ((0, "merge0"), (1, "merge1"), (2, "merge2")):
+        for c in ("conv1", "conv2", "conv3"):
+            conv_bn((enc, merge, c),
+                    f"image_encoder.layers.{s}.downsample.{c}")
+    r[(enc, "neck0", "kernel")] = ("image_encoder.neck.0.weight", _conv)
+    r[(enc, "neck_ln0", "scale")] = ("image_encoder.neck.1.weight", _id)
+    r[(enc, "neck_ln0", "bias")] = ("image_encoder.neck.1.bias", _id)
+    r[(enc, "neck1", "kernel")] = ("image_encoder.neck.2.weight", _conv)
+    r[(enc, "neck_ln1", "scale")] = ("image_encoder.neck.3.weight", _id)
+    r[(enc, "neck_ln1", "bias")] = ("image_encoder.neck.3.bias", _id)
+    return r
+
+
+# torch-side tensors that have no flax counterpart (non-param buffers,
+# TinyViT's unused classifier head)
 _KNOWN_SKIPS = ("attention_bias_idxs", "pixel_mean", "pixel_std",
-                "num_batches_tracked")
+                "num_batches_tracked", "norm_head", "image_encoder.head.")
 
 
 def import_sam_torch_weights(variables, state_dict, depth: int = 12,
-                             strict: bool = True):
-    """Map a torch SAM state_dict onto flax `SAMModel` variables.
+                             strict: bool = True,
+                             encoder: str = "vit"):
+    """Map a torch SAM state_dict onto flax `SAMModel` variables
+    (encoder='vit' for sam_vit_b/l/h, 'tiny' for mobile_sam).
     Returns new variables; raises on unmapped/missing keys when strict."""
     import jax
 
     rules = {}
-    rules.update(_vit_rules(depth))
+    rules.update(_tiny_rules() if encoder == "tiny" else _vit_rules(depth))
     rules.update(_prompt_rules())
     rules.update(_decoder_rules())
 
@@ -197,7 +269,8 @@ def import_sam_torch_weights(variables, state_dict, depth: int = 12,
         keys = tuple(getattr(p, "key", getattr(p, "name", None))
                      for p in path)
         keys = tuple(k for k in keys if k is not None)
-        sub = keys[1:] if keys and keys[0] == "params" else keys
+        sub = keys[1:] if keys and keys[0] in ("params", "batch_stats") \
+            else keys
         if sub == ("prompt_encoder", "type_embed"):
             if all(k in sd for k in type_keys):
                 out[keys] = np.concatenate([sd[k] for k in type_keys], 0)

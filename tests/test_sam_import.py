@@ -129,3 +129,54 @@ def test_facade_load_torch_statedict(tiny):
     img = np.full((64, 64, 3), 128, np.uint8)
     out = sam(img, points=[[32, 32]])       # still runs end-to-end
     assert out["masks"].shape == (1, 64, 64)
+
+
+def test_tinyvit_mobile_sam_import():
+    """mobile_sam mapping: every TinyViT leaf (params AND batch_stats)
+    maps from a synthetic torch state_dict; strict passes."""
+    import jax
+    import jax.numpy as jnp
+    from mo_yolo_tpu.models.sam import SAMModel, PAD
+    from mo_yolo_tpu.utils import sam_import as si
+
+    model = SAMModel(img_size=64, encoder="tiny")
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   jnp.zeros((1, 4, 2)),
+                   jnp.full((1, 4), PAD, jnp.int32))
+
+    rules = {}
+    rules.update(si._tiny_rules())
+    rules.update(si._prompt_rules())
+    rules.update(si._decoder_rules())
+    inverse = {si._lin: lambda w: np.asarray(w).T,
+               si._conv: lambda w: np.asarray(w).transpose(3, 2, 0, 1),
+               si._convT: lambda w: np.asarray(w).transpose(2, 3, 0, 1),
+               si._id: np.asarray}
+    sd = {}
+    rng = np.random.default_rng(0)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(v)[0]:
+        keys = tuple(k for k in (getattr(p, "key", None) for p in path)
+                     if k is not None)
+        sub = keys[1:] if keys[0] in ("params", "batch_stats") else keys
+        val = rng.normal(size=np.shape(leaf)).astype(np.float32)
+        if sub == ("prompt_encoder", "type_embed"):
+            names = ["prompt_encoder.not_a_point_embed.weight"] + [
+                f"prompt_encoder.point_embeddings.{i}.weight"
+                for i in range(4)]
+            for i, n in enumerate(names):
+                sd[n] = val[i:i + 1]
+            continue
+        rule = rules.get(sub)
+        assert rule is not None, f"no TinyViT rule for {sub}"
+        tk, tf = rule
+        inv = next((b for f, b in inverse.items() if tf is f), None)
+        sd[tk] = inv(val) if inv else val[None]
+    # torch buffers/classifier present in real checkpoints, skipped here
+    sd["image_encoder.norm_head.weight"] = np.zeros(320, np.float32)
+    sd["image_encoder.head.weight"] = np.zeros((1000, 320), np.float32)
+    v2 = si.import_sam_torch_weights(v, sd, strict=True, encoder="tiny")
+    # a batch_stats leaf actually moved
+    bn = np.asarray(
+        v2["batch_stats"]["image_encoder"]["patch0"]["bn"]["mean"])
+    np.testing.assert_allclose(
+        bn, sd["image_encoder.patch_embed.seq.0.bn.running_mean"])
