@@ -434,6 +434,8 @@ class _TaskModel:
         from mo_yolo_tpu.engine.validator import (PoseValidator,
                                                   SegmentationValidator)
 
+        if self.task == "classify":
+            return self._classify_val(data)
         if isinstance(data, str):
             from mo_yolo_tpu.data.dataset import load_dataset_yaml
             files = load_dataset_yaml(data)["val"]
@@ -445,7 +447,37 @@ class _TaskModel:
         if self.task == "pose":
             return PoseValidator(self.model, self.variables,
                                  imgsz=self.imgsz)(files)
-        raise NotImplementedError("classify val: accuracy via predict")
+        return self._classify_val(data)
+
+    def _classify_val(self, root) -> Dict[str, float]:
+        """Top-1/top-5 accuracy over a class-subdir tree (reference
+        ClassificationValidator, `models/yolo/classify/val.py`)."""
+        import glob
+        import jax
+        import jax.numpy as jnp
+        from mo_yolo_tpu.data.letterbox import preprocess
+        from mo_yolo_tpu.data.loaders import load_image
+
+        from mo_yolo_tpu.data.loaders import IMG_EXTS
+
+        root = Path(root)
+        classes = sorted(p.name for p in root.iterdir() if p.is_dir())
+        step = jax.jit(lambda v, x: self.model.apply(v, x))
+        top1 = top5 = n = 0
+        for ci, c in enumerate(classes):
+            for f in glob.glob(str(root / c / "*")):
+                if Path(f).suffix.lower() not in IMG_EXTS:
+                    continue
+                x, _ = preprocess(load_image(f), self.imgsz,
+                                  scale_fill=True)
+                logits = np.asarray(step(self.variables,
+                                         jnp.asarray(x))[0])
+                order = np.argsort(-logits)
+                top1 += int(order[0] == ci)
+                top5 += int(ci in order[:5])
+                n += 1
+        return {"accuracy_top1": 100.0 * top1 / max(n, 1),
+                "accuracy_top5": 100.0 * top5 / max(n, 1), "n": n}
 
     def predict(self, source):
         """Per-image raw task outputs (fixed-slot, host numpy)."""
