@@ -380,6 +380,39 @@ class Detector:
                 orig_shape=r.orig_shape, path=r.path, names=self.names,
                 orig_img=r.orig_img)
 
+    def export(self, fmt: str = "jaxexport", path: str = "detect_export"):
+        """Export the jitted detect predict step (reference Exporter on
+        detect models): 'params' (orbax weights), 'jaxexport' (serialized
+        AOT artifact, weights baked in), 'stablehlo' (text IR)."""
+        import jax
+        import jax.numpy as jnp
+
+        if fmt == "params":
+            from mo_yolo_tpu.utils.checkpoint import save_params
+            save_params(path, self.variables)
+            return path
+        frames = jnp.zeros((1, self.imgsz, self.imgsz, 3))
+        variables = self.variables
+
+        def fn(f):
+            return self.model.apply(variables, f,
+                                    method=self.model.predict_step)
+
+        if fmt == "jaxexport":
+            from jax import export as jexport
+            exp = jexport.export(jax.jit(fn))(frames)
+            out = Path(path).with_suffix(".jaxexport")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_bytes(exp.serialize())
+            return str(out)
+        if fmt == "stablehlo":
+            txt = jax.jit(fn).lower(frames).as_text()
+            out = Path(path).with_suffix(".stablehlo.txt")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(txt)
+            return str(out)
+        raise ValueError(f"unsupported detect export format {fmt!r}")
+
 
 class RTDETR(Detector):
     """RT-DETR family facade (reference `models/rtdetr/model.py`): the

@@ -9,7 +9,7 @@ similarity changes: mask IoU for segmentation, COCO OKS for pose.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

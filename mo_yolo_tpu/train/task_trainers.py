@@ -13,7 +13,7 @@ from __future__ import annotations
 import random
 import time
 from pathlib import Path
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -140,3 +140,22 @@ def test_detect_trainer_and_standalone_validator(tmp_path):
     m = det.val(str(tmp_path / "data.yaml"), max_gt=4)
     for k in ("mAP50", "mAP50-95", "fps"):
         assert k in m and np.isfinite(m[k]), (k, m)
+
+
+def test_detector_export_roundtrip(tmp_path):
+    """Detector.export jaxexport artifact replays the predict step."""
+    import pathlib
+    import jax.numpy as jnp
+    from jax import export as jexport
+    from mo_yolo_tpu.api import Detector
+
+    m = Detector("tests/tiny_detr.yaml", imgsz=64, dtype="float32")
+    p = m.export("jaxexport", path=str(tmp_path / "det"))
+    exp = jexport.deserialize(pathlib.Path(p).read_bytes())
+    boxes, scores, cls = exp.call(jnp.zeros((1, 64, 64, 3)))
+    assert boxes.shape == (1, m.model.nq, 4)
+    live = m._step(m.variables, jnp.zeros((1, 64, 64, 3)))
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(live[0]), np.asarray(boxes),
+                               atol=1e-5)
+    assert m.export("params", path=str(tmp_path / "w"))
