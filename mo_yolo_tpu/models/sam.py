@@ -513,12 +513,10 @@ class SAM:
         return {"masks": np.asarray(full) > 0.0, "low_res": sel,
                 "iou": iou[np.arange(len(best)), best], "meta": meta}
 
-    def generate(self, image: np.ndarray, grid: int = 8,
-                 iou_thresh: float = 0.7, stability_thresh: float = 0.9,
-                 nms_iou: float = 0.7):
-        """Everything mode (`predict.py:generate` / `amg.py`): a point
-        grid decoded in ONE batched call, stability-score filtered and
-        mask-NMS'd on host."""
+    def _grid_masks(self, image: np.ndarray, grid: int, iou_thresh: float,
+                    stability_thresh: float):
+        """Point-grid everything pass over ONE image/crop -> pre-NMS
+        (masks [N,4g,4g] bool, scores [N])."""
         self.embed_image(image)
         emb, meta = self._emb_cache
         step = self.img_size / grid
@@ -540,7 +538,52 @@ class SAM:
         lo = (m > -1.0).sum((1, 2)).astype(np.float32)
         stability = hi / np.maximum(lo, 1)
         keep = (s >= iou_thresh) & (stability >= stability_thresh)
-        m, s = m[keep] > 0, s[keep]
+        return m[keep] > 0, s[keep], meta
+
+    def generate(self, image: np.ndarray, grid: int = 8,
+                 iou_thresh: float = 0.7, stability_thresh: float = 0.9,
+                 nms_iou: float = 0.7, crop_layers: int = 0,
+                 crop_overlap: float = 0.25):
+        """Everything mode (`predict.py:generate` / `amg.py`): a point
+        grid decoded in ONE batched call per crop, stability-score
+        filtered and mask-NMS'd on host. crop_layers>0 adds the
+        reference's multi-crop sweep (`amg.py:generate_crop_boxes`):
+        layer l runs the grid over (l+1)^2 overlapping crops for
+        small-object recall, pasting crop masks back into the full
+        low-res frame before the global NMS."""
+        all_m, all_s = [], []
+        m0, s0, meta = self._grid_masks(image, grid, iou_thresh,
+                                        stability_thresh)
+        all_m.append(m0)
+        all_s.append(s0)
+        H, W = image.shape[:2]
+        g4 = m0.shape[-1] if len(m0) else (self.img_size // 16) * 4
+        for layer in range(1, crop_layers + 1):
+            n = layer + 1
+            ch, cw = int(H / (n - (n - 1) * crop_overlap)), \
+                int(W / (n - (n - 1) * crop_overlap))
+            ys = np.linspace(0, H - ch, n).astype(int)
+            xs = np.linspace(0, W - cw, n).astype(int)
+            for y0 in ys:
+                for x0 in xs:
+                    crop = image[y0:y0 + ch, x0:x0 + cw]
+                    cm, cs, _ = self._grid_masks(crop, grid, iou_thresh,
+                                                 stability_thresh)
+                    if not len(cm):
+                        continue
+                    # paste crop masks into full-frame low-res coords
+                    fy0, fy1 = int(y0 / H * g4), int((y0 + ch) / H * g4)
+                    fx0, fx1 = int(x0 / W * g4), int((x0 + cw) / W * g4)
+                    tgt = (len(cm), max(fy1 - fy0, 1), max(fx1 - fx0, 1))
+                    scaled = np.asarray(jax.image.resize(
+                        jnp.asarray(cm, jnp.float32), tgt,
+                        "nearest")) > 0.5
+                    full = np.zeros((len(cm), g4, g4), bool)
+                    full[:, fy0:fy0 + tgt[1], fx0:fx0 + tgt[2]] = scaled
+                    all_m.append(full)
+                    all_s.append(cs)
+        m = np.concatenate(all_m) if all_m else np.zeros((0, g4, g4), bool)
+        s = np.concatenate(all_s) if all_s else np.zeros(0)
         order = np.argsort(-s)
         kept = []
         for i in order:                                   # host mask-NMS

@@ -111,3 +111,18 @@ def test_mobile_sam_tinyvit_encoder():
     assert out["masks"].shape == (1, 64, 64)
     emb, _ = sam._emb_cache
     assert emb.shape == (4, 4, 256)   # img/16 grid, 256ch — ViT contract
+
+
+def test_generate_crop_layers(sam):
+    """Multi-crop everything sweep (amg.py crop layers): crops paste back
+    into full-frame low-res coords; output contract unchanged."""
+    img = (np.random.default_rng(3).uniform(0, 1, (64, 80, 3)) * 255
+           ).astype(np.uint8)
+    base = sam.generate(img, grid=2, iou_thresh=-10.0, stability_thresh=0.0,
+                        nms_iou=1.1)           # nms off: count all
+    crop = sam.generate(img, grid=2, iou_thresh=-10.0, stability_thresh=0.0,
+                        nms_iou=1.1, crop_layers=1)
+    # layer 1 adds 4 crops x grid^2 points x 3 masks candidates
+    assert len(crop["masks"]) > len(base["masks"])
+    assert crop["masks"].shape[1:] == base["masks"].shape[1:]
+    assert len(crop["masks"]) == len(crop["scores"])
