@@ -59,9 +59,16 @@ class TrainingSession:
 
     def upload_final(self, api_model):
         """Push the trained weights into the registry (reference uploads
-        best.pt at train end)."""
+        best.pt at train end). The rebuild metadata (`.meta.json`, written
+        by `api.save` as a sibling of the orbax dir) is pushed under the
+        sibling name so `MOTRTrack(registry.pull(...))` reloads directly."""
         if not self._is_writer:
             return None
         out = str(self.dir / "weights")
         api_model.save(out)
-        return self.registry.push(f"{self.model_id}.weights", out)
+        dst = self.registry.push(f"{self.model_id}.weights", out)
+        import os
+        if os.path.isfile(out + ".meta.json"):
+            self.registry.push(f"{self.model_id}.weights.meta.json",
+                               out + ".meta.json")
+        return dst

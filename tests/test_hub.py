@@ -99,3 +99,21 @@ def test_check_dataset_and_fmts(hub_env, tmp_path):
     st = hub.check_dataset(str(y))
     assert st["ok"] and st["nc"] == 1 and st["train"] == 1
     assert "jaxexport" in hub.export_fmts_hub()
+
+
+def test_export_model_roundtrip(hub_env):
+    """Registry push (weights + sibling meta) -> pull -> rebuild ->
+    export: the full hub export_model path (caught a dropped-meta bug)."""
+    from mo_yolo_tpu.api import MOTRTrack
+    from mo_yolo_tpu.hub import Registry, TrainingSession, export_model
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
+                  nq=8, ndl=1, d_ffn=32, hd=32, num_denoising=4)
+    sess = TrainingSession(Registry(), model_id="m1")
+    sess.upload_final(m)
+    reg = Registry()
+    assert "m1.weights" in reg.list()
+    assert "m1.weights.meta.json" in reg.list()
+    out = export_model("m1.weights", format="stablehlo")
+    import pathlib
+    assert pathlib.Path(out).stat().st_size > 1000
