@@ -46,7 +46,8 @@ def oks_np(gt_kpts: np.ndarray, pred_kpts: np.ndarray, areas: np.ndarray,
     d2 = ((gt_kpts[:, None, :, 0] - pred_kpts[None, :, :, 0]) ** 2 +
           (gt_kpts[:, None, :, 1] - pred_kpts[None, :, :, 1]) ** 2)
     vis = gt_kpts[..., 2] > 0                                  # [G,K]
-    e = d2 / (2 * (sigmas[None, None] ** 2) *
+    # reference `kpt_iou` (utils/metrics.py): d / (2*sigma)^2 / area / 2
+    e = d2 / (((2 * sigmas[None, None]) ** 2) *
               (areas[:, None, None] + 1e-9) * 2)
     oks = np.exp(-e) * vis[:, None, :]
     n = np.maximum(vis.sum(-1), 1)[:, None]

@@ -101,16 +101,23 @@ class FastSAM:
         out = self.everything(image)
         if bboxes is None and points is None:
             return out
+        # user prompts arrive in ORIGINAL-image pixels; the everything
+        # masks/boxes live in model-input coords (scale_fill letterbox) —
+        # map prompts through the same transform first
+        gx, gy = out["meta"]["gain"]
         keep = np.zeros(len(out["boxes"]), bool)
         if bboxes is not None:
             from mo_yolo_tpu.metrics.detection import box_iou_np
-            bb = np.asarray(bboxes, float).reshape(-1, 4)
+            bb = np.asarray(bboxes, float).reshape(-1, 4) * \
+                np.array([gx, gy, gx, gy])
             if len(out["boxes"]):
                 iou = box_iou_np(bb, out["boxes"])
                 keep[np.argmax(iou, axis=1)] |= iou.max(1) > 0
         if points is not None and len(out["masks"]):
             Hp, Wp = out["masks"].shape[1:]
-            for (px, py) in np.asarray(points, float).reshape(-1, 2):
+            pts = np.asarray(points, float).reshape(-1, 2) * \
+                np.array([gx, gy])
+            for (px, py) in pts:
                 gx = int(px / self.imgsz * Wp)
                 gy = int(py / self.imgsz * Hp)
                 hits = out["masks"][:, min(gy, Hp - 1), min(gx, Wp - 1)]

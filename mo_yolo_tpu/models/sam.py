@@ -405,7 +405,9 @@ _VARIANTS = {   # build.py:22-53
 
 def build_sam(variant: str = "b", img_size: int = 1024,
               dtype=jnp.float32) -> SAMModel:
-    v = variant.lower().lstrip("vit_")
+    v = variant.lower()
+    if v.startswith("vit_"):
+        v = v[len("vit_"):]
     if v in ("mobile", "mobile_sam", "t", "tiny"):
         return build_mobile_sam(img_size, dtype)
     return SAMModel(img_size=img_size, dtype=dtype, **_VARIANTS[v])
@@ -457,8 +459,13 @@ class SAM:
         return self
 
     # -- prompt plumbing ------------------------------------------------ #
-    def _pack(self, points, labels, boxes):
-        """-> [B,P,2] coords + [B,P] labels, one row per prompt set."""
+    def _pack(self, points, labels, boxes, meta=None):
+        """-> [B,P,2] coords + [B,P] labels, one row per prompt set.
+
+        With `meta` (from `embed_image`'s letterbox), user prompts given
+        in ORIGINAL-image pixels are mapped into model-input pixels via
+        coord*gain+pad — the reference Predictor applies the same resize
+        transform to prompt coords (`sam/predict.py` prompt_inference)."""
         rows_p, rows_l = [], []
         if boxes is not None:
             for x0, y0, x1, y1 in np.asarray(boxes, float).reshape(-1, 4):
@@ -481,6 +488,16 @@ class SAM:
             n = min(P, len(rp))
             out_p[i, :n] = np.asarray(rp[:n], np.float32)
             out_l[i, :n] = np.asarray(rl[:n], np.int32)
+        if meta is not None:
+            if meta.get("scale_fill"):
+                gx, gy = meta["gain"]
+                px = py = 0.0
+            else:
+                gx = gy = meta["gain"][0]
+                px, py = meta["pad"]
+            real = out_l != PAD
+            out_p[..., 0] = np.where(real, out_p[..., 0] * gx + px, 0.0)
+            out_p[..., 1] = np.where(real, out_p[..., 1] * gy + py, 0.0)
         return out_p, out_l
 
     def embed_image(self, image: np.ndarray):
@@ -497,7 +514,7 @@ class SAM:
         if image is not None:
             self.embed_image(image)
         emb, meta = self._emb_cache
-        p, l = self._pack(points, labels, bboxes)
+        p, l = self._pack(points, labels, bboxes, meta=meta)
         masks, iou = self._decode(self.variables, emb, jnp.asarray(p),
                                   jnp.asarray(l))
         masks, iou = np.asarray(masks, np.float32), np.asarray(iou,

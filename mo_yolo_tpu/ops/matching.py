@@ -110,11 +110,14 @@ def _jv_single(cost: jnp.ndarray, col_valid: jnp.ndarray):
         u, v, col2row, iters = carry
 
         def dij_cond(s):
-            *_, done, _it = s
-            return ~done
+            *_, done, _it, k = s
+            # hard cap: each step marks one new column used, so after M
+            # steps every column is used and no free column exists (more
+            # valid GT rows than query columns) — stop instead of spinning
+            return (~done) & (k < M)
 
         def dij_body(s):
-            u, v, minv, way, used, row_mask, j0, i0, done, it = s
+            u, v, minv, way, used, row_mask, j0, i0, done, it, k = s
             cur = C[i0] - u[i0] - v                       # [M]
             upd = (~used) & (cur < minv)
             minv = jnp.where(upd, cur, minv)
@@ -131,16 +134,20 @@ def _jv_single(cost: jnp.ndarray, col_valid: jnp.ndarray):
             row_mask = row_mask.at[jnp.where(done, N, i_next)].set(
                 1.0, mode="drop")
             return (u, v, minv, way, used, row_mask,
-                    j1, jnp.where(done, i0, i_next), done, it + 1)
+                    j1, jnp.where(done, i0, i_next), done, it + 1, k + 1)
 
         minv0 = jnp.full((M,), _INF, jnp.float32)
         way0 = jnp.full((M,), -1, jnp.int32)
         used0 = jnp.zeros((M,), bool)
         rm0 = jnp.zeros((N,), jnp.float32).at[r].set(1.0)
-        u, v, minv, way, used, _, j_free, _, _, iters = jax.lax.while_loop(
+        (u, v, minv, way, used, _, j_free, _, done, iters,
+         _k) = jax.lax.while_loop(
             dij_cond, dij_body,
             (u, v, minv0, way0, used0, rm0, jnp.int32(-1), r,
-             jnp.asarray(False), iters))
+             jnp.asarray(False), iters, jnp.int32(0)))
+        # cap hit without reaching a free column => leave this row
+        # unassigned rather than corrupting col2row via a bogus augment
+        j_free = jnp.where(done, j_free, -1)
 
         # augment: walk predecessor columns back to the start row
         def aug_cond(s):

@@ -21,6 +21,10 @@ import jax.numpy as jnp
 from mo_yolo_tpu.ops.boxes import elementwise_ciou, pairwise_ciou
 from mo_yolo_tpu.train.losses import optax_sigmoid_bce
 
+# COCO 17-keypoint OKS sigmas (reference `utils/metrics.py:OKS_SIGMA`)
+_OKS_SIGMA_COCO17 = [.026, .025, .025, .035, .035, .079, .079, .072, .072,
+                     .062, .062, .107, .107, .087, .087, .089, .089]
+
 
 @dataclasses.dataclass(frozen=True)
 class V8LossConfig:
@@ -229,8 +233,13 @@ def v8_pose_loss(cfg: V8LossConfig,
                        (box[..., 3] - box[..., 1]), 1.0)          # [B,S]
     vis = (tkpt[..., 2] > 0).astype(jnp.float32)                  # [B,S,K]
     d2 = jnp.sum((pred_kpts[..., :2] - tkpt[..., :2]) ** 2, -1)   # [B,S,K]
-    # reference KeypointLoss: mean over kpts of (1 - exp(-d2 / (2*area*e)))
-    e = d2 / (2 * 4.0 * area[..., None] + 1e-9)
+    # reference KeypointLoss (`utils/loss.py:125`):
+    #   e = d / (2*sigma)^2 / (area + eps) / 2, with per-keypoint OKS
+    # sigmas for COCO-17 pose else uniform 1/K (`utils/loss.py:332`)
+    sigmas = (jnp.asarray(_OKS_SIGMA_COCO17) if K == 17
+              else jnp.full((K,), 1.0 / K, jnp.float32))
+    e = d2 / ((2 * sigmas[None, None]) ** 2 *
+              (area[..., None] + 1e-9) * 2)
     kpt_per = jnp.sum((1.0 - jnp.exp(-e)) * vis, -1) / \
         jnp.maximum(vis.sum(-1), 1.0)                             # [B,S]
     ts_sum = jnp.maximum(ts.sum(), 1.0)

@@ -125,3 +125,21 @@ def test_jv_iteration_bound_hard_matrix():
                            with_stats=True)
     assert (np.asarray(a2)[0] >= 0).all()
     assert int(it2[0]) < 300, int(it2[0])
+
+
+def test_jv_terminates_when_oversubscribed():
+    """Round-2 advisor (low): more valid GT rows than query columns must
+    terminate (hard per-row cap of M Dijkstra steps), assign each column
+    at most once, and leave the surplus rows at -1 — not hang in jit."""
+    rng = np.random.default_rng(7)
+    Q, G = 4, 6
+    cost = rng.standard_normal((1, Q, G)).astype(np.float32)
+    mask = np.ones((1, G), bool)
+    a, iters = hungarian_jv(jnp.asarray(cost), jnp.asarray(mask),
+                            with_stats=True)
+    a = np.asarray(a)[0]
+    assigned = a[a >= 0]
+    assert len(assigned) == Q                       # every column used once
+    assert len(set(assigned.tolist())) == Q
+    assert (a == -1).sum() == G - Q                 # surplus rows dropped
+    assert int(iters[0]) <= G * (Q + 1)

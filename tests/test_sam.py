@@ -126,3 +126,32 @@ def test_generate_crop_layers(sam):
     assert len(crop["masks"]) > len(base["masks"])
     assert crop["masks"].shape[1:] == base["masks"].shape[1:]
     assert len(crop["masks"]) == len(crop["scores"])
+
+
+def test_build_sam_tiny_aliases():
+    """Round-2 advisor: 't'/'tiny'/'vit_t' must build the TinyViT
+    MobileSAM encoder (the old lstrip('vit_') stripped {v,i,t,_} chars)."""
+    from mo_yolo_tpu.models.sam import build_sam
+
+    for alias in ("t", "tiny", "vit_t", "mobile"):
+        m = build_sam(alias, img_size=64)
+        assert m.encoder == "tiny", alias
+    assert build_sam("vit_b", img_size=64).encoder != "tiny"
+
+
+def test_prompt_letterbox_transform(sam):
+    """Round-2 advisor: prompts are given in ORIGINAL-image pixels and
+    must be mapped through the embed letterbox (coord*gain+pad) before
+    hitting the prompt encoder."""
+    img = np.full((32, 64, 3), 128, np.uint8)     # wide: gain=1, y-pad
+    sam.embed_image(img)
+    _, meta = sam._emb_cache
+    g = meta["gain"][0]
+    px, py = meta["pad"]
+    p, l = sam._pack(points=[[10, 12]], labels=[1], boxes=[[4, 4, 30, 30]],
+                     meta=meta)
+    np.testing.assert_allclose(p[0, 0], [4 * g + px, 4 * g + py], atol=1e-5)
+    np.testing.assert_allclose(p[0, 2], [10 * g + px, 12 * g + py],
+                               atol=1e-5)
+    # PAD slots stay zero (not shifted by pad)
+    assert (p[0, 3] == 0).all() and l[0, 3] == PAD

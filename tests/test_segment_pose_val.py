@@ -116,3 +116,18 @@ def test_validators_end_to_end(tiny_spec, tmp_path):
     out = PoseValidator(pose, vp, imgsz=64)(files)
     assert "mAP50(P)" in out and "mAP50(B)" in out
     assert all(np.isfinite(x) for x in out.values())
+
+
+def test_oks_exponent_matches_cocoeval():
+    """Round-2 advisor: exponent must be d^2 / ((2*sigma)^2 * area * 2)
+    (reference `kpt_iou`, utils/metrics.py) — a hand value pins the
+    factor-of-2 that was previously missing."""
+    from mo_yolo_tpu.metrics.segment_pose import oks_np
+
+    gt = np.zeros((1, 1, 3))
+    gt[0, 0] = [10.0, 20.0, 1.0]
+    pred = np.array([[[14.0, 20.0]]])        # d^2 = 16
+    sig = np.array([0.05])
+    oks = oks_np(gt, pred, areas=np.array([900.0]), sigmas=sig)
+    # exp(-16 / ((2*.05)^2 * 900 * 2)) = exp(-16/18)
+    np.testing.assert_allclose(oks, [[np.exp(-16.0 / 18.0)]], rtol=1e-6)

@@ -247,3 +247,36 @@ def test_segment_pose_heads_raw_mode_and_training_step():
     l0, g = jax.value_and_grad(pose_loss)(vp)
     v1 = jax.tree.map(lambda p, gg: p - 1e-3 * gg, vp, g)
     assert np.isfinite(float(l0)) and float(pose_loss(v1)) < float(l0)
+
+
+def test_pose_loss_per_keypoint_sigmas():
+    """Round-2 advisor: KeypointLoss must weight joints by OKS sigma
+    (reference `utils/loss.py:125,332`) — the same pixel error on a
+    low-sigma joint (eye, sigma .026) must cost more than on a
+    high-sigma joint (hip, sigma .107)."""
+    from mo_yolo_tpu.train.v8_loss import _assignment, v8_pose_loss
+
+    box_dist, cls_logits, anc, strides, gl, gb, gm = _raw_head_inputs()
+    B, S = cls_logits.shape[:2]
+    K = 17
+    gt_kpts = np.zeros((B, 3, K, 3), np.float32)
+    for g in range(3):
+        x1, y1, x2, y2 = np.asarray(gb)[0, g]
+        gt_kpts[0, g, :, 0] = np.linspace(x1, x2, K)
+        gt_kpts[0, g, :, 1] = np.linspace(y1, y2, K)
+        gt_kpts[0, g, :, 2] = 2.0
+    cfg = V8LossConfig(nc=2, reg_max=8)
+    tb, ts, fg, assigned = _assignment(cfg, box_dist, cls_logits, anc,
+                                       strides, gl, gb, gm)
+    tk = jnp.take_along_axis(jnp.asarray(gt_kpts),
+                             assigned[:, :, None, None], axis=1)
+    perfect = jnp.concatenate([tk[..., :2],
+                               jnp.full((B, S, K, 1), 20.0)], -1)
+
+    def loss_with_shift(j):
+        shifted = perfect.at[..., j, :2].add(5.0)
+        out = v8_pose_loss(cfg, box_dist, cls_logits, anc, strides,
+                           shifted, gl, gb, gm, jnp.asarray(gt_kpts))
+        return float(out["pose"])
+
+    assert loss_with_shift(0) > loss_with_shift(11) * 1.05
