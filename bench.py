@@ -1,93 +1,90 @@
 """Streaming-inference benchmark on the flagship DecoderTracker model.
 
 Measures end-to-end tracking FPS per chip: the full jitted per-frame step
-(backbone + decoder over [track|detect] queries + ID lifecycle + QIM) on
-640x640 frames, state carried across frames on-device, no host round-trips
-in the loop (methodology mirrors `MOTR/benchmark.py:37-48`: warmup then
-averaged steady-state latency).
+(backbone + decoder over [track|detect] queries + ID lifecycle + QIM),
+state carried across frames on-device, no host round-trips in the loop
+(methodology mirrors `MOTR/benchmark.py:37-48`: warmup then averaged
+steady-state latency).
 
-Baseline: the reference MOTR pipeline runs ~7.5 FPS on a V100-class GPU
-(`MOTR/README.md:55`); vs_baseline reports our FPS / 7.5.
+Baseline: the reference MOTR pipeline runs ~7.5 FPS at 1536x800 on a
+V100-class GPU (`MOTR/README.md:55`). The headline `vs_baseline` is
+computed at the SAME 1536x800 resolution (round-2 VERDICT weak #3 — the
+old ratio divided a 640^2 number by the 1536x800 baseline); the 640^2
+figure is carried alongside as `fps_640`/`vs_baseline_640_mismatched`.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Usage: python bench.py [--imgsz WxH | SIZE] [--streams N] [--xla] [--f32]
+  no --imgsz: measures BOTH 1536x800 (headline) and 640x640.
 """
 
 import json
 import sys
 import time
 
-BASELINE_FPS = 7.5  # MOTR reference inference speed (BASELINE.md)
+BASELINE_FPS = 7.5      # MOTR reference inference speed (BASELINE.md)
+BASELINE_RES = (800, 1536)  # (H, W) of the MOTR measurement
 
 
-def _render_frames(k: int, size: int):
+def _render_frames(k: int, h: int, w: int):
     """Deterministic moving-object video (same renderer as the eval
     fixture) — content-bearing frames so data-dependent paths (duplicate
     suppression convergence, active-track lifecycle) run realistic
     iteration counts instead of the empty-scene fast path."""
     import os
-    import sys
 
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    size = max(h, w)
     try:
         from scripts.make_synth_mot import _background, _object_patch
         rng = np.random.default_rng(0)
-        bg = _background(rng, size)
+        bg = _background(rng, size)[:h, :w]
         objs = []
         for _ in range(6):
-            w = int(rng.uniform(size * 0.08, size * 0.18))
-            h = int(rng.uniform(size * 0.08, size * 0.18))
-            patch, mask = _object_patch(rng, w, h)
-            objs.append([patch, mask, rng.uniform(w, size - w),
-                         rng.uniform(h, size - h),
-                         rng.uniform(-4, 4), rng.uniform(-4, 4), w, h])
-        out = np.empty((k, 1, size, size, 3), np.float32)
+            ow = int(rng.uniform(size * 0.08, size * 0.18))
+            oh = int(rng.uniform(size * 0.08, size * 0.18))
+            patch, mask = _object_patch(rng, ow, oh)
+            objs.append([patch, mask, rng.uniform(ow, w - ow),
+                         rng.uniform(oh, h - oh),
+                         rng.uniform(-4, 4), rng.uniform(-4, 4), ow, oh])
+        out = np.empty((k, 1, h, w, 3), np.float32)
         for t in range(k):
             frame = bg.copy()
             for o in objs:
-                patch, mask, x, y, vx, vy, w, h = o
-                o[2] = np.clip(x + vx, w / 2, size - w / 2)
-                o[3] = np.clip(y + vy, h / 2, size - h / 2)
-                x1, y1 = int(o[2] - w / 2), int(o[3] - h / 2)
-                region = frame[y1:y1 + h, x1:x1 + w]
+                patch, mask, x, y, vx, vy, ow, oh = o
+                o[2] = np.clip(x + vx, ow / 2, w - ow / 2)
+                o[3] = np.clip(y + vy, oh / 2, h - oh / 2)
+                x1, y1 = int(o[2] - ow / 2), int(o[3] - oh / 2)
+                region = frame[y1:y1 + oh, x1:x1 + ow]
                 m = mask[:region.shape[0], :region.shape[1]]
                 region[m] = patch[:region.shape[0], :region.shape[1]][m]
             out[t, 0] = np.clip(frame, 0, 255) / 255.0
         return out
     except Exception:  # renderer unavailable: fall back to noise
         rng = np.random.default_rng(0)
-        return rng.uniform(0, 1, (k, 1, size, size, 3)).astype(np.float32)
+        return rng.uniform(0, 1, (k, 1, h, w, 3)).astype(np.float32)
 
 
-def main():
+def measure_fps(h: int, w: int, n_streams: int, impl, dtype) -> float:
     import jax
     import jax.numpy as jnp
-    import numpy as np
+    from mo_yolo_tpu.models.tracker import init_track_state
     from mo_yolo_tpu.models.tracking_model import (
         build_tracking_model, init_variables)
-    from mo_yolo_tpu.models.tracker import init_track_state
 
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 640
-    dtype = jnp.bfloat16 if "--f32" not in sys.argv else jnp.float32
-    n_warmup, n_iter = 3, 12
-    # --streams N: aggregate multi-stream throughput (B independent video
-    # streams batched on one chip; the production serving shape)
-    n_streams = 1
-    if "--streams" in sys.argv:
-        n_streams = int(sys.argv[sys.argv.index("--streams") + 1])
-
-    impl = "xla" if "--xla" in sys.argv else None  # None = auto (pallas on TPU)
     model = build_tracking_model("mo_yolo_tpu/cfg/models/yolo_track.yaml",
                                  impl=impl, dtype=dtype)
     variables = init_variables(model, jax.random.PRNGKey(0),
-                               image_size=(size, size), batch=1)
+                               image_size=(h, w), batch=1)
     state = init_track_state(n_streams, model.tracker.n_slots, model.hd)
 
     # chain K frames per dispatch (lax.scan) — measures device throughput
     # rather than the harness's per-dispatch tunnel latency; in production
     # streaming the frame queue keeps the device fed the same way
     K = 8
+    n_warmup, n_iter = 3, 12
 
     def multi_step(v, s, frames):
         def body(st, f):
@@ -96,28 +93,73 @@ def main():
         return jax.lax.scan(body, s, frames)
 
     step = jax.jit(multi_step, donate_argnums=(1,))
-    frames = jnp.asarray(_render_frames(K, size))
+    frames = jnp.asarray(_render_frames(K, h, w))
     if n_streams > 1:
         frames = jnp.tile(frames, (1, n_streams, 1, 1, 1))
 
-    for i in range(n_warmup):
+    for _ in range(n_warmup):
         state, out = step(variables, state, frames)
     float(out.sum())  # real host fetch — block_until_ready alone does not
     # synchronize through the axon relay
 
     t0 = time.perf_counter()
-    for i in range(n_iter):
+    for _ in range(n_iter):
         state, out = step(variables, state, frames)
     float(out.sum())
     dt = time.perf_counter() - t0
+    return n_iter * K * n_streams / dt
 
-    fps = n_iter * K * n_streams / dt
+
+def main():
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if "--f32" not in sys.argv else jnp.float32
+    impl = "xla" if "--xla" in sys.argv else None  # None = auto (pallas)
+    n_streams = 1
+    if "--streams" in sys.argv:
+        n_streams = int(sys.argv[sys.argv.index("--streams") + 1])
+
+    explicit = None
+    if "--imgsz" in sys.argv:
+        spec = sys.argv[sys.argv.index("--imgsz") + 1]
+        if "x" in spec:
+            w, h = (int(v) for v in spec.split("x"))
+        else:
+            w = h = int(spec)
+        explicit = (h, w)
+    else:  # legacy positional SIZE
+        for a in sys.argv[1:]:
+            if a.isdigit():
+                explicit = (int(a), int(a))
+                break
+
+    if explicit is not None:
+        h, w = explicit
+        fps = measure_fps(h, w, n_streams, impl, dtype)
+        tag = "" if n_streams == 1 else f"_x{n_streams}streams"
+        matched = (h, w) == BASELINE_RES
+        print(json.dumps({
+            "metric": f"streaming_tracking_fps_{w}x{h}_per_chip{tag}",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / BASELINE_FPS, 2),
+            "baseline_resolution_matched": matched,
+        }))
+        return
+
+    # default: matched-resolution headline + the 640^2 trend figure
+    bh, bw = BASELINE_RES
+    fps_matched = measure_fps(bh, bw, n_streams, impl, dtype)
+    fps_640 = measure_fps(640, 640, n_streams, impl, dtype)
     tag = "" if n_streams == 1 else f"_x{n_streams}streams"
     print(json.dumps({
-        "metric": f"streaming_tracking_fps_{size}x{size}_per_chip{tag}",
-        "value": round(fps, 2),
+        "metric": f"streaming_tracking_fps_{bw}x{bh}_per_chip{tag}",
+        "value": round(fps_matched, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "vs_baseline": round(fps_matched / BASELINE_FPS, 2),
+        "baseline_resolution_matched": True,
+        "fps_640": round(fps_640, 2),
+        "vs_baseline_640_mismatched": round(fps_640 / BASELINE_FPS, 2),
     }))
 
 

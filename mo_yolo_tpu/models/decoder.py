@@ -68,8 +68,11 @@ class TrackDecoder(nn.Module):
         for i, f in enumerate(feats):
             p = nn.Conv(self.hd, (1, 1), use_bias=False, dtype=self.dtype,
                         name=f"input_proj{i}_conv")(f)
-            p = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                             epsilon=1e-3, dtype=self.dtype,
+            # reference input_proj uses a DEFAULT nn.BatchNorm2d
+            # (`head.py:838`): eps=1e-5 / torch momentum 0.1, unlike the
+            # backbone Conv BNs (1e-3/0.03) — must match for import parity
+            p = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
                              name=f"input_proj{i}_bn")(p)
             srcs.append(p.reshape(B, -1, self.hd))
         memory = jnp.concatenate(srcs, axis=1)  # [B, S, hd]
@@ -77,7 +80,8 @@ class TrackDecoder(nn.Module):
         # --- dense encoder heads + anchor priors (`_get_decoder_input`) ---
         anchors, valid_mask = generate_anchors(shapes, dtype=jnp.float32)
         anchors = anchors.astype(memory.dtype)
-        features = nn.LayerNorm(dtype=self.dtype, name="enc_output_ln")(
+        features = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                name="enc_output_ln")(
             nn.Dense(self.hd, dtype=self.dtype, name="enc_output_dense")(
                 jnp.where(valid_mask, memory, 0.0)))
         enc_scores_dense = nn.Dense(
@@ -107,8 +111,11 @@ class TrackDecoder(nn.Module):
             det_embed = jax.lax.stop_gradient(det_embed)
         else:
             det_ref_in = det_ref
-        det_query_pos = pos2posemb(jax.nn.sigmoid(det_ref_in),
-                                   self.hd // 4)                   # [B,nq,hd]
+        # reference applies pos2posemb to the LOGIT-space refer_bbox
+        # (`head.py:1054`: query_pos = pos2posemb(refer_bbox) before the
+        # .sigmoid()) — imported weights only reproduce the reference
+        # function if we embed the same space
+        det_query_pos = pos2posemb(det_ref_in, self.hd // 4)       # [B,nq,hd]
 
         # track-query class embedding (reference reuses the denoising class
         # embedding table for track content, `head.py:888-899`)
@@ -123,7 +130,8 @@ class TrackDecoder(nn.Module):
             n_dn = dn_cls.shape[1]
             parts_embed.append(class_embed(dn_cls))
             parts_ref.append(dn_bbox_logit)
-            parts_pos.append(pos2posemb(jax.nn.sigmoid(dn_bbox_logit), self.hd // 4))
+            # logit-space posemb, same as the detect queries (`head.py:1082`)
+            parts_pos.append(pos2posemb(dn_bbox_logit, self.hd // 4))
         n_track = 0
         if track_ref_logit is not None:
             n_track = track_ref_logit.shape[1]
@@ -165,6 +173,7 @@ class TrackDecoder(nn.Module):
             "init_ref": jax.nn.sigmoid(refer_logit),  # [B,Qt,4]
             "embed": out_embed,                    # [B,Qt,hd]
             "query_pos": query_pos,                # [B,Qt,hd]
+            "topk_ind": topk_ind,                  # [B,nq] anchor index
             "n_dn": n_dn,
             "n_track": n_track,
         }

@@ -408,10 +408,10 @@ class AIFI(nn.Module):
         qk = t + pos
         attn = MultiHeadSelfAttention(C, self.num_heads, dtype=self.dtype,
                                       name="ma")(qk, qk, t)
-        t = nn.LayerNorm(dtype=self.dtype, name="norm1")(t + attn)
+        t = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(t + attn)
         f = nn.Dense(self.cm, dtype=self.dtype, name="fc1")(t)
         f = nn.Dense(C, dtype=self.dtype, name="fc2")(nn.gelu(f))
-        t = nn.LayerNorm(dtype=self.dtype, name="norm2")(t + f)
+        t = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(t + f)
         return t.reshape(B, H, W, C)
 
 

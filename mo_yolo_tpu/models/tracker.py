@@ -317,7 +317,10 @@ class QIM(nn.Module):
 
     d_model: int = 256
     n_heads: int = 8
-    d_ffn: int = 512  # d_model * 2 per reference head.py:117-118
+    # reference QIM is built with hidden_dim == d_model (head.py:117 passes
+    # (d_model, decoder.hidden_dim, d_model*2); qim.py:87 uses hidden_dim
+    # for linear1/linear2) — matching it keeps `.pt` imports shape-exact
+    d_ffn: int = 256
     update_query_pos: bool = False
     dtype: Any = jnp.float32
 
@@ -334,19 +337,19 @@ class QIM(nn.Module):
         tgt2 = MultiHeadSelfAttention(self.d_model, self.n_heads,
                                       dtype=self.dtype, name="self_attn")(
             qk, qk, embedding, mask)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(embedding + tgt2)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(embedding + tgt2)
 
         ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(tgt)
         ff = nn.relu(ff)
         ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + ff)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + ff)
 
         new_pos = query_pos
         if self.update_query_pos:
             pf = nn.Dense(self.d_ffn, dtype=self.dtype, name="pos_linear1")(tgt)
             pf = nn.relu(pf)
             pf = nn.Dense(self.d_model, dtype=self.dtype, name="pos_linear2")(pf)
-            new_pos = nn.LayerNorm(dtype=self.dtype, name="pos_norm")(query_pos + pf)
+            new_pos = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pos_norm")(query_pos + pf)
 
         keep = active_mask[..., None]
         return (jnp.where(keep, tgt, embedding),

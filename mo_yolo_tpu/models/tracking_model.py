@@ -46,7 +46,9 @@ class TrackingModel(nn.Module):
             nc=self.spec.nc, hd=self.hd, nq=self.nq,
             n_track=self.tracker.n_slots, ndl=self.ndl, d_ffn=self.d_ffn,
             impl=self.impl, dtype=self.dtype)
-        self.qim = QIM(d_model=self.hd, d_ffn=self.hd * 2, dtype=self.dtype)
+        # d_ffn == hd: the reference QIM's hidden_dim (qim.py:87) — keeps
+        # track_embed.* weight imports shape-exact
+        self.qim = QIM(d_model=self.hd, d_ffn=self.hd, dtype=self.dtype)
 
     # ------------------------------------------------------------------ #
     def frame_forward(self, images, state: Optional[TrackState] = None,

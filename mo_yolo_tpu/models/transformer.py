@@ -104,18 +104,18 @@ class TrackDecoderLayer(nn.Module):
         qk = embed + query_pos
         tgt = MultiHeadSelfAttention(self.d_model, self.n_heads, dtype=self.dtype,
                                      name="self_attn")(qk, qk, embed, attn_mask)
-        embed = nn.LayerNorm(dtype=self.dtype, name="norm1")(embed + tgt)
+        embed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(embed + tgt)
 
         tgt = MSDeformAttnModule(self.d_model, self.n_levels, self.n_heads,
                                  self.n_points, impl=self.impl, dtype=self.dtype,
                                  name="cross_attn")(embed + query_pos, refer_bbox,
                                                     feats, shapes)
-        embed = nn.LayerNorm(dtype=self.dtype, name="norm2")(embed + tgt)
+        embed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(embed + tgt)
 
         ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(embed)
         ff = nn.relu(ff)
         ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(embed + ff)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(embed + ff)
 
 
 class TrackTransformerDecoder(nn.Module):

@@ -1,0 +1,275 @@
+"""Numeric forward-parity against the PyTorch reference (round-2 VERDICT #1).
+
+The round-2 import tests proved the torch<->flax key mapping is bijective;
+these tests prove the mapped modules compute the SAME FUNCTION. Each test
+builds the reference module (real code from /root/reference, loaded via
+tests/torch_ref.py shims), copies its random-init weights into our flax
+equivalent, runs both on identical inputs at f32 on CPU, and asserts
+elementwise closeness.
+
+Covers: pos2posemb (transformer.py:183), MSDeformAttn (transformer.py:193),
+MOTRDecoderLayer (transformer.py:515), and the full
+TrackingModel('yolo_track.yaml') backbone+MYDecoder forward vs our
+TrackingModel after `apply_torch_state_dict` of its state_dict.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+from tests.torch_ref import load_reference  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref():
+    try:
+        return load_reference()
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"reference tree not importable: {e}")
+
+
+def _dense(tw, tb=None):
+    out = {"kernel": jnp.asarray(tw.detach().numpy().T)}
+    if tb is not None:
+        out["bias"] = jnp.asarray(tb.detach().numpy())
+    return out
+
+
+def _norm(mod):
+    return {"scale": jnp.asarray(mod.weight.detach().numpy()),
+            "bias": jnp.asarray(mod.bias.detach().numpy())}
+
+
+def _msda_params(tm):
+    return {
+        "value_proj": _dense(tm.value_proj.weight, tm.value_proj.bias),
+        "sampling_offsets": _dense(tm.sampling_offsets.weight,
+                                   tm.sampling_offsets.bias),
+        "attention_weights": _dense(tm.attention_weights.weight,
+                                    tm.attention_weights.bias),
+        "output_proj": _dense(tm.output_proj.weight, tm.output_proj.bias),
+    }
+
+
+def _mha_params(tm, C):
+    w = tm.in_proj_weight.detach().numpy()   # [3C, C] rows (q|k|v)
+    b = tm.in_proj_bias.detach().numpy()
+    return {
+        "q_proj": {"kernel": jnp.asarray(w[:C].T),
+                   "bias": jnp.asarray(b[:C])},
+        "k_proj": {"kernel": jnp.asarray(w[C:2 * C].T),
+                   "bias": jnp.asarray(b[C:2 * C])},
+        "v_proj": {"kernel": jnp.asarray(w[2 * C:].T),
+                   "bias": jnp.asarray(b[2 * C:])},
+        "out_proj": _dense(tm.out_proj.weight, tm.out_proj.bias),
+    }
+
+
+def test_pos2posemb_parity(ref):
+    from mo_yolo_tpu.ops.embed import pos2posemb
+
+    rng = np.random.default_rng(0)
+    # logit-space inputs — the space the reference feeds it (head.py:1054)
+    pos = rng.normal(0, 3, (2, 7, 4)).astype(np.float32)
+    theirs = ref.transformer.pos2posemb(torch.from_numpy(pos)).numpy()
+    ours = np.asarray(pos2posemb(jnp.asarray(pos), 64))
+    assert theirs.shape == ours.shape == (2, 7, 256)
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_generate_anchors_parity(ref):
+    from mo_yolo_tpu.ops.embed import generate_anchors
+
+    shapes = [(20, 20), (10, 10), (5, 5)]
+    r = ref.head.MYDecoder(nc=3, ch=(8, 8, 8))
+    ta, tm = r._generate_anchors(shapes)
+    oa, om = generate_anchors(tuple(shapes))
+    np.testing.assert_array_equal(np.asarray(om)[0, :, 0],
+                                  tm.numpy()[0, :, 0])
+    finite = tm.numpy()[0, :, 0]
+    np.testing.assert_allclose(np.asarray(oa)[0][finite],
+                               ta.numpy()[0][finite], atol=1e-5)
+
+
+def test_msdeform_attn_forward_parity(ref):
+    from mo_yolo_tpu.models.transformer import MSDeformAttnModule
+
+    C, H, L, P = 64, 4, 3, 4
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    S = sum(h * w for h, w in shapes)
+    B, Q = 2, 6
+
+    torch.manual_seed(0)
+    tm = ref.transformer.MSDeformAttn(d_model=C, n_levels=L, n_heads=H,
+                                      n_points=P)
+    # perturb away from the structured zero-init so the test is not
+    # trivially passing on zeros
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+    tm.eval()
+
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((B, Q, C)).astype(np.float32)
+    rb = (rng.uniform(0.3, 0.7, (B, Q, 4))).astype(np.float32)
+    v = rng.standard_normal((B, S, C)).astype(np.float32)
+
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(q),
+                    torch.from_numpy(rb).unsqueeze(2),   # [B,Q,1,4] bcast L
+                    torch.from_numpy(v), shapes).numpy()
+
+    om = MSDeformAttnModule(d_model=C, n_levels=L, n_heads=H, n_points=P,
+                            impl="xla")
+    variables = om.init(jax.random.PRNGKey(0), jnp.asarray(q),
+                        jnp.asarray(rb), jnp.asarray(v), tuple(shapes))
+    variables = {"params": _msda_params(tm)}
+    ours = np.asarray(om.apply(variables, jnp.asarray(q), jnp.asarray(rb),
+                               jnp.asarray(v), tuple(shapes)))
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+def test_decoder_layer_forward_parity(ref):
+    from mo_yolo_tpu.models.transformer import TrackDecoderLayer
+
+    C, H, L, P, FF = 64, 4, 3, 4, 128
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    S = sum(h * w for h, w in shapes)
+    B, Q = 2, 6
+
+    torch.manual_seed(1)
+    tl = ref.transformer.MOTRDecoderLayer(d_model=C, n_heads=H, d_ffn=FF,
+                                          dropout=0.0, n_levels=L,
+                                          n_points=P)
+    with torch.no_grad():
+        for p in tl.cross_attn.parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+    tl.eval()
+
+    rng = np.random.default_rng(2)
+    em = rng.standard_normal((B, Q, C)).astype(np.float32)
+    rb = rng.uniform(0.3, 0.7, (B, Q, 4)).astype(np.float32)
+    feats = rng.standard_normal((B, S, C)).astype(np.float32)
+    qpos = rng.standard_normal((B, Q, C)).astype(np.float32)
+
+    with torch.no_grad():
+        theirs = tl(torch.from_numpy(em), torch.from_numpy(rb),
+                    torch.from_numpy(feats), shapes, None, None,
+                    torch.from_numpy(qpos)).numpy()
+
+    ol = TrackDecoderLayer(d_model=C, n_heads=H, d_ffn=FF, n_levels=L,
+                           n_points=P, impl="xla")
+    params = {
+        "self_attn": _mha_params(tl.self_attn, C),
+        "norm1": _norm(tl.norm1),
+        "cross_attn": _msda_params(tl.cross_attn),
+        "norm2": _norm(tl.norm2),
+        "linear1": _dense(tl.linear1.weight, tl.linear1.bias),
+        "linear2": _dense(tl.linear2.weight, tl.linear2.bias),
+        "norm3": _norm(tl.norm3),
+    }
+    ours = np.asarray(ol.apply({"params": params}, jnp.asarray(em),
+                               jnp.asarray(rb), jnp.asarray(feats),
+                               tuple(shapes), jnp.asarray(qpos)))
+    np.testing.assert_allclose(ours, theirs, atol=5e-5)
+
+
+def test_full_model_forward_parity(ref):
+    """End-to-end: reference TrackingModel('yolo_track.yaml') eval forward
+    (backbone -> PAN -> MYDecoder detect path, `tasks.py:486-514` +
+    `head.py:873-985`) vs our TrackingModel after importing its full
+    state_dict through `apply_torch_state_dict`. This is the reachable
+    proxy for the BASELINE "HOTA within 0.5pt" gate: identical weights
+    must produce identical boxes/logits."""
+    from tests.torch_ref import build_tracking_model
+
+    from mo_yolo_tpu.api import MOTRTrack
+    from mo_yolo_tpu.utils.checkpoint import apply_torch_state_dict
+
+    tm = build_tracking_model(
+        "/root/reference/ultralytics/cfg/models/v8/yolo_track.yaml")
+    # The reference's structured init (zeroed bbox/offset layers, constant
+    # score bias) makes anchor scores near-degenerate (ties at ~1e-5), so
+    # top-k ordering would be decided by float noise. Perturb the head
+    # weights — IDENTICALLY for both sides, via the shared state_dict — so
+    # scores separate and the refinement path is non-trivial.
+    torch.manual_seed(7)
+    with torch.no_grad():
+        for name, p in tm.model[-1].named_parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+    # populate BN running stats with one train-mode backbone pass:
+    # fresh stats (mean 0 / var 1) collapse untrained eval activations to
+    # near-constant features, which ties all anchor scores at f32 noise
+    tm.train()
+    with torch.no_grad():
+        yb = []
+        xb = torch.rand(2, 3, 160, 160, generator=torch.Generator()
+                        .manual_seed(11))
+        for mod in tm.model[:-1]:
+            if mod.f != -1:
+                xb = yb[mod.f] if isinstance(mod.f, int) else \
+                    [xb if j == -1 else yb[j] for j in mod.f]
+            xb = mod(xb)
+            yb.append(xb if mod.i in tm.save else None)
+    tm.eval()
+    sd = {k: v.float().numpy() for k, v in tm.state_dict().items()}
+
+    m = MOTRTrack("yolo_track.yaml", imgsz=160, dtype="float32")
+    m.variables, report = apply_torch_state_dict(sd, m.variables,
+                                                 strict=True)
+
+    # structured image (gradient + blocks): iid pixel noise averages to
+    # near-constant deep features, leaving anchor scores tied at f32
+    # resolution and making the top-k order meaningless
+    yy_, xx_ = np.mgrid[0:160, 0:160].astype(np.float32) / 160.0
+    img = np.stack([xx_, yy_, (xx_ * yy_)], -1)[None]
+    img[0, 40:80, 30:70, 0] = 1.0
+    img[0, 90:140, 80:150, 1] = 0.0
+    img[0, 20:60, 100:140, 2] = 1.0
+    img = img.astype(np.float32)
+    timg = torch.from_numpy(np.ascontiguousarray(img.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        (_, x), _ti = tm.predict(timg, is_first=True)
+        # reference top-k anchor choice, recomputed from its own enc path
+        head = tm.model[-1].decoder
+        y = []
+        xt = timg
+        for mod in tm.model[:-1]:
+            if mod.f != -1:
+                xt = y[mod.f] if isinstance(mod.f, int) else \
+                    [xt if j == -1 else y[j] for j in mod.f]
+            xt = mod(xt)
+            y.append(xt if mod.i in tm.save else None)
+        feats2, shapes2 = head._get_encoder_input([y[j] for j in
+                                                   tm.model[-1].f])
+        _, vmask = head._generate_anchors(shapes2, dtype=feats2.dtype)
+        enc_sc = head.enc_score_head(head.enc_output(vmask * feats2))
+        ref_topk = torch.topk(enc_sc.max(-1).values, head.num_queries,
+                              dim=1).indices[0].numpy()
+    ref_boxes = x[0].squeeze(0)[0].numpy()    # [Q,4] sigmoid space
+    ref_scores = x[1].squeeze(0)[0].numpy()   # [Q,nc] logits
+
+    out = m.model.apply(m.variables, jnp.asarray(img), train=False)
+    our_topk = np.asarray(out["topk_ind"])[0]
+    our_boxes = np.asarray(out["dec_bboxes"][-1])[0]
+    our_scores = np.asarray(out["dec_scores"][-1])[0]
+    assert our_boxes.shape == ref_boxes.shape
+
+    # The decoder stack is permutation-equivariant over queries, and
+    # anchor scores at random init sit within float noise of each other,
+    # so the top-k RANK order is not reproducible across frameworks —
+    # align the two sides by selected ANCHOR index instead and require
+    # near-total overlap of the selected sets.
+    common = sorted(set(our_topk.tolist()) & set(ref_topk.tolist()))
+    assert len(common) >= int(0.97 * len(ref_topk)), \
+        f"top-k sets overlap only {len(common)}/{len(ref_topk)}"
+    our_at = {a: i for i, a in enumerate(our_topk.tolist())}
+    ref_at = {a: i for i, a in enumerate(ref_topk.tolist())}
+    oi = np.array([our_at[a] for a in common])
+    ri = np.array([ref_at[a] for a in common])
+    np.testing.assert_allclose(our_boxes[oi], ref_boxes[ri], atol=1e-3)
+    np.testing.assert_allclose(our_scores[oi], ref_scores[ri], atol=1e-2)
