@@ -142,9 +142,13 @@ def _segment_anything(task, mode, model_arg, imgsz, kv):
     else:
         from mo_yolo_tpu.models.fastsam import FastSAM
         m = FastSAM(str(model_arg or "yolo_track.yaml"), imgsz=imgsz)
+    texts = kv.pop("texts", None)   # CLIP text prompt (prompt.py:395)
     n = 0
     for path, img in make_source(kv.pop("source")):
-        if task == "sam":
+        if texts is not None:
+            out = (m.text_prompt(img, texts, grid=kv.get("grid", 8))
+                   if task == "sam" else m(img, texts=texts))
+        elif task == "sam":
             out = m.generate(img, grid=kv.get("grid", 8))
         else:
             out = m.everything(img)

@@ -2,17 +2,21 @@
 
 Equivalent of the reference FastSAM family (`ultralytics/models/fastsam/`,
 886 LoC: a YOLOv8-seg checkpoint run in "everything" mode with
-`FastSAMPrompt` selecting masks by box / point / everything prompts). Here
-the model is our BackboneNeck + SegmentHead(nc=1) and the prompt logic is
-host-side numpy over the device-produced masks.
+`FastSAMPrompt` selecting masks by box / point / everything / text
+prompts). Here the model is our BackboneNeck + SegmentHead(nc=1) and the
+prompt logic is host-side numpy over the device-produced masks.
 
-The reference's text prompt (CLIP) is out of scope (no CLIP weights in
-this environment); box/point/everything prompts are implemented.
+Text prompts follow the reference's CLIP `retrieve` recipe
+(`fastsam/prompt.py:306-340,395-403`: bbox crops on white background ->
+image/text embedding cosine -> softmax over crops -> argmax) behind a
+pluggable `TextImageEmbedder` protocol: real CLIP weights slot in when
+available (`clip_embedder()` via transformers), and anything embedding
+images+texts into one space (including a test mock) works identically.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, List, Optional, Protocol
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +25,61 @@ from flax import linen as nn
 
 from mo_yolo_tpu.models.graph import BackboneNeck, GraphSpec, parse_model_yaml
 from mo_yolo_tpu.models.heads_extra import SegmentHead
+
+
+class TextImageEmbedder(Protocol):
+    """Joint image/text embedding space (CLIP-shaped contract)."""
+
+    def embed_images(self, images: List[np.ndarray]) -> np.ndarray:
+        """uint8 HWC RGB crops -> [N, D] float."""
+        ...
+
+    def embed_texts(self, texts: List[str]) -> np.ndarray:
+        """strings -> [M, D] float."""
+        ...
+
+
+def clip_embedder(model_name: str = "openai/clip-vit-base-patch32"):
+    """Real CLIP behind the TextImageEmbedder protocol (requires the
+    weights to exist locally — this environment has no network egress, so
+    construction raises with a clear message when they don't)."""
+    try:
+        from transformers import CLIPModel, CLIPProcessor
+        model = CLIPModel.from_pretrained(model_name)
+        proc = CLIPProcessor.from_pretrained(model_name)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            f"CLIP weights for {model_name!r} are not available locally; "
+            "pass any TextImageEmbedder implementation instead") from e
+
+    class _Clip:
+        def embed_images(self, images):
+            import torch
+            with torch.no_grad():
+                inp = proc(images=list(images), return_tensors="pt")
+                return model.get_image_features(**inp).numpy()
+
+        def embed_texts(self, texts):
+            import torch
+            with torch.no_grad():
+                inp = proc(text=list(texts), return_tensors="pt",
+                           padding=True)
+                return model.get_text_features(**inp).numpy()
+
+    return _Clip()
+
+
+def retrieve_scores(crops: List[np.ndarray], text: str,
+                    embedder: TextImageEmbedder) -> np.ndarray:
+    """Reference `FastSAMPrompt.retrieve` (`prompt.py:306-318`): normalized
+    image/text features, 100x cosine similarity, softmax over the crops."""
+    img = np.asarray(embedder.embed_images(crops), np.float32)
+    txt = np.asarray(embedder.embed_texts([text]), np.float32)
+    img = img / np.maximum(np.linalg.norm(img, axis=-1, keepdims=True), 1e-9)
+    txt = txt / np.maximum(np.linalg.norm(txt, axis=-1, keepdims=True), 1e-9)
+    logits = 100.0 * img @ txt.T                      # [N, 1]
+    e = np.exp(logits[:, 0] - logits[:, 0].max())
+    return e / e.sum()
 
 
 class FastSAMModel(nn.Module):
@@ -95,10 +154,46 @@ class FastSAM:
         return {"boxes": b[kept], "scores": s[kept], "masks": masks,
                 "meta": meta}
 
-    def __call__(self, image: np.ndarray, bboxes=None, points=None):
+    def _bbox_crops(self, image: np.ndarray, out) -> List[np.ndarray]:
+        """Reference `_segment_image`/`_crop_image` (`prompt.py:31-43,320`):
+        each mask's bbox region of the ORIGINAL image pasted on a white
+        canvas — the crops CLIP scores against the text."""
+        gx, gy = out["meta"]["gain"]
+        H, W = image.shape[:2]
+        crops = []
+        for box in out["boxes"]:
+            x1, y1, x2, y2 = box / np.array([gx, gy, gx, gy])
+            x1 = int(np.clip(x1, 0, W - 1))
+            y1 = int(np.clip(y1, 0, H - 1))
+            x2 = int(np.clip(np.ceil(x2), x1 + 1, W))
+            y2 = int(np.clip(np.ceil(y2), y1 + 1, H))
+            canvas = np.full_like(image, 255)
+            canvas[y1:y2, x1:x2] = image[y1:y2, x1:x2]
+            crops.append(canvas)
+        return crops
+
+    def __call__(self, image: np.ndarray, bboxes=None, points=None,
+                 texts: Optional[str] = None,
+                 embedder: Optional[TextImageEmbedder] = None):
         """Prompted segmentation (reference `FastSAMPrompt`): select from
-        the everything-mode masks by box IoU or by point membership."""
+        the everything-mode masks by box IoU, point membership, or text
+        similarity (`prompt.py:395-403` — requires `embedder`; use
+        `clip_embedder()` when CLIP weights are available)."""
         out = self.everything(image)
+        if texts is not None:
+            if embedder is None:
+                embedder = clip_embedder()
+            if len(out["boxes"]) == 0:
+                return out
+            scores = retrieve_scores(self._bbox_crops(image, out), texts,
+                                     embedder)
+            keep = np.zeros(len(out["boxes"]), bool)
+            keep[int(np.argmax(scores))] = True
+            out = {k: (v[keep] if isinstance(v, np.ndarray) and
+                       len(v) == len(keep) else v)
+                   for k, v in out.items()}
+            out["text_scores"] = scores
+            return out
         if bboxes is None and points is None:
             return out
         # user prompts arrive in ORIGINAL-image pixels; the everything

@@ -618,3 +618,43 @@ class SAM:
                 np.zeros((0,) + m.shape[1:], bool),
                 "scores": s[kept] if len(kept) else np.zeros(0),
                 "meta": meta}
+
+    def text_prompt(self, image: np.ndarray, text: str, embedder=None,
+                    grid: int = 8, **gen_kw):
+        """Text-selected segmentation: everything-mode masks scored
+        against `text` by the CLIP `retrieve` recipe (reference
+        `fastsam/prompt.py:306-340,395-403`) behind the same pluggable
+        `TextImageEmbedder` protocol as FastSAM. Returns the best mask
+        (upscaled to original-image resolution) + per-mask text scores."""
+        from mo_yolo_tpu.models.fastsam import clip_embedder, retrieve_scores
+
+        out = self.generate(image, grid=grid, **gen_kw)
+        if len(out["masks"]) == 0:
+            return out
+        if embedder is None:
+            embedder = clip_embedder()
+        meta = out["meta"]
+        g = meta["gain"][0]
+        px, py = meta["pad"]
+        H, W = image.shape[:2]
+        g4 = out["masks"].shape[-1]
+        crops = []
+        for mask in out["masks"]:
+            ys, xs = np.nonzero(mask)
+            if len(ys) == 0:
+                crops.append(np.full_like(image, 255))
+                continue
+            # low-res mask coords -> model px -> original px
+            sx = self.img_size / g4
+            x1 = int(np.clip((xs.min() * sx - px) / g, 0, W - 1))
+            x2 = int(np.clip(((xs.max() + 1) * sx - px) / g, x1 + 1, W))
+            y1 = int(np.clip((ys.min() * sx - py) / g, 0, H - 1))
+            y2 = int(np.clip(((ys.max() + 1) * sx - py) / g, y1 + 1, H))
+            canvas = np.full_like(image, 255)
+            canvas[y1:y2, x1:x2] = image[y1:y2, x1:x2]
+            crops.append(canvas)
+        scores = retrieve_scores(crops, text, embedder)
+        best = int(np.argmax(scores))
+        return {"masks": out["masks"][best:best + 1],
+                "scores": out["scores"][best:best + 1],
+                "text_scores": scores, "meta": meta}

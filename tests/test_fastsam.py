@@ -48,3 +48,64 @@ def test_box_and_point_prompts(fastsam):
         px = xs.mean() / Wp * 64
         sel2 = fastsam(img, points=[(px, py)])
         assert len(sel2["boxes"]) >= 0  # selection path runs
+
+
+class MeanColorEmbedder:
+    """Deterministic mock TextImageEmbedder: images embed to their mean
+    RGB (white background excluded), texts to color unit vectors."""
+
+    COLORS = {"red": [1, 0, 0], "green": [0, 1, 0], "blue": [0, 0, 1]}
+
+    def embed_images(self, images):
+        out = []
+        for im in images:
+            px = im.reshape(-1, 3).astype(np.float64)
+            keep = px.min(1) < 250            # drop the white canvas
+            out.append(px[keep].mean(0) if keep.any() else np.zeros(3))
+        return np.stack(out)
+
+    def embed_texts(self, texts):
+        return np.array([self.COLORS[t] for t in texts], np.float64)
+
+
+def test_text_prompt_selects_matching_mask(fastsam, monkeypatch):
+    """VERDICT round-2 item #7: FastSAM(..., texts='red') must select the
+    mask whose crop scores highest under the (mock) embedder; real CLIP
+    slots into the same TextImageEmbedder protocol."""
+    H = W = fastsam.imgsz
+    image = np.zeros((H, W, 3), np.uint8)
+    image[8:24, 8:24, 0] = 220          # red object
+    image[40:60, 40:60, 2] = 220        # blue object
+
+    Hp = Wp = H // 4
+    masks = np.zeros((2, Hp, Wp), bool)
+    masks[0, 2:6, 2:6] = True
+    masks[1, 10:15, 10:15] = True
+    fake = {"boxes": np.array([[8, 8, 24, 24], [40, 40, 60, 60]], np.float32),
+            "scores": np.array([0.9, 0.8], np.float32),
+            "masks": masks,
+            "meta": {"gain": (1.0, 1.0), "pad": (0.0, 0.0),
+                     "orig_shape": (H, W), "scale_fill": True}}
+    monkeypatch.setattr(fastsam, "everything", lambda img: dict(fake))
+
+    emb = MeanColorEmbedder()
+    out_r = fastsam(image, texts="red", embedder=emb)
+    assert len(out_r["boxes"]) == 1
+    np.testing.assert_allclose(out_r["boxes"][0], [8, 8, 24, 24])
+    assert out_r["text_scores"].shape == (2,)
+    assert abs(out_r["text_scores"].sum() - 1.0) < 1e-6  # softmax
+
+    out_b = fastsam(image, texts="blue", embedder=emb)
+    np.testing.assert_allclose(out_b["boxes"][0], [40, 40, 60, 60])
+
+
+def test_retrieve_scores_softmax_cosine():
+    from mo_yolo_tpu.models.fastsam import retrieve_scores
+
+    emb = MeanColorEmbedder()
+    red = np.zeros((8, 8, 3), np.uint8)
+    red[:, :, 0] = 200
+    blue = np.zeros((8, 8, 3), np.uint8)
+    blue[:, :, 2] = 200
+    s = retrieve_scores([red, blue], "red", emb)
+    assert s[0] > 0.99 and s.sum() == pytest.approx(1.0)

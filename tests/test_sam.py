@@ -155,3 +155,29 @@ def test_prompt_letterbox_transform(sam):
                                atol=1e-5)
     # PAD slots stay zero (not shifted by pad)
     assert (p[0, 3] == 0).all() and l[0, 3] == PAD
+
+
+def test_sam_text_prompt_mock_embedder(sam, monkeypatch):
+    """SAM.text_prompt: everything-mode masks scored against text via the
+    pluggable embedder; the best-scoring mask is returned."""
+    from tests.test_fastsam import MeanColorEmbedder
+
+    H = W = sam.img_size
+    image = np.zeros((H, W, 3), np.uint8)
+    image[4:20, 4:20, 0] = 220           # red region
+    image[36:60, 36:60, 1] = 220         # green region
+
+    g4 = (sam.img_size // 16) * 4
+    masks = np.zeros((2, g4, g4), bool)
+    s16 = g4 / sam.img_size
+    masks[0, int(4*s16):int(20*s16), int(4*s16):int(20*s16)] = True
+    masks[1, int(36*s16):int(60*s16), int(36*s16):int(60*s16)] = True
+    fake = {"masks": masks, "scores": np.array([0.9, 0.8]),
+            "meta": {"gain": (1.0, 1.0), "pad": (0.0, 0.0),
+                     "orig_shape": (H, W), "scale_fill": False}}
+    monkeypatch.setattr(sam, "generate", lambda img, **kw: dict(fake))
+
+    out = sam.text_prompt(image, "green", embedder=MeanColorEmbedder())
+    assert out["masks"].shape[0] == 1
+    assert (out["masks"][0] == masks[1]).all()
+    assert out["text_scores"].argmax() == 1
