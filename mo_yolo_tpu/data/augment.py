@@ -62,6 +62,15 @@ def random_flip_lr(img: np.ndarray, lab: np.ndarray) -> Tuple[np.ndarray, np.nda
     return img, lab
 
 
+def random_flip_ud(img: np.ndarray, lab: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vertical flip (reference `flipud`); cy -> 1 - cy."""
+    img = img[::-1].copy()
+    lab = lab.copy()
+    if len(lab):
+        lab[:, 2] = 1.0 - lab[:, 2]
+    return img, lab
+
+
 def random_affine(img: np.ndarray, lab: np.ndarray, rng: np.random.Generator,
                   degrees: float = 0.0, translate: float = 0.1,
                   scale: float = 0.5, shear: float = 0.0,
@@ -174,6 +183,7 @@ class ClipAugmenter:
 
     hsv: bool = True
     fliplr_p: float = 0.5
+    flipud_p: float = 0.0
     degrees: float = 0.0
     translate: float = 0.05
     scale: float = 0.2
@@ -182,6 +192,7 @@ class ClipAugmenter:
     def begin_clip(self, clip_index: int):
         self._rng = np.random.default_rng(self.seed * 100003 + clip_index)
         self._flip = self._rng.uniform() < self.fliplr_p
+        self._flipud = self._rng.uniform() < self.flipud_p
         self._affine_params = None
         self._hsv_rng_state = self._rng.integers(0, 2 ** 31)
 
@@ -191,6 +202,8 @@ class ClipAugmenter:
             img = random_hsv(img, rng)
         if self._flip:
             img, lab = random_flip_lr(img, lab)
+        if self._flipud:
+            img, lab = random_flip_ud(img, lab)
         img, lab, self._affine_params = random_affine(
             img, lab, self._rng, degrees=self.degrees,
             translate=self.translate, scale=self.scale,

@@ -108,7 +108,8 @@ class TrackDataset:
     def __init__(self, img_files: Sequence[str], imgsz: int = 640,
                  max_gt: int = 64, clip_len: int = 5, augmenter=None,
                  verify: bool = False, cache_labels: bool = True,
-                 cache_images: bool = False, cache_limit_gb: float = 4.0):
+                 cache_images: bool = False, cache_limit_gb: float = 4.0,
+                 single_cls: bool = False):
         self.files = list(img_files)
         if verify:  # drop corrupt images (reference `data/utils.py:148-160`)
             ok = [f for f in self.files if verify_image(f)]
@@ -121,6 +122,8 @@ class TrackDataset:
         self.max_gt = max_gt
         self.clip_len = clip_len
         self.augmenter = augmenter
+        # reference `single_cls`: train every label as class 0
+        self.single_cls = single_cls
         # label cache: parse each 6-col txt once, not once per epoch
         # (reference np-caches labels, `data/dataset.py:258-260`)
         self._labels: Dict[int, np.ndarray] = {} if cache_labels else None
@@ -159,10 +162,16 @@ class TrackDataset:
 
     def _label(self, i: int) -> np.ndarray:
         if self._labels is None:
-            return load_track_label(img2label_path(self.files[i]))
-        if i not in self._labels:
-            self._labels[i] = load_track_label(img2label_path(self.files[i]))
-        return self._labels[i]
+            lab = load_track_label(img2label_path(self.files[i]))
+        else:
+            if i not in self._labels:
+                self._labels[i] = load_track_label(
+                    img2label_path(self.files[i]))
+            lab = self._labels[i]
+        if self.single_cls and len(lab):
+            lab = lab.copy()
+            lab[:, 0] = 0
+        return lab
 
     def load_frame(self, i: int, augment: bool = False) -> TrackSample:
         img = self._image(i)

@@ -119,7 +119,7 @@ class _TaskTrainer:
     def __init__(self, model, variables, data: str, epochs: int = 1,
                  batch: int = 4, lr: float = 1e-4, max_gt: int = 16,
                  imgsz: int = 256, save_dir: str = "", seed: int = 0,
-                 log_every: int = 10):
+                 log_every: int = 10, hyp=None):
         self.model = model
         self.variables = variables
         self.data = data
@@ -131,6 +131,15 @@ class _TaskTrainer:
         self.save_dir = Path(save_dir or f"runs/{self.task}")
         self.seed = seed
         self.log_every = log_every
+        self.hyp = dict(hyp or {})      # box/cls/dfl/pose/kobj loss gains
+
+    def _loss_cfg(self) -> "V8LossConfig":
+        """Reference hyp surface: `box`/`cls`/`dfl` loss gains
+        (`cfg/default.yaml:96-98`) are honored via `hyp`."""
+        return V8LossConfig(nc=self.model.spec.nc,
+                            gain_box=float(self.hyp.get("box", 7.5)),
+                            gain_cls=float(self.hyp.get("cls", 0.5)),
+                            gain_dfl=float(self.hyp.get("dfl", 1.5)))
 
     # subclass API ------------------------------------------------------ #
     def make_dataset(self, files):
@@ -213,7 +222,7 @@ class SegTrainer(_TaskTrainer):
                 "gt_masks": jnp.asarray(masks)}
 
     def loss_fn(self, params, batch_stats, batch):
-        cfg = V8LossConfig(nc=self.model.spec.nc)
+        cfg = self._loss_cfg()
         out, mut = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"], True, True, mutable=["batch_stats"])
@@ -241,7 +250,7 @@ class PoseTrainer(_TaskTrainer):
                 "gt_kpts": jnp.asarray(kpts)}
 
     def loss_fn(self, params, batch_stats, batch):
-        cfg = V8LossConfig(nc=self.model.spec.nc)
+        cfg = self._loss_cfg()
         out, mut = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"], True, True, mutable=["batch_stats"])
@@ -249,7 +258,9 @@ class PoseTrainer(_TaskTrainer):
         losses = v8_pose_loss(
             cfg, box_dist, cls_logits, anc, strides, kpts,
             batch["gt_cls"], batch["gt_boxes"], batch["gt_mask"],
-            batch["gt_kpts"])
+            batch["gt_kpts"],
+            gain_pose=float(self.hyp.get("pose", 12.0)),
+            gain_kobj=float(self.hyp.get("kobj", 1.0)))
         return losses["loss"], (mut["batch_stats"],
                                 {k: v for k, v in losses.items()
                                  if k != "loss"})

@@ -41,6 +41,7 @@ class TrainState(NamedTuple):
 class TrainConfig:
     clip_len: int = 5
     lr: float = 1e-4
+    lrf: float = 0.01               # final LR fraction (reference `lrf`)
     weight_decay: float = 1e-4
     grad_clip: float = 10.0          # reference `train.py:427` clip-norm 10
     ema_decay: float = 0.9999        # reference ModelEMA (`torch_utils.py:342`)
@@ -58,7 +59,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     warmup = min(cfg.warmup_steps, max(cfg.total_steps // 2, 1))
     total = max(cfg.total_steps, warmup + 1)
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, cfg.lr, warmup, total, cfg.lr * 0.01)
+        0.0, cfg.lr, warmup, total, cfg.lr * cfg.lrf)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(sched, weight_decay=cfg.weight_decay),

@@ -48,7 +48,9 @@ class TrackTrainer:
                  val_every: int = 0, log_every: int = 10,
                  patience: int = 50, callbacks=None,
                  resume: bool = False, accumulate: int = 1,
-                 augment: bool = False, hyp=None, clip_stages=None):
+                 augment: bool = False, hyp=None, clip_stages=None,
+                 cache: bool = True, single_cls: bool = False,
+                 plots: bool = True, lrf: float = 0.01):
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -83,6 +85,10 @@ class TrackTrainer:
         self.accumulate = max(int(accumulate), 1)
         self.augment = augment
         self.hyp = hyp
+        self.cache = cache              # RAM image cache (reference `cache`)
+        self.single_cls = single_cls    # train all labels as class 0
+        self.plots = plots              # results.png at train end
+        self.lrf = lrf                  # final LR fraction
 
     def run(self) -> Dict[str, float]:
         import jax
@@ -104,6 +110,7 @@ class TrackTrainer:
             augmenter = ClipAugmenter(
                 hsv=bool(hyp.get("hsv_v", 0.4)),
                 fliplr_p=float(hyp.get("fliplr", 0.5)),
+                flipud_p=float(hyp.get("flipud", 0.0)),
                 degrees=float(hyp.get("degrees", 0.0)),
                 translate=float(hyp.get("translate", 0.05)),
                 scale=float(hyp.get("scale", 0.2)),
@@ -141,7 +148,8 @@ class TrackTrainer:
             ds = TrackDataset(d["train"], imgsz=self.api.imgsz,
                               max_gt=self.max_gt, clip_len=T,
                               augmenter=augmenter, verify=True,
-                              cache_images=True)
+                              cache_images=self.cache,
+                              single_cls=self.single_cls)
             n_clips = len(ds.clips)
             if n_clips == 0:
                 raise ValueError("no clips found — dataset too small for "
@@ -153,7 +161,7 @@ class TrackTrainer:
                 # mini-steps)
                 total_steps = max(
                     self.epochs * steps_per_epoch // self.accumulate, 1)
-            tcfg = TrainConfig(clip_len=T, lr=self.lr,
+            tcfg = TrainConfig(clip_len=T, lr=self.lr, lrf=self.lrf,
                                accumulate=self.accumulate,
                                total_steps=total_steps)
             init_fn, step = make_sharded_train_step(model, lcfg, tcfg, mesh)
@@ -269,11 +277,12 @@ class TrackTrainer:
                 LOGGER.info(f"early stopping at epoch {epoch} "
                             f"(best epoch {self.stopper.best_epoch})")
                 break
-        try:  # training curves (reference plots results.png at train end)
-            from mo_yolo_tpu.utils.plotting import plot_results
-            plot_results(str(csv_path))
-        except Exception as e:  # never fail a run on plotting
-            LOGGER.warning(f"plot_results failed: {e}")
+        if self.plots:  # training curves (reference `plots` flag)
+            try:
+                from mo_yolo_tpu.utils.plotting import plot_results
+                plot_results(str(csv_path))
+            except Exception as e:  # never fail a run on plotting
+                LOGGER.warning(f"plot_results failed: {e}")
         self.callbacks.fire("on_train_end", trainer=self, metrics=metrics)
         metrics["final_loss"] = -best_fitness if not metrics else \
             metrics.get("final_loss", -best_fitness)

