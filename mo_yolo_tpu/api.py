@@ -75,13 +75,14 @@ class MOTRTrack:
 
     # ------------------------------------------------------------------ #
     def predict(self, source, conf: float = 0.5, stream: bool = True,
-                save_mot: Optional[str] = None):
+                save_mot: Optional[str] = None, classes=None):
         """Streaming tracking inference over a frame source. Returns a
-        generator of TrackResults (stream=True) or a list."""
+        generator of TrackResults (stream=True) or a list. `classes`
+        restricts output to the given class ids (reference `classes`)."""
         from mo_yolo_tpu.engine.predictor import TrackPredictor
 
         pred = TrackPredictor(self.model, self.variables, imgsz=self.imgsz,
-                              conf=conf, names=self.names)
+                              conf=conf, names=self.names, classes=classes)
         gen = pred.stream(source, save_mot=save_mot)
         return gen if stream else list(gen)
 
@@ -186,9 +187,10 @@ class MOTRTrack:
     def export(self, fmt: str = "stablehlo", path: str = "model_export"):
         """Export the jitted stream step. Formats: 'stablehlo' (text IR),
         'jaxexport' (serialized AOT artifact), 'params' (orbax weights),
-        'saved_model' (TF SavedModel via jax2tf), 'tflite' — the
-        TPU-relevant subset of the reference's 12 formats
-        (`engine/exporter.py:76-93`)."""
+        'saved_model' (TF SavedModel via jax2tf), 'tflite', 'pb' (frozen
+        GraphDef), 'onnx' (via tf2onnx when installed) — the TPU-relevant
+        subset of the reference's 12 formats (`engine/exporter.py:76-93`).
+        """
         import jax
         import jax.numpy as jnp
         from mo_yolo_tpu.models.tracker import init_track_state
@@ -196,7 +198,7 @@ class MOTRTrack:
         if fmt == "params":
             self.save(path)
             return path
-        if fmt in ("saved_model", "tflite"):
+        if fmt in ("saved_model", "tflite", "pb"):
             # jax2tf: state flattened to a tuple (TF cannot carry custom
             # pytree nodes); weights baked in as constants
             import tensorflow as tf
@@ -226,6 +228,18 @@ class MOTRTrack:
                 module.f = tf_fn
                 tf.saved_model.save(module, out_dir)
                 return out_dir
+            if fmt == "pb":
+                # frozen TF GraphDef (reference 'pb' format,
+                # `exporter.py:export_pb`): constants folded in
+                from tensorflow.python.framework.convert_to_constants \
+                    import convert_variables_to_constants_v2
+                frozen = convert_variables_to_constants_v2(
+                    tf_fn.get_concrete_function())
+                out = Path(path).with_suffix(".pb")
+                out.parent.mkdir(parents=True, exist_ok=True)
+                tf.io.write_graph(frozen.graph.as_graph_def(),
+                                  str(out.parent), out.name, as_text=False)
+                return str(out)
             conv = tf.lite.TFLiteConverter.from_concrete_functions(
                 [tf_fn.get_concrete_function()])
             conv.target_spec.supported_ops = [
@@ -302,7 +316,7 @@ class MOTRTrack:
             return out
         raise ValueError(f"unsupported export format {fmt!r} (supported: "
                          "'stablehlo', 'jaxexport', 'params', 'saved_model',"
-                         " 'tflite', 'onnx')")
+                         " 'tflite', 'pb', 'onnx')")
 
 
 class Detector:

@@ -15,7 +15,7 @@ from typing import Optional
 
 class AutoBackend:
     def __init__(self, weights, imgsz: int = 640, dtype: str = "bfloat16",
-                 nc: Optional[int] = None):
+                 nc: Optional[int] = None, **model_kw):
         import jax
 
         self._exported = None
@@ -41,7 +41,22 @@ class AutoBackend:
         elif str(weights).endswith((".yaml", ".yml")) or \
                 Path(str(weights)).is_dir():
             from mo_yolo_tpu.api import MOTRTrack
-            api = MOTRTrack(str(weights), imgsz=imgsz, dtype=dtype, nc=nc)
+            api = MOTRTrack(str(weights), imgsz=imgsz, dtype=dtype, nc=nc,
+                            **model_kw)
+            self.model, self.variables = api.model, api.variables
+        elif str(weights).endswith(".pt"):
+            # reference `.pt` checkpoint: build the architecture from the
+            # model yaml named alongside (model.pt + model.yaml, or pass
+            # yaml= via nc-style kwargs upstream), then name-map the torch
+            # state_dict in (the reference AutoBackend unpickles the torch
+            # module; a TPU runtime reconstructs instead — same weights,
+            # our graph)
+            from mo_yolo_tpu.api import MOTRTrack
+            yml = Path(str(weights)).with_suffix(".yaml")
+            cfg = str(yml) if yml.is_file() else "yolo_track.yaml"
+            api = MOTRTrack(cfg, imgsz=imgsz, dtype=dtype, nc=nc,
+                            **model_kw)
+            api.load_torch(str(weights))
             self.model, self.variables = api.model, api.variables
         else:
             raise ValueError(f"unsupported weights source: {weights!r}")

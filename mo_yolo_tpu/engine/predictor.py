@@ -30,7 +30,7 @@ from mo_yolo_tpu.metrics.mot import write_mot_txt
 
 class TrackPredictor:
     def __init__(self, model, variables, imgsz: int = 640,
-                 conf: float = 0.5, names=None):
+                 conf: float = 0.5, names=None, classes=None):
         import jax
 
         self.model = model
@@ -38,6 +38,9 @@ class TrackPredictor:
         self.imgsz = imgsz
         self.conf = conf
         self.names = names or {}
+        # reference `classes` filter: restrict predictions to these ids
+        self.classes = None if classes is None else \
+            np.asarray(sorted({int(c) for c in np.atleast_1d(classes)}))
         self._step = jax.jit(
             lambda v, s, f: model.apply(v, s, f, method=model.stream_step))
         self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
@@ -132,6 +135,8 @@ class TrackPredictor:
         """Filter to live tracks above conf (reference `predict.py:42-77`:
         obj_idxes >= 0 & conf), scale boxes to original pixels."""
         keep = out["valid"] & (out["obj_id"] >= 0) & (out["score"] >= self.conf)
+        if self.classes is not None:
+            keep &= np.isin(out["cls"].astype(int), self.classes)
         boxes = out["box"][keep]  # cxcywh in [0,1] of model input
         size = meta["input_shape"][0]
         xyxy = np.stack([

@@ -176,6 +176,143 @@ class WandbLogger:
             self.wb.finish()
 
 
+class CometLogger:
+    """Comet integration (reference `utils/callbacks/comet.py`): one
+    Experiment per run, hyperparams at start, scalar metrics per epoch.
+    Inert unless `comet_ml` imports and COMET_API_KEY is set."""
+
+    def __init__(self, project: str = "mo_yolo_tpu"):
+        import os
+        self.exp = None
+        if not os.environ.get("COMET_API_KEY"):
+            return
+        try:
+            import comet_ml
+            self.exp = comet_ml.Experiment(project_name=project)
+        except Exception:
+            self.exp = None
+
+    def on_start(self, trainer=None, **kw):
+        if self.exp is None or trainer is None:
+            return
+        self.exp.log_parameters(
+            {k: v for k, v in vars(trainer).items()
+             if isinstance(v, (int, float, str, bool))})
+
+    def on_epoch(self, epoch: int = 0, metrics=None, **kw):
+        if self.exp is None or not metrics:
+            return
+        self.exp.log_metrics(
+            {k: float(v) for k, v in metrics.items() if _is_scalar(v)},
+            epoch=epoch)
+
+    def on_end(self, **kw):
+        if self.exp is not None:
+            self.exp.end()
+
+
+class ClearMLLogger:
+    """ClearML integration (reference `utils/callbacks/clearml.py`):
+    Task.init at start, scalars per epoch. Inert unless `clearml` imports
+    and CLEARML_API_HOST (or a clearml.conf) is configured."""
+
+    def __init__(self, project: str = "mo_yolo_tpu",
+                 task_name: str = "train"):
+        import os
+        self.task = None
+        if not os.environ.get("CLEARML_API_HOST"):
+            return
+        try:
+            from clearml import Task
+            self.task = Task.init(project_name=project, task_name=task_name)
+        except Exception:
+            self.task = None
+
+    def on_start(self, trainer=None, **kw):
+        if self.task is None or trainer is None:
+            return
+        self.task.connect({k: v for k, v in vars(trainer).items()
+                           if isinstance(v, (int, float, str, bool))})
+
+    def on_epoch(self, epoch: int = 0, metrics=None, **kw):
+        if self.task is None or not metrics:
+            return
+        logger = self.task.get_logger()
+        for k, v in metrics.items():
+            if _is_scalar(v):
+                logger.report_scalar("val", k, float(v), epoch)
+
+    def on_end(self, **kw):
+        if self.task is not None:
+            self.task.close()
+
+
+class NeptuneLogger:
+    """Neptune integration (reference `utils/callbacks/neptune.py`):
+    init_run at start, metric series per epoch. Inert unless `neptune`
+    imports and NEPTUNE_API_TOKEN is set."""
+
+    def __init__(self, project: str = "mo_yolo_tpu"):
+        import os
+        self.run = None
+        if not os.environ.get("NEPTUNE_API_TOKEN"):
+            return
+        try:
+            import neptune
+            self.run = neptune.init_run(project=project)
+        except Exception:
+            self.run = None
+
+    def on_start(self, trainer=None, **kw):
+        if self.run is None or trainer is None:
+            return
+        self.run["config"] = {k: v for k, v in vars(trainer).items()
+                              if isinstance(v, (int, float, str, bool))}
+
+    def on_epoch(self, epoch: int = 0, metrics=None, **kw):
+        if self.run is None or not metrics:
+            return
+        for k, v in metrics.items():
+            if _is_scalar(v):
+                self.run[f"val/{k}"].append(float(v), step=epoch)
+
+    def on_end(self, **kw):
+        if self.run is not None:
+            self.run.stop()
+
+
+class DVCLogger:
+    """DVCLive integration (reference `utils/callbacks/dvc.py`): a Live
+    logger stepping once per epoch. Inert unless `dvclive` imports."""
+
+    def __init__(self, save_dir: str = "runs/track/dvclive"):
+        self.live = None
+        try:
+            from dvclive import Live
+            self.live = Live(save_dir, save_dvc_exp=True)
+        except Exception:
+            self.live = None
+
+    def on_start(self, trainer=None, **kw):
+        if self.live is None or trainer is None:
+            return
+        for k, v in vars(trainer).items():
+            if isinstance(v, (int, float, str, bool)):
+                self.live.log_param(k, v)
+
+    def on_epoch(self, epoch: int = 0, metrics=None, **kw):
+        if self.live is None or not metrics:
+            return
+        for k, v in metrics.items():
+            if _is_scalar(v):
+                self.live.log_metric(f"val/{k}", float(v))
+        self.live.next_step()
+
+    def on_end(self, **kw):
+        if self.live is not None:
+            self.live.end()
+
+
 def _is_scalar(v) -> bool:
     try:
         float(v)
@@ -206,4 +343,16 @@ def default_callbacks(save_dir: str = "runs/track",
         bus.add("on_train_batch_end", wb.on_batch)
         bus.add("on_train_epoch_end", wb.on_epoch)
         bus.add("on_train_end", wb.on_end)
+    # remaining reference integrations — same adapter shape, each inert
+    # without its package/credentials (reference auto-registration,
+    # `utils/callbacks/base.py:180-219`)
+    for lg, active in ((CometLogger(), lambda l: l.exp),
+                       (ClearMLLogger(), lambda l: l.task),
+                       (NeptuneLogger(), lambda l: l.run),
+                       (DVCLogger(str(Path(save_dir) / "dvclive")),
+                        lambda l: l.live)):
+        if active(lg) is not None:
+            bus.add("on_train_start", lg.on_start)
+            bus.add("on_train_epoch_end", lg.on_epoch)
+            bus.add("on_train_end", lg.on_end)
     return bus

@@ -41,9 +41,20 @@ def _background(rng: np.random.Generator, size: int) -> np.ndarray:
     return np.clip(bg, 0, 255)
 
 
-def _object_patch(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
-    """Textured elliptical object patch + alpha mask."""
-    base = rng.uniform(100, 255, 3)
+_CLASS_PALETTE = np.array([   # class-correlated base colors so a
+    [220, 80, 80], [80, 200, 90], [90, 110, 230],   # multi-class model has
+    [220, 200, 70], [200, 90, 210]], float)          # something to learn
+
+
+def _object_patch(rng: np.random.Generator, w: int, h: int,
+                  cls: int = -1) -> np.ndarray:
+    """Textured elliptical object patch + alpha mask. cls >= 0 draws the
+    base color near the class palette entry (appearance ~ class)."""
+    if cls >= 0:
+        base = _CLASS_PALETTE[cls % len(_CLASS_PALETTE)] + \
+            rng.uniform(-25, 25, 3)
+    else:
+        base = rng.uniform(100, 255, 3)
     tex = rng.uniform(-30, 30, (h, w, 3))
     patch = np.clip(base + tex, 0, 255)
     yy, xx = np.mgrid[0:h, 0:w]
@@ -53,14 +64,16 @@ def _object_patch(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
 
 
 def render_sequence(seed: int, size: int, n_frames: int, n_obj: int,
-                    out_img_dir: str, out_lab_dir: str) -> None:
+                    out_img_dir: str, out_lab_dir: str,
+                    nc: int = 1) -> None:
     rng = np.random.default_rng(seed)
     bg = _background(rng, size)
     objs = []
-    for _ in range(n_obj):
+    for k in range(n_obj):
         w = int(rng.uniform(size * 0.10, size * 0.22))
         h = int(rng.uniform(size * 0.10, size * 0.22))
-        patch, mask = _object_patch(rng, w, h)
+        patch, mask = _object_patch(rng, w, h,
+                                    cls=(k % nc) if nc > 1 else -1)
         objs.append({
             "w": w, "h": h, "patch": patch, "mask": mask,
             "x": rng.uniform(w, size - w), "y": rng.uniform(h, size - h),
@@ -88,7 +101,7 @@ def render_sequence(seed: int, size: int, n_frames: int, n_obj: int,
             region = frame[y1:y1 + o["h"], x1:x1 + o["w"]]
             m = o["mask"][:region.shape[0], :region.shape[1]]
             region[m] = o["patch"][:region.shape[0], :region.shape[1]][m]
-            lines.append(f"0 {o['x']/size:.6f} {o['y']/size:.6f} "
+            lines.append(f"{k % nc} {o['x']/size:.6f} {o['y']/size:.6f} "
                          f"{o['w']/size:.6f} {o['h']/size:.6f} {k}")
         img = np.clip(frame, 0, 255).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(out_img_dir, f"{t:06d}.png"))
@@ -98,7 +111,7 @@ def render_sequence(seed: int, size: int, n_frames: int, n_obj: int,
 
 def make_dataset(root: str, size: int = 320, n_frames: int = 80,
                  n_train_seq: int = 4, n_val_seq: int = 2,
-                 n_obj: int = 4, seed: int = 0) -> str:
+                 n_obj: int = 4, seed: int = 0, nc: int = 1) -> str:
     """Renders train/val sequence trees + dataset yaml. Returns yaml path."""
     train_files, val_files = [], []
     for s in range(n_train_seq + n_val_seq):
@@ -106,7 +119,7 @@ def make_dataset(root: str, size: int = 320, n_frames: int = 80,
         img_dir = os.path.join(root, "images", name)
         lab_dir = os.path.join(root, "labels", name)
         render_sequence(seed * 1009 + s, size, n_frames, n_obj,
-                        img_dir, lab_dir)
+                        img_dir, lab_dir, nc=nc)
         files = [os.path.join(img_dir, f"{t:06d}.png")
                  for t in range(n_frames)]
         (train_files if s < n_train_seq else val_files).extend(files)
@@ -115,19 +128,23 @@ def make_dataset(root: str, size: int = 320, n_frames: int = 80,
     with open(os.path.join(root, "val.txt"), "w") as f:
         f.write("\n".join(val_files) + "\n")
     yaml_path = os.path.join(root, "synth_mot.yaml")
+    names = "\n".join(f"  {i}: class{i}" for i in range(nc))
     with open(yaml_path, "w") as f:
         f.write(f"path: {root}\ntrain: train.txt\nval: val.txt\n"
-                "nc: 1\nnames:\n  0: object\n")
+                f"nc: {nc}\nnames:\n{names}\n")
     return yaml_path
 
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_mot"
-    size = 320
-    frames = 80
+    size, frames, n_obj, nc = 320, 80, 4, 1
     for i, a in enumerate(sys.argv):
         if a == "--size":
             size = int(sys.argv[i + 1])
         if a == "--frames":
             frames = int(sys.argv[i + 1])
-    print(make_dataset(out, size=size, n_frames=frames))
+        if a == "--objects":
+            n_obj = int(sys.argv[i + 1])
+        if a == "--nc":
+            nc = int(sys.argv[i + 1])
+    print(make_dataset(out, size=size, n_frames=frames, n_obj=n_obj, nc=nc))

@@ -6,6 +6,9 @@ reference's `run_test.py` / `MOTR/configs/r50_motr_eval.sh` recipes).
 Usage:
   python scripts/real_eval.py [--root /tmp/synth_mot] [--imgsz 320]
       [--epochs 12] [--clip-len 3] [--out runs/real_eval]
+  python scripts/real_eval.py --full     # FLAGSHIP config (round-3
+      VERDICT #3): 640^2, 300 slots, clip_len 5, nc=2, 8 objects with
+      crossings, augment on, EMA-weight validation
 """
 
 from __future__ import annotations
@@ -32,19 +35,39 @@ def main() -> None:
     ap.add_argument("--out", default="runs/real_eval")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--augment", action="store_true")
+    ap.add_argument("--nc", type=int, default=1)
+    ap.add_argument("--objects", type=int, default=4)
+    ap.add_argument("--accumulate", type=int, default=1)
+    ap.add_argument("--val-every", type=int, default=0)
+    ap.add_argument("--full", action="store_true",
+                    help="flagship preset: 640px / clip 5 / nc 2 / "
+                         "8 objects / augment")
     args = ap.parse_args()
+    if args.full:
+        args.imgsz = 640
+        args.clip_len = 5
+        args.nc = 2
+        args.objects = 8
+        args.max_gt = 32
+        args.augment = True
+        if args.root == "/tmp/synth_mot":
+            args.root = "/tmp/synth_mot_flagship"
+        if args.out == "runs/real_eval":
+            args.out = "runs/real_eval_flagship"
+
 
     yaml_path = os.path.join(args.root, "synth_mot.yaml")
     if not os.path.isfile(yaml_path):
         from scripts.make_synth_mot import make_dataset
         print(f"rendering dataset into {args.root} ...", flush=True)
         yaml_path = make_dataset(args.root, size=args.imgsz,
-                                 n_frames=args.frames)
+                                 n_frames=args.frames, n_obj=args.objects,
+                                 nc=args.nc)
 
     from mo_yolo_tpu.api import MOTRTrack
 
     t0 = time.time()
-    m = MOTRTrack("yolo_track.yaml", nc=1, imgsz=args.imgsz)
+    m = MOTRTrack("yolo_track.yaml", nc=args.nc, imgsz=args.imgsz)
     print(f"model built in {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
@@ -52,7 +75,9 @@ def main() -> None:
                             clip_len=args.clip_len, lr=args.lr,
                             max_gt=args.max_gt, save_dir=args.out,
                             log_every=20, resume=args.resume,
-                            augment=args.augment)
+                            augment=args.augment,
+                            accumulate=args.accumulate,
+                            val_every=args.val_every)
     train_s = time.time() - t0
     print(f"train done in {train_s:.0f}s: {train_metrics}", flush=True)
 

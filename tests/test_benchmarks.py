@@ -37,3 +37,20 @@ def test_onnx_export_blocked_with_clear_message():
         pass
     with pytest.raises(RuntimeError, match="tf2onnx"):
         m.export("onnx", "/tmp/onnx_try")
+
+
+def test_pb_export(tmp_path):
+    """'pb' frozen-GraphDef export (reference `export_pb`): file written
+    and loadable as a tf GraphDef with our function's ops inside."""
+    from mo_yolo_tpu.api import MOTRTrack
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, nq=8, ndl=1,
+                  d_ffn=16, hd=32, num_denoising=4)
+    out = m.export("pb", str(tmp_path / "model"))
+    import tensorflow as tf
+    gd = tf.compat.v1.GraphDef()
+    gd.ParseFromString(open(out, "rb").read())
+    # jax2tf wraps the computation in XlaCallModule ops, so the node
+    # count is small but the module must be present and parseable
+    assert len(gd.node) > 10
+    assert any("XlaCallModule" in n.op for n in gd.node)

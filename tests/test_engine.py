@@ -333,3 +333,59 @@ def test_new_hyp_keys_roundtrip_cli_config():
     t.hyp = {"box": 5.0, "cls": 1.0, "dfl": 2.0}
     lc = t._loss_cfg()
     assert (lc.gain_box, lc.gain_cls, lc.gain_dfl) == (5.0, 1.0, 2.0)
+
+
+def test_autobackend_loads_pt_checkpoint(tmp_path):
+    """AutoBackend('.pt'): reconstructs the architecture from the sibling
+    yaml and name-maps the torch state_dict in (closes the reference
+    AutoBackend's pt-path for the TPU runtime)."""
+    torch = pytest.importorskip("torch")
+    import shutil
+
+    import jax.numpy as jnp
+
+    from mo_yolo_tpu.api import MOTRTrack
+    from mo_yolo_tpu.engine.autobackend import AutoBackend
+    from mo_yolo_tpu.utils.checkpoint import export_torch_state_dict
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, nq=8, ndl=1,
+                  d_ffn=16, hd=32, num_denoising=4, dtype="float32")
+    sd = export_torch_state_dict(m.variables)
+    pt = tmp_path / "model.pt"
+    torch.save({"model": {k: torch.from_numpy(v.copy())
+                          for k, v in sd.items()}}, pt)
+    shutil.copy("tests/tiny_track.yaml", tmp_path / "model.yaml")
+
+    ab = AutoBackend(str(pt), imgsz=64, dtype="float32", nq=8, ndl=1,
+                     d_ffn=16, hd=32, num_denoising=4)
+    # imported weights == source weights -> identical stream_step output
+    state = ab.new_state(1)
+    frames = jnp.full((1, 64, 64, 3), 0.4, jnp.float32)
+    _, out_ab = ab.stream_step(state, frames)
+    import jax
+    step = jax.jit(lambda v, s, f: m.model.apply(
+        v, s, f, method=m.model.stream_step))
+    _, out_src = step(m.variables, ab.new_state(1), frames)
+    np.testing.assert_allclose(np.asarray(out_ab), np.asarray(out_src),
+                               atol=1e-5)
+
+
+def test_predictor_classes_filter(tmp_path):
+    """Reference `classes` key: predictions restricted to the given ids."""
+    import numpy as np
+
+    from mo_yolo_tpu.engine.predictor import TrackPredictor
+
+    p = TrackPredictor.__new__(TrackPredictor)
+    p.conf = 0.1
+    p.names = {}
+    p.classes = np.array([1])
+    out = {"valid": np.array([True, True, True]),
+           "obj_id": np.array([0, 1, 2]),
+           "score": np.array([0.9, 0.8, 0.7], np.float32),
+           "box": np.array([[0.5, 0.5, 0.2, 0.2]] * 3, np.float32),
+           "cls": np.array([0, 1, 1], np.float32)}
+    meta = {"input_shape": (64, 64), "orig_shape": (64, 64),
+            "gain": (1.0, 1.0), "pad": (0.0, 0.0), "scale_fill": False}
+    res = p._postprocess(out, meta, "x.jpg", np.zeros((64, 64, 3), np.uint8))
+    assert len(res) == 2 and set(res.cls.tolist()) == {1}

@@ -57,3 +57,125 @@ def test_default_callbacks_includes_tb(tmp_path):
              metrics={"HOTA": 1.0})
     bus.fire("on_train_end", trainer=None, metrics={})
     assert (tmp_path / "events.jsonl").exists()
+
+
+def test_remaining_callback_integrations_with_fake_modules(monkeypatch):
+    """Comet/ClearML/Neptune/DVC adapters (reference callbacks/{comet,
+    clearml,neptune,dvc}.py): each activates only with its package +
+    credentials, logs params at start and scalar metrics per epoch, and
+    closes at end — verified against in-memory fake SDKs."""
+    import sys
+    import types
+
+    from mo_yolo_tpu.utils.callbacks import (
+        ClearMLLogger, CometLogger, DVCLogger, NeptuneLogger)
+
+    calls = {"comet": [], "clearml": [], "neptune": [], "dvc": []}
+
+    class FakeExp:
+        def log_parameters(self, p):
+            calls["comet"].append(("params", dict(p)))
+
+        def log_metrics(self, m, epoch=None):
+            calls["comet"].append(("metrics", m, epoch))
+
+        def end(self):
+            calls["comet"].append(("end",))
+
+    comet = types.ModuleType("comet_ml")
+    comet.Experiment = lambda project_name: FakeExp()
+    monkeypatch.setitem(sys.modules, "comet_ml", comet)
+    monkeypatch.setenv("COMET_API_KEY", "x")
+
+    class FakeLogger:
+        def report_scalar(self, a, b, v, it):
+            calls["clearml"].append(("scalar", b, v, it))
+
+    class FakeTask:
+        def connect(self, p):
+            calls["clearml"].append(("connect", dict(p)))
+
+        def get_logger(self):
+            return FakeLogger()
+
+        def close(self):
+            calls["clearml"].append(("close",))
+
+    clearml = types.ModuleType("clearml")
+    clearml.Task = types.SimpleNamespace(
+        init=lambda project_name, task_name: FakeTask())
+    monkeypatch.setitem(sys.modules, "clearml", clearml)
+    monkeypatch.setenv("CLEARML_API_HOST", "http://x")
+
+    class FakeSeries:
+        def __init__(self, key):
+            self.key = key
+
+        def append(self, v, step=None):
+            calls["neptune"].append(("append", self.key, v, step))
+
+    class FakeRun(dict):
+        def __setitem__(self, k, v):
+            calls["neptune"].append(("set", k))
+
+        def __getitem__(self, k):
+            return FakeSeries(k)
+
+        def stop(self):
+            calls["neptune"].append(("stop",))
+
+    neptune = types.ModuleType("neptune")
+    neptune.init_run = lambda project: FakeRun()
+    monkeypatch.setitem(sys.modules, "neptune", neptune)
+    monkeypatch.setenv("NEPTUNE_API_TOKEN", "t")
+
+    class FakeLive:
+        def __init__(self, d, save_dvc_exp=False):
+            pass
+
+        def log_param(self, k, v):
+            calls["dvc"].append(("param", k))
+
+        def log_metric(self, k, v):
+            calls["dvc"].append(("metric", k, v))
+
+        def next_step(self):
+            calls["dvc"].append(("step",))
+
+        def end(self):
+            calls["dvc"].append(("end",))
+
+    dvclive = types.ModuleType("dvclive")
+    dvclive.Live = FakeLive
+    monkeypatch.setitem(sys.modules, "dvclive", dvclive)
+
+    class FakeTrainer:
+        def __init__(self):
+            self.epochs = 3
+            self.lr = 0.001
+
+    tr = FakeTrainer()
+    metrics = {"HOTA": 61.5, "mAP50": 0.8, "names": ["a"]}
+    for lg in (CometLogger(), ClearMLLogger(), NeptuneLogger(),
+               DVCLogger("/tmp/dvclive_test")):
+        lg.on_start(trainer=tr)
+        lg.on_epoch(epoch=2, metrics=metrics)
+        lg.on_end()
+
+    assert ("params", {"epochs": 3, "lr": 0.001}) in calls["comet"]
+    assert ("metrics", {"HOTA": 61.5, "mAP50": 0.8}, 2) in calls["comet"]
+    assert ("end",) in calls["comet"]
+    assert ("connect", {"epochs": 3, "lr": 0.001}) in calls["clearml"]
+    assert ("scalar", "HOTA", 61.5, 2) in calls["clearml"]
+    assert ("close",) in calls["clearml"]
+    assert ("append", "val/HOTA", 61.5, 2) in calls["neptune"]
+    assert ("stop",) in calls["neptune"]
+    assert ("metric", "val/mAP50", 0.8) in calls["dvc"]
+    assert ("step",) in calls["dvc"] and ("end",) in calls["dvc"]
+
+    # without credentials each stays inert
+    for var in ("COMET_API_KEY", "CLEARML_API_HOST", "NEPTUNE_API_TOKEN"):
+        monkeypatch.delenv(var)
+    assert CometLogger().exp is None
+    assert ClearMLLogger().task is None
+    assert NeptuneLogger().run is None
