@@ -50,7 +50,8 @@ class TrackTrainer:
                  resume: bool = False, accumulate: int = 1,
                  augment: bool = False, hyp=None, clip_stages=None,
                  cache: bool = True, single_cls: bool = False,
-                 plots: bool = True, lrf: float = 0.01):
+                 plots: bool = True, lrf: float = 0.01,
+                 save_period: int = -1):
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -89,6 +90,7 @@ class TrackTrainer:
         self.single_cls = single_cls    # train all labels as class 0
         self.plots = plots              # results.png at train end
         self.lrf = lrf                  # final LR fraction
+        self.save_period = save_period  # epoch-numbered saves every N
 
     def run(self) -> Dict[str, float]:
         import jax
@@ -248,6 +250,10 @@ class TrackTrainer:
             self.api.variables = {"params": ts.ema_params,
                                   "batch_stats": ts.batch_stats}
             save_params(str(self.save_dir / "last"), self.api.variables)
+            if self.save_period > 0 and (epoch + 1) % self.save_period == 0:
+                # reference `save_period`: additional epoch-numbered saves
+                save_params(str(self.save_dir / f"epoch{epoch}"),
+                            self.api.variables)
             # fitness fallback = -mean loss over EVERY step of the epoch
             # (round-1 weak #9: the old sampled-loss proxy tracked only
             # every log_every-th step)

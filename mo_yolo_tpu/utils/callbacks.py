@@ -313,6 +313,29 @@ class DVCLogger:
             self.live.end()
 
 
+class RayTuneLogger:
+    """Ray Tune integration (reference `utils/callbacks/raytune.py`):
+    report per-epoch metrics to an active Tune session. Inert unless
+    `ray.tune` imports AND a session is running."""
+
+    def __init__(self):
+        self.tune = None
+        try:
+            from ray import tune
+            from ray.air import session  # noqa: F401
+            if tune.is_session_enabled():
+                self.tune = tune
+        except Exception:
+            self.tune = None
+
+    def on_epoch(self, epoch: int = 0, metrics=None, **kw):
+        if self.tune is None or not metrics:
+            return
+        from ray.air import session
+        session.report({k: float(v) for k, v in metrics.items()
+                        if _is_scalar(v)} | {"epoch": epoch})
+
+
 def _is_scalar(v) -> bool:
     try:
         float(v)
@@ -355,4 +378,7 @@ def default_callbacks(save_dir: str = "runs/track",
             bus.add("on_train_start", lg.on_start)
             bus.add("on_train_epoch_end", lg.on_epoch)
             bus.add("on_train_end", lg.on_end)
+    rt = RayTuneLogger()
+    if rt.tune is not None:
+        bus.add("on_train_epoch_end", rt.on_epoch)
     return bus

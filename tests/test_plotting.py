@@ -179,3 +179,34 @@ def test_remaining_callback_integrations_with_fake_modules(monkeypatch):
     assert CometLogger().exp is None
     assert ClearMLLogger().task is None
     assert NeptuneLogger().run is None
+
+
+def test_raytune_callback_with_fake_session(monkeypatch):
+    """RayTune adapter (reference callbacks/raytune.py): reports epoch
+    metrics to an active Tune session; inert without one."""
+    import sys
+    import types
+
+    reported = []
+    ray = types.ModuleType("ray")
+    tune = types.ModuleType("ray.tune")
+    tune.is_session_enabled = lambda: True
+    air = types.ModuleType("ray.air")
+    sess = types.ModuleType("ray.air.session")
+    sess.report = lambda d: reported.append(d)
+    air.session = sess
+    ray.tune = tune
+    ray.air = air
+    for n, m in [("ray", ray), ("ray.tune", tune), ("ray.air", air),
+                 ("ray.air.session", sess)]:
+        monkeypatch.setitem(sys.modules, n, m)
+
+    from mo_yolo_tpu.utils.callbacks import RayTuneLogger
+
+    lg = RayTuneLogger()
+    assert lg.tune is not None
+    lg.on_epoch(epoch=3, metrics={"HOTA": 50.0, "names": ["x"]})
+    assert reported == [{"HOTA": 50.0, "epoch": 3}]
+
+    tune.is_session_enabled = lambda: False
+    assert RayTuneLogger().tune is None
