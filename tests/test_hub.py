@@ -117,3 +117,34 @@ def test_export_model_roundtrip(hub_env):
     out = export_model("m1.weights", format="stablehlo")
     import pathlib
     assert pathlib.Path(out).stat().st_size > 1000
+
+
+def test_settings_persistence(tmp_path, monkeypatch):
+    """Persisted SETTINGS (reference utils/__init__.py:716-797): save,
+    reload, version-reset semantics, unknown-key rejection."""
+    import pytest
+
+    monkeypatch.setenv("MO_YOLO_TPU_CONFIG_DIR", str(tmp_path))
+    from mo_yolo_tpu.utils import settings as S
+
+    s = S.load_settings()
+    assert s.tensorboard is True
+    s.update(runs_dir="custom_runs", wandb=False)
+    s.save()
+
+    s2 = S.load_settings()
+    assert s2.runs_dir == "custom_runs" and s2.wandb is False
+
+    with pytest.raises(KeyError):
+        s2.update(no_such_key=1)
+
+    # schema version change: surviving keys preserved, file rewritten
+    monkeypatch.setattr(S, "SETTINGS_VERSION", "9.9.9")
+    s3 = S.load_settings()
+    assert s3.runs_dir == "custom_runs"
+    import yaml
+    on_disk = yaml.safe_load(open(s3.path))
+    assert on_disk["settings_version"] == "0.1.0"  # defaults carry version
+
+    s3.reset()
+    assert S.load_settings().runs_dir == "runs"
