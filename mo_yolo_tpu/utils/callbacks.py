@@ -346,39 +346,50 @@ def _is_scalar(v) -> bool:
 
 def default_callbacks(save_dir: str = "runs/track",
                       tensorboard: bool = True) -> CallbackBus:
+    # machine-level integration toggles (reference gates each callback on
+    # SETTINGS['<integration>'], `utils/callbacks/*.py`)
+    try:
+        from mo_yolo_tpu.utils.settings import load_settings
+        st = load_settings()
+    except Exception:  # never fail training on a bad settings file
+        st = {}
+    on = lambda k: bool(st.get(k, True)) if hasattr(st, "get") else True
     bus = CallbackBus()
     logger = JsonlLogger(str(Path(save_dir) / "events.jsonl"))
     bus.add("on_train_epoch_end", logger)
     bus.add("on_train_end", logger)
-    if tensorboard:
+    if tensorboard and on("tensorboard"):
         tb = TensorBoardLogger(str(Path(save_dir) / "tb"))
         if tb.writer is not None:
             bus.add("on_train_batch_end", tb.on_batch)
             bus.add("on_train_epoch_end", tb.on_epoch)
             bus.add("on_train_end", tb.close)
-    ml = MLflowLogger()
-    if ml.mlflow is not None:
+    ml = MLflowLogger() if on("mlflow") else None
+    if ml is not None and ml.mlflow is not None:
         bus.add("on_train_start", ml.on_start)
         bus.add("on_train_epoch_end", ml.on_epoch)
         bus.add("on_train_end", ml.on_end)
-    wb = WandbLogger()
-    if wb.wb is not None:
+    wb = WandbLogger() if on("wandb") else None
+    if wb is not None and wb.wb is not None:
         bus.add("on_train_batch_end", wb.on_batch)
         bus.add("on_train_epoch_end", wb.on_epoch)
         bus.add("on_train_end", wb.on_end)
     # remaining reference integrations — same adapter shape, each inert
     # without its package/credentials (reference auto-registration,
     # `utils/callbacks/base.py:180-219`)
-    for lg, active in ((CometLogger(), lambda l: l.exp),
-                       (ClearMLLogger(), lambda l: l.task),
-                       (NeptuneLogger(), lambda l: l.run),
-                       (DVCLogger(str(Path(save_dir) / "dvclive")),
-                        lambda l: l.live)):
-        if active(lg) is not None:
+    maybe = lambda k, f: f() if on(k) else None
+    for lg, active in (
+            (maybe("comet", CometLogger), lambda l: l.exp),
+            (maybe("clearml", ClearMLLogger), lambda l: l.task),
+            (maybe("neptune", NeptuneLogger), lambda l: l.run),
+            (maybe("dvc", lambda: DVCLogger(str(Path(save_dir) /
+                                                "dvclive"))),
+             lambda l: l.live)):
+        if lg is not None and active(lg) is not None:
             bus.add("on_train_start", lg.on_start)
             bus.add("on_train_epoch_end", lg.on_epoch)
             bus.add("on_train_end", lg.on_end)
-    rt = RayTuneLogger()
-    if rt.tune is not None:
+    rt = RayTuneLogger() if on("raytune") else None
+    if rt is not None and rt.tune is not None:
         bus.add("on_train_epoch_end", rt.on_epoch)
     return bus
