@@ -109,7 +109,8 @@ class TrackDataset:
                  max_gt: int = 64, clip_len: int = 5, augmenter=None,
                  verify: bool = False, cache_labels: bool = True,
                  cache_images: bool = False, cache_limit_gb: float = 4.0,
-                 single_cls: bool = False):
+                 single_cls: bool = False, mosaic_p: float = 0.0,
+                 mixup_p: float = 0.0, aug_seed: int = 0):
         self.files = list(img_files)
         if verify:  # drop corrupt images (reference `data/utils.py:148-160`)
             ok = [f for f in self.files if verify_image(f)]
@@ -124,6 +125,13 @@ class TrackDataset:
         self.augmenter = augmenter
         # reference `single_cls`: train every label as class 0
         self.single_cls = single_cls
+        # detection-style multi-image augs (reference Mosaic/MixUp) —
+        # OFF for clip tracking (they decohere track geometry); the
+        # detect trainer enables them and zeroes mosaic_p for the
+        # close_mosaic tail epochs
+        self.mosaic_p = mosaic_p
+        self.mixup_p = mixup_p
+        self.aug_seed = aug_seed
         # label cache: parse each 6-col txt once, not once per epoch
         # (reference np-caches labels, `data/dataset.py:258-260`)
         self._labels: Dict[int, np.ndarray] = {} if cache_labels else None
@@ -176,6 +184,20 @@ class TrackDataset:
     def load_frame(self, i: int, augment: bool = False) -> TrackSample:
         img = self._image(i)
         lab = self._label(i)
+        if augment and (self.mosaic_p > 0 or self.mixup_p > 0):
+            from mo_yolo_tpu.data.augment import mixup, mosaic4
+            rng = np.random.default_rng(
+                (self.aug_seed * 1_000_003 + i) % (2 ** 31))
+            if rng.random() < self.mosaic_p and len(self.files) >= 4:
+                js = rng.integers(0, len(self.files), 3)
+                imgs = [img] + [self._image(int(j)) for j in js]
+                labs = [lab] + [self._label(int(j)) for j in js]
+                img, lab = mosaic4(imgs, labs, rng, size=self.imgsz)
+            if rng.random() < self.mixup_p and len(self.files) >= 2:
+                j = int(rng.integers(0, len(self.files)))
+                im2, lb2 = self._image(j), self._label(j)
+                if im2.shape == img.shape:
+                    img, lab = mixup(img, lab, im2, lb2, rng)
         if augment and self.augmenter is not None:
             img, lab = self.augmenter(img, lab)
         h0, w0 = img.shape[:2]

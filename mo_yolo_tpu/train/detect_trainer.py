@@ -66,7 +66,8 @@ class DetectTrainer:
     def __init__(self, api_model, data: str, epochs: int = 1, batch: int = 8,
                  lr: float = 1e-4, max_gt: int = 64,
                  save_dir: str = "runs/detect", seed: int = 0,
-                 log_every: int = 10, val_every: int = 0, augment: bool = False):
+                 log_every: int = 10, val_every: int = 0,
+                 augment: bool = False, hyp=None, close_mosaic: int = 0):
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -78,6 +79,8 @@ class DetectTrainer:
         self.log_every = log_every
         self.val_every = val_every
         self.augment = augment
+        self.hyp = dict(hyp or {})
+        self.close_mosaic = close_mosaic
 
     def run(self):
         import random
@@ -92,13 +95,19 @@ class DetectTrainer:
 
         d = load_dataset_yaml(self.data)
         augmenter = None
+        mosaic_p = mixup_p = 0.0
         if self.augment:
             from mo_yolo_tpu.data.augment import ClipAugmenter
             augmenter = ClipAugmenter(seed=self.seed)
+            # detection training gets the multi-image augs (reference
+            # v8_transforms: Mosaic + MixUp); hyp keys mosaic/mixup
+            mosaic_p = float(self.hyp.get("mosaic", 1.0))
+            mixup_p = float(self.hyp.get("mixup", 0.0))
         ds = TrackDataset(d["train"], imgsz=self.api.imgsz,
                           max_gt=self.max_gt, clip_len=1,
                           augmenter=augmenter, verify=True,
-                          cache_images=True)
+                          cache_images=True, mosaic_p=mosaic_p,
+                          mixup_p=mixup_p, aug_seed=self.seed)
         model = self.api.model
         lcfg = LossConfig(nc=model.spec.nc)
         steps_per_epoch = max(len(ds) // self.batch, 1)
@@ -112,6 +121,13 @@ class DetectTrainer:
         save_dir.mkdir(parents=True, exist_ok=True)
         losses = []
         for epoch in range(self.epochs):
+            if self.close_mosaic and \
+                    epoch >= self.epochs - self.close_mosaic and \
+                    ds.mosaic_p > 0:
+                # reference `close_mosaic`: mosaic off for the last N
+                # epochs so boxes see clean statistics before the end
+                LOGGER.info(f"epoch {epoch}: closing mosaic")
+                ds.mosaic_p = 0.0
             order = list(range(len(ds)))
             random.Random(self.seed + epoch).shuffle(order)
             t_ep = time.time()

@@ -136,3 +136,37 @@ def test_flipud():
     aug.begin_clip(0)
     o1, m1 = aug(img, lab)
     assert m1[0, 2] == pytest.approx(0.75)
+
+
+def test_dataset_mosaic_mixup_path(tmp_path):
+    """Mosaic/MixUp reach training through TrackDataset(mosaic_p/mixup_p)
+    (reference v8_transforms; wired by the detect trainer, OFF for clip
+    tracking). Deterministic per (aug_seed, index)."""
+    from PIL import Image
+
+    from mo_yolo_tpu.data.dataset import TrackDataset
+
+    files = []
+    for i in range(4):
+        img = np.full((64, 64, 3), 40 * (i + 1), np.uint8)
+        img[8:24, 8:24] = 255
+        p = tmp_path / f"seq00/{i:06d}.jpg"
+        p.parent.mkdir(exist_ok=True)
+        Image.fromarray(img).save(p)
+        lp = tmp_path / f"seq00/{i:06d}.txt"
+        lp.write_text(f"0 0.25 0.25 0.25 0.25 {i}\n")
+        files.append(str(p))
+    # labels live beside images here; dataset expects labels/ mapping —
+    # use img2label_path convention
+    ds = TrackDataset(files, imgsz=64, max_gt=8, clip_len=1,
+                      mosaic_p=1.0, mixup_p=0.0, aug_seed=3)
+    s_plain = ds.load_frame(0, augment=False)
+    s_mosaic = ds.load_frame(0, augment=True)
+    assert not np.allclose(s_plain.image, s_mosaic.image)
+    # deterministic
+    s_mosaic2 = ds.load_frame(0, augment=True)
+    np.testing.assert_array_equal(s_mosaic.image, s_mosaic2.image)
+    # close_mosaic semantics: zeroing the prob restores the plain path
+    ds.mosaic_p = 0.0
+    s_off = ds.load_frame(0, augment=True)
+    np.testing.assert_array_equal(s_off.image, s_plain.image)
