@@ -370,15 +370,16 @@ class Detector:
     def train(self, data: str, epochs: int = 1, batch: int = 8,
               lr: float = 1e-4, max_gt: int = 64,
               save_dir: str = "runs/detect", seed: int = 0,
-              log_every: int = 10, augment: bool = False):
+              log_every: int = 10, augment: bool = False, **kw):
         """Train the RT-DETR-style detector on a dataset yaml (5- or 6-col
-        labels; track ids are ignored)."""
+        labels; track ids are ignored). Extra kwargs (hyp, close_mosaic,
+        val_every, ...) forward to DetectTrainer."""
         from mo_yolo_tpu.train.detect_trainer import DetectTrainer
 
         return DetectTrainer(self, data=data, epochs=epochs, batch=batch,
                              lr=lr, max_gt=max_gt, save_dir=save_dir,
                              seed=seed, log_every=log_every,
-                             augment=augment).run()
+                             augment=augment, **kw).run()
 
     def val(self, data: Union[str, List[str]], conf: float = 0.001,
             max_gt: int = 64) -> Dict[str, float]:
