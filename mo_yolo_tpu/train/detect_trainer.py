@@ -111,8 +111,15 @@ class DetectTrainer:
         model = self.api.model
         lcfg = LossConfig(nc=model.spec.nc)
         steps_per_epoch = max(len(ds) // self.batch, 1)
+        h = self.hyp
         tcfg = TrainConfig(clip_len=1, lr=self.lr,
-                           total_steps=max(self.epochs * steps_per_epoch, 1))
+                           total_steps=max(self.epochs * steps_per_epoch, 1),
+                           optimizer=str(h.get("optimizer", "adamw")),
+                           momentum=float(h.get("momentum", 0.937)),
+                           cos_lr=bool(h.get("cos_lr", True)),
+                           lrf=float(h.get("lrf", 0.01)),
+                           warmup_momentum=float(h.get("warmup_momentum", 0.8)),
+                           warmup_bias_lr=float(h.get("warmup_bias_lr", 0.0)))
         init_fn, step_fn = make_detect_train_step(model, lcfg, tcfg)
         step_fn = jax.jit(step_fn)
         ts = init_fn(self.api.variables)

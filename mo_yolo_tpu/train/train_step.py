@@ -52,17 +52,113 @@ class TrainConfig:
     fp_ratio: float = 0.3            # QIM FP injection
     accumulate: int = 1              # grad-accumulation mini-steps per update
                                      # (reference nbs/batch, `train.py:238-257`)
+    optimizer: str = "adamw"         # sgd|adam|adamw|nadam|radam|rmsprop|auto
+    momentum: float = 0.937          # SGD momentum / adam beta1 (reference
+                                     # `default.yaml` momentum)
+    cos_lr: bool = True              # cosine decay (False -> reference's
+                                     # linear `lf` lambda, `trainer.py:223`)
+    warmup_momentum: float = 0.8     # SGD momentum ramp start over warmup
+    warmup_bias_lr: float = 0.0      # bias-group LR ramp START (reference
+                                     # warms biases DOWN from 0.1 by default;
+                                     # 0.0 here = same ramp as other groups)
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def _param_group_labels(params):
+    """Reference parameter groups (`ultralytics/engine/trainer.py`
+    build_optimizer): g2 = biases (no weight decay, own warmup start LR),
+    g1 = norm scales (no decay), g0 = all other weights (decayed).
+    Flax naming: BatchNorm/LayerNorm gains are 'scale', biases 'bias'."""
+
+    def lab(path, _):
+        name = getattr(path[-1], "key", None) if path else None
+        if name == "bias":
+            return "bias"
+        if name == "scale":
+            return "norm"
+        return "weight"
+
+    return jax.tree_util.tree_map_with_path(lab, params)
+
+
+def make_optimizer(cfg: TrainConfig, nc: int = 80) -> optax.GradientTransformation:
+    """Reference-parity optimizer factory.
+
+    Mirrors `ultralytics/engine/trainer.py` build_optimizer + the warmup
+    logic of `optimizer_step`/`_setup_train`: three param groups, per-group
+    weight decay, linear LR warmup (biases from `warmup_bias_lr`), then
+    cosine (`cos_lr`) or linear decay to `lr*lrf`; SGD-family momentum ramps
+    `warmup_momentum -> momentum` over the warmup. `optimizer='auto'`
+    follows the reference heuristic: long runs get SGD at lr0, short runs
+    AdamW at a fitted LR with no bias warmup.
+    """
     # short runs: warmup must leave room for a positive-length decay
     warmup = min(cfg.warmup_steps, max(cfg.total_steps // 2, 1))
     total = max(cfg.total_steps, warmup + 1)
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, cfg.lr, warmup, total, cfg.lr * cfg.lrf)
+    name = (cfg.optimizer or "adamw").lower()
+    lr, momentum, wbl = cfg.lr, cfg.momentum, cfg.warmup_bias_lr
+    wd = cfg.weight_decay
+    if name == "auto":
+        if total > 10_000:
+            name = "sgd"
+        else:
+            name, lr, momentum, wbl = (
+                "adamw", round(0.002 * 5 / (4 + nc), 6), 0.9, 0.0)
+
+    def lr_sched(start: float):
+        ramp = optax.linear_schedule(start, lr, warmup)
+        if cfg.cos_lr:
+            dec = optax.cosine_decay_schedule(lr, max(total - warmup, 1),
+                                              alpha=cfg.lrf)
+        else:
+            dec = optax.linear_schedule(lr, lr * cfg.lrf,
+                                        max(total - warmup, 1))
+        return optax.join_schedules([ramp, dec], [warmup])
+
+    mom_sched = optax.join_schedules(
+        [optax.linear_schedule(cfg.warmup_momentum, momentum, warmup),
+         optax.constant_schedule(momentum)], [warmup])
+
+    def group(decay: bool, start_lr: float) -> optax.GradientTransformation:
+        parts = []
+        wd_g = wd if decay else 0.0
+        if name == "sgd":
+            # torch SGD: L2 decay folded into the gradient BEFORE momentum
+            if wd_g:
+                parts.append(optax.add_decayed_weights(wd_g))
+            parts.append(optax.inject_hyperparams(optax.trace)(
+                decay=mom_sched, nesterov=True))
+        elif name == "rmsprop":
+            if wd_g:
+                parts.append(optax.add_decayed_weights(wd_g))
+            parts.append(optax.scale_by_rms())
+            parts.append(optax.inject_hyperparams(optax.trace)(
+                decay=mom_sched))
+        elif name in ("adam", "nadam", "radam"):
+            # torch Adam-family couples decay into the grad pre-moments
+            if wd_g:
+                parts.append(optax.add_decayed_weights(wd_g))
+            if name == "radam" and hasattr(optax, "scale_by_radam"):
+                parts.append(optax.scale_by_radam(b1=momentum))
+            else:
+                parts.append(optax.scale_by_adam(
+                    b1=momentum, nesterov=(name == "nadam")))
+        elif name == "adamw":
+            parts.append(optax.scale_by_adam(b1=momentum))
+            if wd_g:   # decoupled decay AFTER the moments (AdamW)
+                parts.append(optax.add_decayed_weights(wd_g))
+        else:
+            raise ValueError(
+                f"unknown optimizer {cfg.optimizer!r}; choose from "
+                "sgd|adam|adamw|nadam|radam|rmsprop|auto")
+        parts.append(optax.scale_by_learning_rate(lr_sched(start_lr)))
+        return optax.chain(*parts)
+
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(sched, weight_decay=cfg.weight_decay),
+        optax.multi_transform(
+            {"weight": group(True, 0.0), "norm": group(False, 0.0),
+             "bias": group(False, wbl)},
+            _param_group_labels),
     )
     if cfg.accumulate > 1:
         # average grads over k mini-steps, update params every k-th
@@ -159,7 +255,7 @@ def make_clip_loss_fn(model, lcfg: LossConfig, tcfg: TrainConfig):
 def make_train_step(model, lcfg: LossConfig, tcfg: TrainConfig,
                     tx: Optional[optax.GradientTransformation] = None):
     """Returns (init_fn(variables) -> TrainState, step_fn(ts, clip, key))."""
-    tx = tx or make_optimizer(tcfg)
+    tx = tx or make_optimizer(tcfg, nc=lcfg.nc)
     loss_fn = make_clip_loss_fn(model, lcfg, tcfg)
 
     def init_fn(variables) -> TrainState:

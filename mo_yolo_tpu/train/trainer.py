@@ -51,7 +51,10 @@ class TrackTrainer:
                  augment: bool = False, hyp=None, clip_stages=None,
                  cache: bool = True, single_cls: bool = False,
                  plots: bool = True, lrf: float = 0.01,
-                 save_period: int = -1):
+                 save_period: int = -1, optimizer: str = "adamw",
+                 momentum: float = 0.937, cos_lr: bool = True,
+                 warmup_momentum: float = 0.8, warmup_bias_lr: float = 0.0,
+                 nbs: int = -1):
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -91,6 +94,15 @@ class TrackTrainer:
         self.plots = plots              # results.png at train end
         self.lrf = lrf                  # final LR fraction
         self.save_period = save_period  # epoch-numbered saves every N
+        self.optimizer = optimizer      # sgd|adam*|rmsprop|auto
+        self.momentum = momentum
+        self.cos_lr = cos_lr
+        self.warmup_momentum = warmup_momentum
+        self.warmup_bias_lr = warmup_bias_lr
+        self.nbs = nbs                  # nominal batch: accumulate =
+                                        # round(nbs/batch) once batch known
+        if self.nbs and self.nbs > 0 and self.batch > 0:
+            self.accumulate = max(round(self.nbs / self.batch), 1)
 
     def run(self) -> Dict[str, float]:
         import jax
@@ -128,6 +140,10 @@ class TrackTrainer:
             LOGGER.info(f"autobatch: {per_dev} streams/device x "
                         f"{len(jax.devices())} devices -> batch "
                         f"{self.batch}")
+        if self.nbs and self.nbs > 0:
+            # reference `_setup_train`: accumulate = max(round(nbs/batch), 1)
+            self.accumulate = max(round(self.nbs / max(self.batch, 1)), 1)
+            LOGGER.info(f"nbs={self.nbs}: accumulate={self.accumulate}")
         # the batch (stream) axis shards over the mesh, so the mesh size
         # must divide the batch — clamp to gcd(batch, n_devices) the way
         # the reference clamps DDP world size to available GPUs
@@ -165,7 +181,11 @@ class TrackTrainer:
                     self.epochs * steps_per_epoch // self.accumulate, 1)
             tcfg = TrainConfig(clip_len=T, lr=self.lr, lrf=self.lrf,
                                accumulate=self.accumulate,
-                               total_steps=total_steps)
+                               total_steps=total_steps,
+                               optimizer=self.optimizer,
+                               momentum=self.momentum, cos_lr=self.cos_lr,
+                               warmup_momentum=self.warmup_momentum,
+                               warmup_bias_lr=self.warmup_bias_lr)
             init_fn, step = make_sharded_train_step(model, lcfg, tcfg, mesh)
             return ds, steps_per_epoch, init_fn, step
 
