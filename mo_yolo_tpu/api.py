@@ -75,15 +75,25 @@ class MOTRTrack:
 
     # ------------------------------------------------------------------ #
     def predict(self, source, conf: float = 0.5, stream: bool = True,
-                save_mot: Optional[str] = None, classes=None):
+                save_mot: Optional[str] = None, classes=None,
+                vid_stride: int = 1, save: bool = False,
+                save_crop: bool = False,
+                save_dir: str = "runs/track/predict", line_width: int = 2,
+                show_labels: bool = True, show_conf: bool = True):
         """Streaming tracking inference over a frame source. Returns a
         generator of TrackResults (stream=True) or a list. `classes`
-        restricts output to the given class ids (reference `classes`)."""
+        restricts output to the given class ids; `vid_stride` keeps every
+        k-th video frame; `save`/`save_crop` write annotated frames and
+        per-box crops under `save_dir` (reference predictor args)."""
         from mo_yolo_tpu.engine.predictor import TrackPredictor
 
         pred = TrackPredictor(self.model, self.variables, imgsz=self.imgsz,
-                              conf=conf, names=self.names, classes=classes)
-        gen = pred.stream(source, save_mot=save_mot)
+                              conf=conf, names=self.names, classes=classes,
+                              vid_stride=vid_stride)
+        gen = pred.stream(source, save_mot=save_mot, save=save,
+                          save_crop=save_crop, save_dir=save_dir,
+                          line_width=line_width, show_labels=show_labels,
+                          show_conf=show_conf)
         return gen if stream else list(gen)
 
     __call__ = predict
@@ -469,7 +479,7 @@ class _TaskModel:
 
     def __init__(self, task: str, model: str = "yolo_track.yaml",
                  nc: Optional[int] = None, imgsz: int = 256, seed: int = 0,
-                 kpt_shape=(17, 3)):
+                 kpt_shape=(17, 3), agnostic_nms: bool = False):
         import jax
         import jax.numpy as jnp
         from mo_yolo_tpu.models.graph import parse_model_yaml
@@ -481,9 +491,10 @@ class _TaskModel:
         self.task = task
         self.imgsz = imgsz
         if task == "segment":
-            self.model = SegmentationModel(spec=spec)
+            self.model = SegmentationModel(spec=spec, agnostic=agnostic_nms)
         elif task == "pose":
-            self.model = PoseModel(spec=spec, kpt_shape=tuple(kpt_shape))
+            self.model = PoseModel(spec=spec, kpt_shape=tuple(kpt_shape),
+                                   agnostic=agnostic_nms)
         else:
             self.model = ClassifyModel(spec=spec, nc=spec.nc)
         self.variables = self.model.init(

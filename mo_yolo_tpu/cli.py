@@ -107,7 +107,14 @@ def main(argv=None):
         save_mot = kv.pop("save_mot", None)
         n = 0
         for r in m.predict(source, conf=kv.pop("conf", 0.5),
-                           save_mot=save_mot):
+                           save_mot=save_mot,
+                           vid_stride=int(kv.pop("vid_stride", 1)),
+                           save=bool(kv.pop("save", False)),
+                           save_crop=bool(kv.pop("save_crop", False)),
+                           save_dir=kv.pop("save_dir", "runs/track/predict"),
+                           line_width=int(kv.pop("line_width", 2)),
+                           show_labels=bool(kv.pop("show_labels", True)),
+                           show_conf=bool(kv.pop("show_conf", True))):
             n += 1
             if kv.get("verbose", True):
                 LOGGER.info(f"{r.path}: {len(r)} tracks "

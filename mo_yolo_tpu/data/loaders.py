@@ -96,11 +96,13 @@ class VideoSource:
     environment has no cv2; reference uses `cv2.VideoCapture`,
     `data/loaders.py:155-230`). Gated on an ffmpeg binary being present."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, vid_stride: int = 1):
         import shutil
         if shutil.which("ffmpeg") is None or shutil.which("ffprobe") is None:
             raise RuntimeError("video sources need an ffmpeg/ffprobe binary")
         self.path = str(path)
+        # reference `vid_stride` (`data/loaders.py:205`): keep every k-th frame
+        self.vid_stride = max(int(vid_stride), 1)
         import json
         import subprocess
         probe = subprocess.run(
@@ -113,7 +115,7 @@ class VideoSource:
         self.n_frames = int(st.get("nb_frames") or 0)
 
     def __len__(self):
-        return self.n_frames
+        return (self.n_frames + self.vid_stride - 1) // self.vid_stride
 
     def __iter__(self) -> Iterator[Tuple[str, np.ndarray]]:
         import subprocess
@@ -128,8 +130,10 @@ class VideoSource:
                 buf = proc.stdout.read(nbytes)
                 if len(buf) < nbytes:
                     break
-                frame = np.frombuffer(buf, np.uint8).reshape(self.h, self.w, 3)
-                yield f"{self.path}#{i:06d}", frame
+                if i % self.vid_stride == 0:
+                    frame = np.frombuffer(buf, np.uint8).reshape(
+                        self.h, self.w, 3)
+                    yield f"{self.path}#{i:06d}", frame
                 i += 1
         finally:
             proc.stdout.close()
@@ -284,13 +288,15 @@ class TensorSource:
             yield f"tensor_{i:06d}", f
 
 
-def make_source(source) -> Union["ImageFolderSource", "ArraySource",
-                                 "VideoSource", "StreamSource",
-                                 "TensorSource"]:
+def make_source(source, vid_stride: int = 1,
+                ) -> Union["ImageFolderSource", "ArraySource",
+                           "VideoSource", "StreamSource",
+                           "TensorSource"]:
     """Source sniffing (reference `data/build.py:201-224`): directory /
     glob / txt list / image file / video file / URL stream / webcam index
     / list of paths / ndarray stack / list of arrays or PIL images /
-    single PIL image / torch-jax tensor."""
+    single PIL image / torch-jax tensor. `vid_stride` keeps every k-th
+    frame of video files (reference `vid_stride`)."""
     if isinstance(source, int):
         return StreamSource(source)
     if isinstance(source, (str, Path)):
@@ -302,7 +308,7 @@ def make_source(source) -> Union["ImageFolderSource", "ArraySource",
         if s.lower().startswith(STREAM_PREFIXES):
             return StreamSource(s)
         if Path(source).suffix.lower() in VID_EXTS:
-            return VideoSource(s)
+            return VideoSource(s, vid_stride=vid_stride)
         return ImageFolderSource(source)
     # torch / jax tensors (duck-typed: anything array-like that is not a
     # numpy array or PIL image)

@@ -30,7 +30,8 @@ from mo_yolo_tpu.metrics.mot import write_mot_txt
 
 class TrackPredictor:
     def __init__(self, model, variables, imgsz: int = 640,
-                 conf: float = 0.5, names=None, classes=None):
+                 conf: float = 0.5, names=None, classes=None,
+                 vid_stride: int = 1):
         import jax
 
         self.model = model
@@ -38,6 +39,7 @@ class TrackPredictor:
         self.imgsz = imgsz
         self.conf = conf
         self.names = names or {}
+        self.vid_stride = max(int(vid_stride), 1)
         # reference `classes` filter: restrict predictions to these ids
         self.classes = None if classes is None else \
             np.asarray(sorted({int(c) for c in np.atleast_1d(classes)}))
@@ -84,13 +86,18 @@ class TrackPredictor:
                 raise
             except Exception:
                 pass  # fall through to PIL path
-        for path, img in make_source(source):
+        for path, img in make_source(source, vid_stride=self.vid_stride):
             x, meta = preprocess(img, self.imgsz, scale_fill=True)
             yield path, x, meta, img
 
     def stream(self, source, save_mot: Optional[str] = None,
-               ) -> Iterator[TrackResults]:
-        """Yield TrackResults per frame; optionally write MOT txt."""
+               save: bool = False, save_crop: bool = False,
+               save_dir: str = "runs/track/predict",
+               line_width: int = 2, show_labels: bool = True,
+               show_conf: bool = True) -> Iterator[TrackResults]:
+        """Yield TrackResults per frame; optionally write MOT txt,
+        annotated frames (`save`, reference BasePredictor `save`) and
+        per-box crops (`save_crop`) under `save_dir`."""
         import jax.numpy as jnp
 
         state = self.reset_state()
@@ -109,25 +116,38 @@ class TrackPredictor:
                 t0, t1 = t1, time.perf_counter()  # t1-t0 = decode+preprocess
                 state, out = self._step(self.variables, state, jnp.asarray(x))
                 if pending is not None:
-                    yield self._emit(pending, mot_fh, n)
+                    yield self._emit(pending, mot_fh, n, save, save_crop,
+                                     save_dir, line_width, show_labels,
+                                     show_conf)
                     n += 1
                 pending = (path, meta, img, out)
                 t2 = time.perf_counter()
                 self.speed = {"preprocess": (t1 - t0) * 1e3,
                               "dispatch": (t2 - t1) * 1e3}
             if pending is not None:
-                yield self._emit(pending, mot_fh, n)
+                yield self._emit(pending, mot_fh, n, save, save_crop,
+                                 save_dir, line_width, show_labels, show_conf)
         finally:
             if mot_fh is not None:
                 mot_fh.close()
 
-    def _emit(self, pending, mot_fh, n) -> TrackResults:
+    def _emit(self, pending, mot_fh, n, save=False, save_crop=False,
+              save_dir="runs/track/predict", line_width=2, show_labels=True,
+              show_conf=True) -> TrackResults:
         from mo_yolo_tpu.models.tracker import unpack_outputs
         path, meta, img, out = pending
         res_np = unpack_outputs(np.asarray(out[0]))  # ONE host fetch
         res = self._postprocess(res_np, meta, path, img)
         if mot_fh is not None and len(res):
             write_mot_txt(mot_fh, n, res.track_id, res.boxes_xyxy, res.conf)
+        stem = Path(path).stem if path else f"frame{n:06d}"
+        # '#'-suffixed video-frame paths collapse to one stem — keep n
+        stem = f"{stem.replace('#', '_')}_{n:06d}" if "#" in str(path) else stem
+        if save:
+            res.save(Path(save_dir) / f"{stem}.jpg", line_width=line_width,
+                     show_labels=show_labels, show_conf=show_conf)
+        if save_crop:
+            res.save_crop(Path(save_dir) / "crops", file_name=stem)
         return res
 
     def _postprocess(self, out: dict, meta: dict, path: str,

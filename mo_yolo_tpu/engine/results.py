@@ -55,8 +55,12 @@ class TrackResults:
             f.write("\n".join(lines) + ("\n" if lines else ""))
 
     def plot(self, img: Optional[np.ndarray] = None,
-             line_width: int = 2) -> np.ndarray:
-        """Draw boxes + `id:N cls conf` labels; returns HWC uint8."""
+             line_width: int = 2, show_labels: bool = True,
+             show_conf: bool = True, boxes: bool = True) -> np.ndarray:
+        """Draw boxes + `id:N cls conf` labels; returns HWC uint8.
+
+        `line_width`/`labels`/`conf`/`boxes` follow the reference
+        `Results.plot` keyword surface (`engine/results.py:366-470`)."""
         from PIL import Image, ImageDraw
         base = img if img is not None else self.orig_img
         if base is None:
@@ -69,8 +73,46 @@ class TrackResults:
         for i, b in enumerate(self.boxes_xyxy):
             tid = int(self.track_id[i])
             color = palette[tid % len(palette)] if tid >= 0 else (200, 200, 200)
-            dr.rectangle(b.tolist(), outline=color, width=line_width)
-            name = (self.names or {}).get(int(self.cls[i]), str(int(self.cls[i])))
-            label = f"id:{tid} {name} {self.conf[i]:.2f}"
-            dr.text((b[0], max(0, b[1] - 12)), label, fill=color)
+            if boxes:
+                dr.rectangle(b.tolist(), outline=color, width=line_width)
+            if show_labels:
+                name = (self.names or {}).get(int(self.cls[i]),
+                                              str(int(self.cls[i])))
+                label = f"id:{tid} {name}" if tid >= 0 else name
+                if show_conf:
+                    label += f" {self.conf[i]:.2f}"
+                dr.text((b[0], max(0, b[1] - 12)), label, fill=color)
         return np.asarray(im)
+
+    def save(self, filename, **plot_kw) -> str:
+        """Render the annotated frame to `filename` (reference
+        `Results.save`)."""
+        from PIL import Image
+        Path(filename).parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(self.plot(**plot_kw)).save(str(filename))
+        return str(filename)
+
+    def save_crop(self, save_dir, file_name: Optional[str] = None) -> None:
+        """Save one cropped image per box under `save_dir/<class name>/`,
+        reference `Results.save_crop` (`engine/results.py:528-556`) — crops
+        padded by 2% of the box size, clipped to the image."""
+        if self.orig_img is None or not len(self):
+            return
+        from PIL import Image
+        stem = file_name or (Path(self.path).stem if self.path else "crop")
+        h, w = self.orig_img.shape[:2]
+        for i, b in enumerate(self.boxes_xyxy):
+            bw, bh = b[2] - b[0], b[3] - b[1]
+            x1 = int(max(0, b[0] - 0.02 * bw))
+            y1 = int(max(0, b[1] - 0.02 * bh))
+            x2 = int(min(w, b[2] + 0.02 * bw))
+            y2 = int(min(h, b[3] + 0.02 * bh))
+            if x2 <= x1 or y2 <= y1:
+                continue
+            name = (self.names or {}).get(int(self.cls[i]),
+                                          str(int(self.cls[i])))
+            d = Path(save_dir) / str(name)
+            d.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(
+                self.orig_img[y1:y2, x1:x2].astype(np.uint8)
+            ).save(str(d / f"{stem}_{i}.jpg"))

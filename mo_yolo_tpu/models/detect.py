@@ -129,10 +129,11 @@ class YoloDetectHead(nn.Module):
 
 def nms_fixed(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray, cls: jnp.ndarray,
               iou_thresh: float = 0.7, conf_thresh: float = 0.25,
-              max_det: int = 300, extras=None):
+              max_det: int = 300, extras=None, agnostic: bool = False):
     """Jittable class-aware NMS with fixed output size (reference
     `ops.non_max_suppression` surface): sort by score, greedy-suppress via
     the same fixed-point algorithm as the tracker's duplicate filter.
+    `agnostic=True` suppresses across classes (reference `agnostic_nms`).
 
     Single image: boxes [N,4], scores [N], cls [N]. Returns
     (boxes [max_det,4], scores [max_det], cls [max_det], valid [max_det]).
@@ -144,7 +145,8 @@ def nms_fixed(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray, cls: jnp.ndarray,
     c = cls[order]
     valid = s >= conf_thresh
     iou = pairwise_iou(b, b)
-    same_cls = c[:, None] == c[None, :]
+    same_cls = jnp.ones((N, N), bool) if agnostic else \
+        (c[:, None] == c[None, :])
     earlier = jnp.triu(jnp.ones((N, N), bool), k=1)
     conflict = (iou > iou_thresh) & same_cls & earlier & \
         valid[:, None] & valid[None, :]

@@ -126,6 +126,7 @@ class SegmentationModel(nn.Module):
     max_det: int = 100
     conf: float = 0.001
     iou: float = 0.7
+    agnostic: bool = False   # cross-class suppression (reference agnostic_nms)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -145,7 +146,7 @@ class SegmentationModel(nn.Module):
         def one(b, c, co):
             bb, ss, cc, valid, cok = nms_fixed(
                 b, c.max(-1), jnp.argmax(c, -1), iou_thresh=self.iou,
-                conf_thresh=self.conf, max_det=self.max_det, extras=[co])
+                conf_thresh=self.conf, max_det=self.max_det, agnostic=self.agnostic, extras=[co])
             return bb, ss * valid, cc.astype(jnp.int32), cok
 
         bb, ss, cc, cok = jax.vmap(one)(boxes, cls_p, coef)
@@ -161,6 +162,7 @@ class PoseModel(nn.Module):
     max_det: int = 100
     conf: float = 0.001
     iou: float = 0.7
+    agnostic: bool = False   # cross-class suppression (reference agnostic_nms)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -180,7 +182,7 @@ class PoseModel(nn.Module):
         def one(b, c, k):
             bb, ss, cc, valid, kk = nms_fixed(
                 b, c.max(-1), jnp.argmax(c, -1), iou_thresh=self.iou,
-                conf_thresh=self.conf, max_det=self.max_det, extras=[k])
+                conf_thresh=self.conf, max_det=self.max_det, agnostic=self.agnostic, extras=[k])
             return bb, ss * valid, cc.astype(jnp.int32), kk
 
         return jax.vmap(one)(boxes, cls_p, kpts)

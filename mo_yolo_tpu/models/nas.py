@@ -31,6 +31,7 @@ class NASModel(nn.Module):
     max_det: int = 300
     conf: float = 0.001
     iou: float = 0.7
+    agnostic: bool = False   # cross-class suppression (reference agnostic_nms)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -54,7 +55,8 @@ class NASModel(nn.Module):
             bb, ss, cc, valid = nms_fixed(b, c.max(-1), jnp.argmax(c, -1),
                                           iou_thresh=self.iou,
                                           conf_thresh=self.conf,
-                                          max_det=self.max_det)
+                                          max_det=self.max_det,
+                                          agnostic=self.agnostic)
             cxy = (bb[:, :2] + bb[:, 2:]) / 2 / size
             wh = (bb[:, 2:] - bb[:, :2]) / size
             return (jnp.concatenate([cxy, wh], -1), ss * valid,
