@@ -392,8 +392,12 @@ class Detector:
                              augment=augment, **kw).run()
 
     def val(self, data: Union[str, List[str]], conf: float = 0.001,
-            max_gt: int = 64) -> Dict[str, float]:
-        """Standalone detection mAP over a dataset yaml or image list."""
+            max_gt: int = 64, save_json: bool = False,
+            save_dir: str = "runs/detect/val") -> Dict[str, float]:
+        """Standalone detection mAP over a dataset yaml or image list.
+
+        save_json dumps COCO-format `predictions.json` for external eval
+        (reference `save_json`, `models/yolo/detect/val.py`)."""
         from mo_yolo_tpu.engine.validator import DetectionValidator
 
         if isinstance(data, str):
@@ -404,7 +408,8 @@ class Detector:
         else:
             files = list(data)
         v = DetectionValidator(self.model, self.variables, imgsz=self.imgsz,
-                               conf=conf)
+                               conf=conf, save_json=save_json,
+                               save_dir=save_dir)
         return v(files, max_gt=max_gt)
 
     def track(self, source, conf: float = 0.1, tracker: str = "bytetrack"):

@@ -93,7 +93,7 @@ def main(argv=None):
             LOGGER.info(f"processed {n} frames")
             return 0
         if mode == "val":
-            metrics = m.val(kv.pop("data"))
+            metrics = m.val(kv.pop("data"), **kv)
             LOGGER.info(" ".join(f"{k}={v:.2f}" if isinstance(v, float)
                                  else f"{k}={v}"
                                  for k, v in metrics.items()))

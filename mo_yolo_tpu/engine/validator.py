@@ -252,7 +252,9 @@ class DetectionValidator:
     threshold against 5/6-col labels. Track ids in labels are ignored."""
 
     def __init__(self, model, variables, imgsz: int = 640,
-                 conf: float = 0.001, nc: Optional[int] = None):
+                 conf: float = 0.001, nc: Optional[int] = None,
+                 save_json: bool = False,
+                 save_dir: str = "runs/detect/val"):
         import jax
 
         self.model = model
@@ -260,6 +262,8 @@ class DetectionValidator:
         self.imgsz = imgsz
         self.conf = conf
         self.nc = nc or model.spec.nc
+        self.save_json = save_json      # reference `save_json`: COCO-format
+        self.save_dir = save_dir        # predictions.json for external eval
         self._step = jax.jit(
             lambda v, x: model.apply(v, x, method=model.predict_step))
 
@@ -270,6 +274,7 @@ class DetectionValidator:
         ds = TrackDataset(img_files, imgsz=self.imgsz, max_gt=max_gt,
                           clip_len=1)
         det = DetMetrics(self.nc)
+        jdict = []
         t0 = time.perf_counter()
         for i in range(len(ds)):
             s = ds.load_frame(i)
@@ -281,8 +286,31 @@ class DetectionValidator:
             keep = sc >= self.conf
             det.update(_xywhn2xyxy(b[keep]), sc[keep], c[keep],
                        _xywhn2xyxy(s.boxes[s.mask]), s.cls[s.mask])
+            if self.save_json:
+                # reference `pred_to_json` (`models/yolo/detect/val.py`):
+                # COCO records, bbox = top-left xywh in model-input pixels
+                from pathlib import Path as _P
+                stem = _P(ds.files[i]).stem if i < len(ds.files) else str(i)
+                image_id = int(stem) if stem.isnumeric() else stem
+                xyxy = _xywhn2xyxy(b[keep]) * self.imgsz
+                ck, sck = c[keep], sc[keep]
+                for j in range(len(xyxy)):
+                    x1, y1, x2, y2 = (float(v) for v in xyxy[j])
+                    jdict.append({
+                        "image_id": image_id,
+                        "category_id": int(ck[j]),
+                        "bbox": [round(x1, 3), round(y1, 3),
+                                 round(x2 - x1, 3), round(y2 - y1, 3)],
+                        "score": round(float(sck[j]), 5)})
         out = det.compute()
         out["fps"] = len(ds) / max(time.perf_counter() - t0, 1e-9)
+        if self.save_json:
+            import json
+            from pathlib import Path as _P
+            p = _P(self.save_dir)
+            p.mkdir(parents=True, exist_ok=True)
+            with open(p / "predictions.json", "w") as f:
+                json.dump(jdict, f)
         return out
 
 

@@ -67,7 +67,8 @@ class DetectTrainer:
                  lr: float = 1e-4, max_gt: int = 64,
                  save_dir: str = "runs/detect", seed: int = 0,
                  log_every: int = 10, val_every: int = 0,
-                 augment: bool = False, hyp=None, close_mosaic: int = 0):
+                 augment: bool = False, hyp=None, close_mosaic: int = 0,
+                 fraction: float = 1.0):
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -81,6 +82,8 @@ class DetectTrainer:
         self.augment = augment
         self.hyp = dict(hyp or {})
         self.close_mosaic = close_mosaic
+        # reference `fraction`: train on the first fraction of the dataset
+        self.fraction = min(max(float(fraction), 0.0), 1.0) or 1.0
 
     def run(self):
         import random
@@ -94,6 +97,11 @@ class DetectTrainer:
         from mo_yolo_tpu.utils.logging import LOGGER
 
         d = load_dataset_yaml(self.data)
+        if self.fraction < 1.0:
+            keep = max(int(round(len(d["train"]) * self.fraction)), 1)
+            LOGGER.info(f"fraction={self.fraction}: {keep}/"
+                        f"{len(d['train'])} train images")
+            d["train"] = d["train"][:keep]
         augmenter = None
         mosaic_p = mixup_p = 0.0
         if self.augment:

@@ -310,7 +310,10 @@ class ClassifyTrainer(_TaskTrainer):
                 logits, mut = self.model.apply(
                     {"params": p, "batch_stats": bs}, images, True,
                     mutable=["batch_stats"])
-                return classification_loss(logits, labels), mut["batch_stats"]
+                ls = float(self.hyp.get("label_smoothing", 0.0))
+                return classification_loss(logits, labels,
+                                           label_smoothing=ls), \
+                    mut["batch_stats"]
 
             (loss, bstats), grads = jax.value_and_grad(
                 lf, has_aux=True)(ts.params, ts.batch_stats)

@@ -54,7 +54,7 @@ class TrackTrainer:
                  save_period: int = -1, optimizer: str = "adamw",
                  momentum: float = 0.937, cos_lr: bool = True,
                  warmup_momentum: float = 0.8, warmup_bias_lr: float = 0.0,
-                 nbs: int = -1):
+                 nbs: int = -1, fraction: float = 1.0):
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -103,6 +103,8 @@ class TrackTrainer:
                                         # round(nbs/batch) once batch known
         if self.nbs and self.nbs > 0 and self.batch > 0:
             self.accumulate = max(round(self.nbs / self.batch), 1)
+        # reference `fraction`: train on the first fraction of the dataset
+        self.fraction = min(max(float(fraction), 0.0), 1.0) or 1.0
 
     def run(self) -> Dict[str, float]:
         import jax
@@ -115,6 +117,11 @@ class TrackTrainer:
 
         self.callbacks.fire("on_train_start", trainer=self)
         d = load_dataset_yaml(self.data)
+        if self.fraction < 1.0:
+            keep = max(int(round(len(d["train"]) * self.fraction)), 1)
+            LOGGER.info(f"fraction={self.fraction}: {keep}/"
+                        f"{len(d['train'])} train frames")
+            d["train"] = d["train"][:keep]
         augmenter = None
         if self.augment:
             from mo_yolo_tpu.data.augment import ClipAugmenter

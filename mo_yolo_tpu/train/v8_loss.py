@@ -253,9 +253,16 @@ def v8_pose_loss(cfg: V8LossConfig,
             "fg": det["fg"]}
 
 
-def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray
-                        ) -> jnp.ndarray:
+def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                        label_smoothing: float = 0.0) -> jnp.ndarray:
     """Image-classification cross entropy (reference
-    `v8ClassificationLoss`, `utils/loss.py`)."""
+    `v8ClassificationLoss`, `utils/loss.py`). `label_smoothing` follows
+    torch `CrossEntropyLoss(label_smoothing=...)`: targets become
+    (1-s)*onehot + s/nc (the reference exposes the `label_smoothing`
+    hyp key, `cfg/default.yaml`)."""
     logp = jax.nn.log_softmax(logits, -1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    if label_smoothing > 0.0:
+        s = label_smoothing
+        nll = (1.0 - s) * nll + s * (-logp.mean(-1))
+    return jnp.mean(nll)

@@ -137,9 +137,19 @@ def test_detect_trainer_and_standalone_validator(tmp_path):
     r = det.train(str(tmp_path / "data.yaml"), epochs=2, batch=4, lr=1e-3,
                   max_gt=4, save_dir=str(tmp_path / "runs"), log_every=1)
     assert np.isfinite(r["final_loss"])
-    m = det.val(str(tmp_path / "data.yaml"), max_gt=4)
+    m = det.val(str(tmp_path / "data.yaml"), max_gt=4, save_json=True,
+                save_dir=str(tmp_path / "vj"))
     for k in ("mAP50", "mAP50-95", "fps"):
         assert k in m and np.isfinite(m[k]), (k, m)
+    # COCO predictions.json (reference save_json / pred_to_json)
+    import json
+    recs = json.loads((tmp_path / "vj" / "predictions.json").read_text())
+    assert isinstance(recs, list)
+    if recs:    # records only exist once the tiny model predicts something
+        r0 = recs[0]
+        assert set(r0) == {"image_id", "category_id", "bbox", "score"}
+        assert isinstance(r0["image_id"], int)  # numeric stems -> int ids
+        assert len(r0["bbox"]) == 4 and r0["bbox"][2] >= 0
 
 
 def test_detector_export_roundtrip(tmp_path):

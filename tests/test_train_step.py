@@ -264,6 +264,23 @@ def test_progressive_clip_schedule_validation():
     assert t1.clip_lens == [4] and t1.clip_stages == []
 
 
+def test_trainer_fraction_clamped():
+    """`fraction` (reference cfg key) is clamped to (0, 1]; 0 means 'use
+    everything' rather than an empty train set."""
+    from mo_yolo_tpu.train.detect_trainer import DetectTrainer
+    from mo_yolo_tpu.train.trainer import TrackTrainer
+
+    assert TrackTrainer(api_model=None, data="x.yaml").fraction == 1.0
+    assert TrackTrainer(api_model=None, data="x.yaml",
+                        fraction=0.25).fraction == 0.25
+    assert TrackTrainer(api_model=None, data="x.yaml",
+                        fraction=7.0).fraction == 1.0
+    assert TrackTrainer(api_model=None, data="x.yaml",
+                        fraction=0.0).fraction == 1.0
+    assert DetectTrainer(api_model=None, data="x.yaml",
+                         fraction=0.5).fraction == 0.5
+
+
 @pytest.mark.slow
 def test_trainer_progressive_clip_stages(tmp_path):
     """Stage switch recompiles the scan length mid-run while optimizer/EMA

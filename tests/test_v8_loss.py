@@ -203,6 +203,29 @@ def test_classification_loss():
     assert float(classification_loss(logits, jnp.asarray([1, 0]))) > 5.0
 
 
+def test_classification_loss_label_smoothing():
+    """Matches torch CrossEntropyLoss(label_smoothing=s): targets become
+    (1-s)*onehot + s/nc, i.e. loss = (1-s)*nll + s*mean_c(-log p_c)."""
+    import numpy as np
+    from mo_yolo_tpu.train.v8_loss import classification_loss
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(4, 5)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, size=4))
+    s = 0.1
+    got = float(classification_loss(logits, labels, label_smoothing=s))
+
+    logp = np.asarray(jax.nn.log_softmax(logits, -1))
+    onehot = np.eye(5)[np.asarray(labels)]
+    tgt = (1 - s) * onehot + s / 5
+    want = float(np.mean(-(tgt * logp).sum(-1)))
+    assert abs(got - want) < 1e-6, (got, want)
+    # s=0 reduces to plain NLL
+    plain = float(classification_loss(logits, labels))
+    nll = float(np.mean(-logp[np.arange(4), np.asarray(labels)]))
+    assert abs(plain - nll) < 1e-6
+
+
 def test_segment_pose_heads_raw_mode_and_training_step():
     """Raw-mode heads feed their losses end-to-end: one SGD step on each
     task decreases (or keeps finite) its loss — the seg/pose training path
