@@ -99,14 +99,16 @@ class MOTRTrack:
     __call__ = predict
 
     def val(self, data: Union[str, List[str]], conf: float = 0.5,
-            max_gt: int = 64) -> Dict[str, float]:
-        """Evaluate HOTA/MOTA/IDF1/mAP on a dataset yaml or image list."""
+            max_gt: int = 64, split: str = "val") -> Dict[str, float]:
+        """Evaluate HOTA/MOTA/IDF1/mAP on a dataset yaml or image list.
+        `split` picks the dataset-yaml split (reference `split` key:
+        val|test|train)."""
         from mo_yolo_tpu.engine.validator import TrackValidator
 
         if isinstance(data, str):
             from mo_yolo_tpu.data.dataset import load_dataset_yaml
             d = load_dataset_yaml(data)
-            files = d["val"]
+            files = d.get(split) or d["val"]
             self.names = self.names or d["names"]
         else:
             files = list(data)
@@ -393,17 +395,19 @@ class Detector:
 
     def val(self, data: Union[str, List[str]], conf: float = 0.001,
             max_gt: int = 64, save_json: bool = False,
-            save_dir: str = "runs/detect/val") -> Dict[str, float]:
+            save_dir: str = "runs/detect/val",
+            split: str = "val") -> Dict[str, float]:
         """Standalone detection mAP over a dataset yaml or image list.
 
         save_json dumps COCO-format `predictions.json` for external eval
-        (reference `save_json`, `models/yolo/detect/val.py`)."""
+        (reference `save_json`, `models/yolo/detect/val.py`); `split`
+        picks the dataset-yaml split (reference `split`: val|test|train)."""
         from mo_yolo_tpu.engine.validator import DetectionValidator
 
         if isinstance(data, str):
             from mo_yolo_tpu.data.dataset import load_dataset_yaml
             d = load_dataset_yaml(data)
-            files = d["val"]
+            files = d.get(split) or d["val"]
             self.names = self.names or d["names"]
         else:
             files = list(data)
@@ -484,7 +488,8 @@ class _TaskModel:
 
     def __init__(self, task: str, model: str = "yolo_track.yaml",
                  nc: Optional[int] = None, imgsz: int = 256, seed: int = 0,
-                 kpt_shape=(17, 3), agnostic_nms: bool = False):
+                 kpt_shape=(17, 3), agnostic_nms: bool = False,
+                 dropout: float = 0.0):
         import jax
         import jax.numpy as jnp
         from mo_yolo_tpu.models.graph import parse_model_yaml
@@ -501,7 +506,8 @@ class _TaskModel:
             self.model = PoseModel(spec=spec, kpt_shape=tuple(kpt_shape),
                                    agnostic=agnostic_nms)
         else:
-            self.model = ClassifyModel(spec=spec, nc=spec.nc)
+            self.model = ClassifyModel(spec=spec, nc=spec.nc,
+                                       dropout=dropout)
         self.variables = self.model.init(
             jax.random.PRNGKey(seed), jnp.zeros((1, imgsz, imgsz, 3)))
 

@@ -74,9 +74,12 @@ def random_flip_ud(img: np.ndarray, lab: np.ndarray) -> Tuple[np.ndarray, np.nda
 def random_affine(img: np.ndarray, lab: np.ndarray, rng: np.random.Generator,
                   degrees: float = 0.0, translate: float = 0.1,
                   scale: float = 0.5, shear: float = 0.0,
+                  perspective: float = 0.0,
                   border: int = 0, min_box: float = 2.0,
                   params: Optional[dict] = None):
-    """Random affine warp (core of the reference `RandomPerspective`).
+    """Random projective warp (the reference `RandomPerspective`:
+    rotation/scale/shear/translation + the `perspective` homography row,
+    `data/augment.py` P matrix).
 
     Returns (img, labels, params) — pass `params` back in to re-apply the
     SAME warp to another frame of the clip.
@@ -89,23 +92,36 @@ def random_affine(img: np.ndarray, lab: np.ndarray, rng: np.random.Generator,
         shy = np.tan(np.radians(rng.uniform(-shear, shear)))
         tx = rng.uniform(0.5 - translate, 0.5 + translate) * w - w / 2
         ty = rng.uniform(0.5 - translate, 0.5 + translate) * h - h / 2
-        params = {"a": a, "s": s, "shx": shx, "shy": shy, "tx": tx, "ty": ty}
+        px = rng.uniform(-perspective, perspective)
+        py = rng.uniform(-perspective, perspective)
+        params = {"a": a, "s": s, "shx": shx, "shy": shy, "tx": tx,
+                  "ty": ty, "px": px, "py": py}
     a, s = params["a"], params["s"]
+    px, py = params.get("px", 0.0), params.get("py", 0.0)
     ca, sa = np.cos(np.radians(a)) * s, np.sin(np.radians(a)) * s
-    # forward matrix (centered rotation/scale + shear + translation)
+    # forward matrix (centered rotation/scale + shear + translation
+    # + perspective bottom row)
     cx0, cy0 = w / 2, h / 2
     M = np.array([
         [ca + params["shx"] * sa, -sa + params["shx"] * ca, 0],
         [sa + params["shy"] * ca, ca - params["shy"] * sa, 0],
-        [0, 0, 1]], np.float64)
+        [px, py, 1]], np.float64)
     M[0, 2] = cx0 - M[0, 0] * cx0 - M[0, 1] * cy0 + params["tx"]
     M[1, 2] = cy0 - M[1, 0] * cx0 - M[1, 1] * cy0 + params["ty"]
     # PIL wants the inverse mapping
     Mi = np.linalg.inv(M)
-    warped = Image.fromarray(img).transform(
-        (w, h), Image.AFFINE,
-        (Mi[0, 0], Mi[0, 1], Mi[0, 2], Mi[1, 0], Mi[1, 1], Mi[1, 2]),
-        resample=Image.BILINEAR, fillcolor=(114, 114, 114))
+    if px == 0.0 and py == 0.0:
+        warped = Image.fromarray(img).transform(
+            (w, h), Image.AFFINE,
+            (Mi[0, 0], Mi[0, 1], Mi[0, 2], Mi[1, 0], Mi[1, 1], Mi[1, 2]),
+            resample=Image.BILINEAR, fillcolor=(114, 114, 114))
+    else:
+        Mi = Mi / Mi[2, 2]
+        warped = Image.fromarray(img).transform(
+            (w, h), Image.PERSPECTIVE,
+            (Mi[0, 0], Mi[0, 1], Mi[0, 2], Mi[1, 0], Mi[1, 1], Mi[1, 2],
+             Mi[2, 0], Mi[2, 1]),
+            resample=Image.BILINEAR, fillcolor=(114, 114, 114))
     img = np.asarray(warped)
 
     if len(lab):
@@ -115,7 +131,8 @@ def random_affine(img: np.ndarray, lab: np.ndarray, rng: np.random.Generator,
             axis=1)  # [n,4,2]
         ones = np.ones((*corners.shape[:2], 1))
         tc = np.concatenate([corners, ones], -1) @ M.T
-        tc = tc[..., :2]
+        tc = tc[..., :2] / np.maximum(np.abs(tc[..., 2:]), 1e-9) * \
+            np.sign(tc[..., 2:])
         new = np.concatenate([tc.min(1), tc.max(1)], 1)  # [n,4] xyxy
         new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
         new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
@@ -176,6 +193,56 @@ def mixup(img1, lab1, img2, lab2, rng: np.random.Generator):
     return img.astype(np.uint8), np.concatenate([lab1, lab2], 0)
 
 
+def copy_paste(img: np.ndarray, lab: np.ndarray, rng: np.random.Generator,
+               p: float = 0.5, ioa_thresh: float = 0.30):
+    """Box-level Copy-Paste (reference `CopyPaste`, `data/augment.py`).
+
+    The reference pastes flip-lr *segment* instances wherever the pasted
+    instance's IoA with every existing box stays < 0.30 (box-only labels
+    make it a no-op there). This TPU stack's labels are box-only, so the
+    same recipe runs on box crops: each object is duplicated with prob
+    `p` at the horizontally-mirrored x position (= where its flip-lr
+    instance lands) under the same IoA gate. Pasted copies carry
+    track_id -1 — they are new objects, not continuations."""
+    if p <= 0 or not len(lab):
+        return img, lab
+    h, w = img.shape[:2]
+    img = img.copy()
+    xyxy = _xywhn_to_xyxy_px(lab, w, h)
+    occupied = [xyxy]
+    new_rows = []
+    for j in range(len(lab)):
+        if rng.random() >= p:
+            continue
+        x1, y1, x2, y2 = (int(round(v)) for v in xyxy[j])
+        x1, x2 = max(x1, 0), min(x2, w)
+        y1, y2 = max(y1, 0), min(y2, h)
+        if (x2 - x1) < 2 or (y2 - y1) < 2:
+            continue
+        nx1, nx2 = w - x2, w - x1     # mirrored-x paste location
+        cand = np.array([nx1, y1, nx2, y2], float)
+        boxes = np.concatenate(occupied, 0)
+        ix1 = np.maximum(boxes[:, 0], cand[0])
+        iy1 = np.maximum(boxes[:, 1], cand[1])
+        ix2 = np.minimum(boxes[:, 2], cand[2])
+        iy2 = np.minimum(boxes[:, 3], cand[3])
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        area = np.maximum((boxes[:, 2] - boxes[:, 0]) *
+                          (boxes[:, 3] - boxes[:, 1]), 1e-9)
+        if len(inter) and (inter / area).max() >= ioa_thresh:
+            continue
+        img[y1:y2, nx1:nx2] = img[y1:y2, x1:x2][:, ::-1]
+        row = lab[j].copy()
+        row[1] = (nx1 + nx2) / 2 / w
+        if row.shape[0] >= 6:
+            row[5] = -1
+        occupied.append(cand[None])
+        new_rows.append(row)
+    if new_rows:
+        lab = np.concatenate([lab, np.stack(new_rows)], 0)
+    return img, lab
+
+
 @dataclasses.dataclass
 class ClipAugmenter:
     """Per-clip frozen augmentation for video training: geometric params are
@@ -187,6 +254,8 @@ class ClipAugmenter:
     degrees: float = 0.0
     translate: float = 0.05
     scale: float = 0.2
+    shear: float = 0.0
+    perspective: float = 0.0
     seed: int = 0
 
     def begin_clip(self, clip_index: int):
@@ -207,5 +276,6 @@ class ClipAugmenter:
         img, lab, self._affine_params = random_affine(
             img, lab, self._rng, degrees=self.degrees,
             translate=self.translate, scale=self.scale,
+            shear=self.shear, perspective=self.perspective,
             params=self._affine_params)
         return img, lab

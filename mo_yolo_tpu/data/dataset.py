@@ -110,7 +110,8 @@ class TrackDataset:
                  verify: bool = False, cache_labels: bool = True,
                  cache_images: bool = False, cache_limit_gb: float = 4.0,
                  single_cls: bool = False, mosaic_p: float = 0.0,
-                 mixup_p: float = 0.0, aug_seed: int = 0):
+                 mixup_p: float = 0.0, copy_paste_p: float = 0.0,
+                 aug_seed: int = 0):
         self.files = list(img_files)
         if verify:  # drop corrupt images (reference `data/utils.py:148-160`)
             ok = [f for f in self.files if verify_image(f)]
@@ -131,6 +132,7 @@ class TrackDataset:
         # close_mosaic tail epochs
         self.mosaic_p = mosaic_p
         self.mixup_p = mixup_p
+        self.copy_paste_p = copy_paste_p
         self.aug_seed = aug_seed
         # label cache: parse each 6-col txt once, not once per epoch
         # (reference np-caches labels, `data/dataset.py:258-260`)
@@ -184,8 +186,9 @@ class TrackDataset:
     def load_frame(self, i: int, augment: bool = False) -> TrackSample:
         img = self._image(i)
         lab = self._label(i)
-        if augment and (self.mosaic_p > 0 or self.mixup_p > 0):
-            from mo_yolo_tpu.data.augment import mixup, mosaic4
+        if augment and (self.mosaic_p > 0 or self.mixup_p > 0
+                        or self.copy_paste_p > 0):
+            from mo_yolo_tpu.data.augment import copy_paste, mixup, mosaic4
             rng = np.random.default_rng(
                 (self.aug_seed * 1_000_003 + i) % (2 ** 31))
             if rng.random() < self.mosaic_p and len(self.files) >= 4:
@@ -193,6 +196,8 @@ class TrackDataset:
                 imgs = [img] + [self._image(int(j)) for j in js]
                 labs = [lab] + [self._label(int(j)) for j in js]
                 img, lab = mosaic4(imgs, labs, rng, size=self.imgsz)
+            if self.copy_paste_p > 0:   # reference order: Mosaic→CopyPaste
+                img, lab = copy_paste(img, lab, rng, p=self.copy_paste_p)
             if rng.random() < self.mixup_p and len(self.files) >= 2:
                 j = int(rng.integers(0, len(self.files)))
                 im2, lb2 = self._image(j), self._label(j)
@@ -281,4 +286,5 @@ def load_dataset_yaml(path: str) -> Dict:
     if isinstance(names, list):
         names = dict(enumerate(names))
     return {"train": resolve("train"), "val": resolve("val"),
+            "test": resolve("test"),
             "names": names, "nc": cfg.get("nc", len(names) or 80)}

@@ -190,16 +190,20 @@ class PoseModel(nn.Module):
 
 class ClassifyHead(nn.Module):
     """Image classification head (reference `Classify`): conv -> GAP ->
-    dense logits over the deepest feature map."""
+    dropout -> dense logits over the deepest feature map (the reference
+    exposes the `dropout` train key, `nn/modules/head.py` Classify.drop)."""
 
     nc: int
     c_: int = 1280
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, train: bool = False):
         x = ConvBnAct(self.c_, 1, dtype=self.dtype, name="conv")(feat, train)
         x = x.mean(axis=(1, 2))
+        if self.dropout > 0.0:
+            x = nn.Dropout(rate=self.dropout)(x, deterministic=not train)
         return nn.Dense(self.nc, dtype=self.dtype, name="linear")(x)
 
 
@@ -210,12 +214,14 @@ class ClassifyModel(nn.Module):
     spec: Any
     nc: int
     c_: int = 1280
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     def setup(self):
         from mo_yolo_tpu.models.graph import BackboneNeck
         self.backbone = BackboneNeck(self.spec, dtype=self.dtype)
-        self.head = ClassifyHead(self.nc, self.c_, dtype=self.dtype)
+        self.head = ClassifyHead(self.nc, self.c_, dropout=self.dropout,
+                                 dtype=self.dtype)
 
     def __call__(self, images, train: bool = False):
         feats = self.backbone(images, train=train)

@@ -106,20 +106,37 @@ class DetectTrainer:
         mosaic_p = mixup_p = 0.0
         if self.augment:
             from mo_yolo_tpu.data.augment import ClipAugmenter
-            augmenter = ClipAugmenter(seed=self.seed)
+            h = self.hyp
+            augmenter = ClipAugmenter(
+                hsv=bool(h.get("hsv_v", 0.4)),
+                fliplr_p=float(h.get("fliplr", 0.5)),
+                flipud_p=float(h.get("flipud", 0.0)),
+                degrees=float(h.get("degrees", 0.0)),
+                translate=float(h.get("translate", 0.05)),
+                scale=float(h.get("scale", 0.2)),
+                shear=float(h.get("shear", 0.0)),
+                perspective=float(h.get("perspective", 0.0)),
+                seed=self.seed)
             # detection training gets the multi-image augs (reference
-            # v8_transforms: Mosaic + MixUp); hyp keys mosaic/mixup
+            # v8_transforms: Mosaic + CopyPaste + MixUp)
             mosaic_p = float(self.hyp.get("mosaic", 1.0))
             mixup_p = float(self.hyp.get("mixup", 0.0))
         ds = TrackDataset(d["train"], imgsz=self.api.imgsz,
                           max_gt=self.max_gt, clip_len=1,
                           augmenter=augmenter, verify=True,
                           cache_images=True, mosaic_p=mosaic_p,
-                          mixup_p=mixup_p, aug_seed=self.seed)
+                          mixup_p=mixup_p,
+                          copy_paste_p=float(self.hyp.get("copy_paste", 0.0))
+                          if self.augment else 0.0,
+                          aug_seed=self.seed)
         model = self.api.model
         lcfg = LossConfig(nc=model.spec.nc)
         steps_per_epoch = max(len(ds) // self.batch, 1)
         h = self.hyp
+        wu = {}
+        if "warmup_epochs" in h:    # reference warmup_epochs (default 3.0)
+            wu["warmup_steps"] = max(
+                int(float(h["warmup_epochs"]) * steps_per_epoch), 1)
         tcfg = TrainConfig(clip_len=1, lr=self.lr,
                            total_steps=max(self.epochs * steps_per_epoch, 1),
                            optimizer=str(h.get("optimizer", "adamw")),
@@ -127,7 +144,8 @@ class DetectTrainer:
                            cos_lr=bool(h.get("cos_lr", True)),
                            lrf=float(h.get("lrf", 0.01)),
                            warmup_momentum=float(h.get("warmup_momentum", 0.8)),
-                           warmup_bias_lr=float(h.get("warmup_bias_lr", 0.0)))
+                           warmup_bias_lr=float(h.get("warmup_bias_lr", 0.0)),
+                           **wu)
         init_fn, step_fn = make_detect_train_step(model, lcfg, tcfg)
         step_fn = jax.jit(step_fn)
         ts = init_fn(self.api.variables)
@@ -150,8 +168,13 @@ class DetectTrainer:
                 idxs = order[i * self.batch:(i + 1) * self.batch]
                 if len(idxs) < self.batch:
                     break
-                frames = [ds.load_frame(j, augment=self.augment)
-                          for j in idxs]
+                frames = []
+                for j in idxs:
+                    if augmenter is not None:
+                        # single-image task: fresh geometric params per
+                        # frame (clip freezing is for video training)
+                        augmenter.begin_clip(epoch * len(ds) + j)
+                    frames.append(ds.load_frame(j, augment=self.augment))
                 batch = {
                     "images": jnp.asarray(
                         np.stack([f.image for f in frames])),

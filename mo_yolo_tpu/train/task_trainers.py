@@ -305,11 +305,11 @@ class ClassifyTrainer(_TaskTrainer):
                         step=jnp.zeros((), jnp.int32))
 
         @jax.jit
-        def step_fn(ts, images, labels):
+        def step_fn(ts, images, labels, key):
             def lf(p, bs):
                 logits, mut = self.model.apply(
                     {"params": p, "batch_stats": bs}, images, True,
-                    mutable=["batch_stats"])
+                    mutable=["batch_stats"], rngs={"dropout": key})
                 ls = float(self.hyp.get("label_smoothing", 0.0))
                 return classification_loss(logits, labels,
                                            label_smoothing=ls), \
@@ -344,7 +344,10 @@ class ClassifyTrainer(_TaskTrainer):
                     preprocess(load_image(files[j]), self.imgsz,
                                scale_fill=True)[0] for j in idx])
                 ts, loss = step_fn(ts, jnp.asarray(imgs),
-                                   jnp.asarray(self._labels[idx]))
+                                   jnp.asarray(self._labels[idx]),
+                                   jax.random.fold_in(
+                                       jax.random.PRNGKey(self.seed),
+                                       epoch * steps + i))
                 if i % self.log_every == 0:
                     losses.append(float(loss))
                     LOGGER.info(f"classify epoch {epoch} step {i}/{steps} "

@@ -54,7 +54,9 @@ class TrackTrainer:
                  save_period: int = -1, optimizer: str = "adamw",
                  momentum: float = 0.937, cos_lr: bool = True,
                  warmup_momentum: float = 0.8, warmup_bias_lr: float = 0.0,
-                 nbs: int = -1, fraction: float = 1.0):
+                 nbs: int = -1, fraction: float = 1.0,
+                 warmup_epochs: float = -1.0, val: bool = True,
+                 pretrained=None):
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -105,6 +107,16 @@ class TrackTrainer:
             self.accumulate = max(round(self.nbs / self.batch), 1)
         # reference `fraction`: train on the first fraction of the dataset
         self.fraction = min(max(float(fraction), 0.0), 1.0) or 1.0
+        # reference `warmup_epochs` (default 3.0 there): epoch-denominated
+        # LR warmup; <0 keeps the step-denominated default (500 steps)
+        self.warmup_epochs = float(warmup_epochs)
+        # reference `val` bool: False disables in-train validation even if
+        # val_every is set
+        if not val:
+            self.val_every = 0
+        # reference `pretrained`: checkpoint (params dir) loaded into the
+        # model before training starts
+        self.pretrained = pretrained if isinstance(pretrained, str) else None
 
     def run(self) -> Dict[str, float]:
         import jax
@@ -135,6 +147,8 @@ class TrackTrainer:
                 degrees=float(hyp.get("degrees", 0.0)),
                 translate=float(hyp.get("translate", 0.05)),
                 scale=float(hyp.get("scale", 0.2)),
+                shear=float(hyp.get("shear", 0.0)),
+                perspective=float(hyp.get("perspective", 0.0)),
                 seed=self.seed)
         model = self.api.model
         lcfg = LossConfig(nc=model.spec.nc)
@@ -186,18 +200,29 @@ class TrackTrainer:
                 # mini-steps)
                 total_steps = max(
                     self.epochs * steps_per_epoch // self.accumulate, 1)
+            wu = {}
+            if self.warmup_epochs >= 0:
+                wu["warmup_steps"] = max(int(
+                    self.warmup_epochs * steps_per_epoch
+                    / self.accumulate), 1)
             tcfg = TrainConfig(clip_len=T, lr=self.lr, lrf=self.lrf,
                                accumulate=self.accumulate,
                                total_steps=total_steps,
                                optimizer=self.optimizer,
                                momentum=self.momentum, cos_lr=self.cos_lr,
                                warmup_momentum=self.warmup_momentum,
-                               warmup_bias_lr=self.warmup_bias_lr)
+                               warmup_bias_lr=self.warmup_bias_lr, **wu)
             init_fn, step = make_sharded_train_step(model, lcfg, tcfg, mesh)
             return ds, steps_per_epoch, init_fn, step
 
         cur_stage = 0
         ds, steps_per_epoch, init_fn, step = build_stage(self.clip_lens[0])
+        if self.pretrained:
+            # reference `pretrained`: start from saved weights
+            from mo_yolo_tpu.utils.checkpoint import load_params
+            self.api.variables = load_params(self.pretrained,
+                                             target=self.api.variables)
+            LOGGER.info(f"pretrained weights loaded from {self.pretrained}")
         ts = init_fn(self.api.variables)
 
         # ---- resume (reference `engine/trainer.py:621-671`) ----

@@ -170,3 +170,47 @@ def test_dataset_mosaic_mixup_path(tmp_path):
     ds.mosaic_p = 0.0
     s_off = ds.load_frame(0, augment=True)
     np.testing.assert_array_equal(s_off.image, s_plain.image)
+
+
+def test_copy_paste_box_level():
+    """copy_paste duplicates objects at the mirrored-x location under the
+    IoA<0.3 gate (reference CopyPaste semantics on box crops); pasted
+    labels get track_id -1; crowded mirrors are rejected."""
+    from mo_yolo_tpu.data.augment import copy_paste
+
+    img = np.full((64, 64, 3), 30, np.uint8)
+    img[24:40, 4:20] = 200        # object at x [4,20)
+    lab = np.array([[0, 12 / 64, 32 / 64, 16 / 64, 16 / 64, 7]], np.float32)
+    rng = np.random.default_rng(0)
+    out, lab2 = copy_paste(img, lab, rng, p=1.0)
+    assert len(lab2) == 2
+    # mirrored x-center: w - cx
+    assert abs(lab2[1, 1] - (1 - 12 / 64)) < 1e-6
+    assert lab2[1, 5] == -1 and lab2[1, 0] == lab[0, 0]
+    # pixels actually pasted (mirrored columns 44..60)
+    assert out[32, 52, 0] == 200
+    # occupied mirror location -> rejected
+    img2 = img.copy()
+    lab_c = np.array([[0, 0.5, 0.5, 0.9, 0.5, 1]], np.float32)
+    _, lab3 = copy_paste(img2, lab_c, rng, p=1.0)
+    assert len(lab3) == 1          # mirror overlaps itself, IoA ~ 1
+
+
+def test_affine_perspective_moves_boxes_consistently():
+    """perspective>0 engages the homography path: image warps, labels
+    follow the projective corner transform, params re-apply bitwise."""
+    from mo_yolo_tpu.data.augment import random_affine
+
+    img = np.full((64, 64, 3), 50, np.uint8)
+    img[16:48, 16:48] = 220
+    lab = np.array([[0, 0.5, 0.5, 0.5, 0.5, 3]], np.float32)
+    rng = np.random.default_rng(1)
+    out, lab2, params = random_affine(img, lab, rng, perspective=0.002)
+    assert abs(params["px"]) > 0 or abs(params["py"]) > 0
+    assert len(lab2) == 1
+    assert not np.array_equal(out, img)
+    # frozen params reproduce the identical warp (clip coherence)
+    out2, lab3, _ = random_affine(img, lab, rng, perspective=0.002,
+                                  params=params)
+    np.testing.assert_array_equal(out, out2)
+    np.testing.assert_allclose(lab2, lab3, atol=1e-7)

@@ -137,6 +137,15 @@ def test_detect_trainer_and_standalone_validator(tmp_path):
     r = det.train(str(tmp_path / "data.yaml"), epochs=2, batch=4, lr=1e-3,
                   max_gt=4, save_dir=str(tmp_path / "runs"), log_every=1)
     assert np.isfinite(r["final_loss"])
+    # augment=True exercises the per-frame begin_clip path (regression:
+    # single-image training crashed on the clip-frozen augmenter) plus the
+    # copy_paste / perspective / warmup_epochs hyp keys
+    r2 = det.train(str(tmp_path / "data.yaml"), epochs=1, batch=4, lr=1e-3,
+                   max_gt=8, save_dir=str(tmp_path / "runs2"), log_every=1,
+                   augment=True,
+                   hyp={"copy_paste": 1.0, "perspective": 0.001,
+                        "mosaic": 0.5, "warmup_epochs": 1.0})
+    assert np.isfinite(r2["final_loss"])
     m = det.val(str(tmp_path / "data.yaml"), max_gt=4, save_json=True,
                 save_dir=str(tmp_path / "vj"))
     for k in ("mAP50", "mAP50-95", "fps"):

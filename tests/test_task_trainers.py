@@ -92,3 +92,45 @@ def test_classify_trainer_converges(tmp_path):
 def tiny_spec_v():
     from mo_yolo_tpu.models.graph import parse_model_yaml
     return parse_model_yaml("tests/tiny_track.yaml", nc=2)
+
+
+def test_classify_dropout_and_split_key():
+    """dropout>0 (reference Classify.drop / `dropout` train key) is
+    stochastic across rng keys in train mode and a deterministic no-op in
+    eval mode; load_dataset_yaml resolves the `test` split (reference
+    `split` val key)."""
+    import jax
+    import jax.numpy as jnp
+    from mo_yolo_tpu.models.heads_extra import ClassifyModel
+
+    model = ClassifyModel(spec=tiny_spec_v(), nc=2, c_=64, dropout=0.5)
+    x = jnp.linspace(0, 1, 1 * 64 * 64 * 3).reshape(1, 64, 64, 3)
+    v = model.init(jax.random.PRNGKey(0), x)
+    e1 = model.apply(v, x, False)
+    e2 = model.apply(v, x, False)
+    assert np.allclose(e1, e2), "eval mode must be deterministic"
+    t1 = model.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(1)},
+                     mutable=["batch_stats"])[0]
+    t2 = model.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(2)},
+                     mutable=["batch_stats"])[0]
+    assert not np.allclose(np.asarray(t1), np.asarray(t2)), \
+        "train mode with different keys must differ under dropout"
+
+
+def test_dataset_yaml_test_split(tmp_path):
+    from PIL import Image
+    from mo_yolo_tpu.data.dataset import load_dataset_yaml
+
+    (tmp_path / "images").mkdir()
+    for n in ("a", "b", "c"):
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            tmp_path / "images" / f"{n}.png")
+    (tmp_path / "train.txt").write_text("images/a.png\n")
+    (tmp_path / "val.txt").write_text("images/b.png\n")
+    (tmp_path / "test.txt").write_text("images/c.png\n")
+    (tmp_path / "d.yaml").write_text(
+        f"path: {tmp_path}\ntrain: train.txt\nval: val.txt\n"
+        "test: test.txt\nnc: 1\nnames:\n  0: x\n")
+    d = load_dataset_yaml(str(tmp_path / "d.yaml"))
+    assert len(d["train"]) == 1 and len(d["val"]) == 1
+    assert len(d["test"]) == 1 and d["test"][0].endswith("c.png")

@@ -223,6 +223,12 @@ def test_trainer_end_to_end_on_disk_dataset(tmp_path):
     assert before == after, "resume overwrote a better best checkpoint"
     cfg2 = json.load(open(root / "run" / "last_full.config.json"))
     assert cfg2["best_fitness"] == 1e9
+    # reference `pretrained` + `warmup_epochs`: fresh run seeded from the
+    # saved best weights, epoch-denominated warmup
+    out = m.train(str(root / "data.yaml"), epochs=1, batch=1, clip_len=4,
+                  lr=1e-3, max_gt=8, save_dir=str(root / "run2"),
+                  pretrained=str(root / "run" / "best"), warmup_epochs=1.0)
+    assert np.isfinite(out.get("final_loss", np.nan))
 
 
 def test_distributed_helpers_single_process():
@@ -279,6 +285,11 @@ def test_trainer_fraction_clamped():
                         fraction=0.0).fraction == 1.0
     assert DetectTrainer(api_model=None, data="x.yaml",
                          fraction=0.5).fraction == 0.5
+    # reference `val` bool: False wins over val_every
+    assert TrackTrainer(api_model=None, data="x.yaml", val_every=3,
+                        val=False).val_every == 0
+    assert TrackTrainer(api_model=None, data="x.yaml",
+                        val_every=3).val_every == 3
 
 
 @pytest.mark.slow
