@@ -18,6 +18,15 @@ _PKG = Path(__file__).resolve().parent
 _MODEL_DIR = _PKG / "cfg" / "models"
 
 
+def _rect_from_first(files, imgsz):
+    """(h, w) for reference `rect=True`: minimum stride-32 rectangle
+    matching the first image's aspect at the configured long side."""
+    from mo_yolo_tpu.data.letterbox import rect_hw
+    from mo_yolo_tpu.data.loaders import load_image
+    h0, w0 = load_image(str(files[0])).shape[:2]
+    return rect_hw(h0, w0, imgsz)
+
+
 def _resolve_model_cfg(name: str) -> str:
     p = Path(name)
     if p.is_file():
@@ -46,7 +55,10 @@ class MOTRTrack:
             TrackingModel, build_tracking_model, init_variables)
         from mo_yolo_tpu.models.tracker import TrackerConfig
 
-        self.imgsz = imgsz
+        from mo_yolo_tpu.data.letterbox import to_hw
+
+        self.imgsz = imgsz               # int, (h, w), or "WxH" (rect)
+        self.in_h, self.in_w = to_hw(imgsz)
         self.names = names or {}
         self._model_kw = dict(model_kw)
         self._nc = nc
@@ -67,7 +79,8 @@ class MOTRTrack:
                 self.model = build_tracking_model(cfg, nc=nc, impl=impl,
                                                   dtype=jdt)
             self.variables = init_variables(
-                self.model, jax.random.PRNGKey(seed), image_size=(imgsz, imgsz))
+                self.model, jax.random.PRNGKey(seed),
+                image_size=(self.in_h, self.in_w))
             self.cfg_path = cfg
         else:  # orbax checkpoint directory
             self.cfg_path = None
@@ -79,15 +92,30 @@ class MOTRTrack:
                 vid_stride: int = 1, save: bool = False,
                 save_crop: bool = False,
                 save_dir: str = "runs/track/predict", line_width: int = 2,
-                show_labels: bool = True, show_conf: bool = True):
+                show_labels: bool = True, show_conf: bool = True,
+                rect: bool = False):
         """Streaming tracking inference over a frame source. Returns a
         generator of TrackResults (stream=True) or a list. `classes`
         restricts output to the given class ids; `vid_stride` keeps every
         k-th video frame; `save`/`save_crop` write annotated frames and
-        per-box crops under `save_dir` (reference predictor args)."""
+        per-box crops under `save_dir` (reference predictor args);
+        `rect=True` sizes the input to the first frame's aspect (list/
+        dir/glob sources only — generators can't be peeked)."""
         from mo_yolo_tpu.engine.predictor import TrackPredictor
 
-        pred = TrackPredictor(self.model, self.variables, imgsz=self.imgsz,
+        imgsz = self.imgsz
+        if rect:
+            try:
+                from mo_yolo_tpu.data.loaders import list_images
+                files = (list_images(source)
+                         if isinstance(source, (str, Path))
+                         else [str(p) for p in source])
+                imgsz = _rect_from_first(files, self.imgsz)
+            except Exception:
+                from mo_yolo_tpu.utils.logging import LOGGER
+                LOGGER.warning("rect=True needs a peekable file source; "
+                               "falling back to configured imgsz")
+        pred = TrackPredictor(self.model, self.variables, imgsz=imgsz,
                               conf=conf, names=self.names, classes=classes,
                               vid_stride=vid_stride)
         gen = pred.stream(source, save_mot=save_mot, save=save,
@@ -99,10 +127,12 @@ class MOTRTrack:
     __call__ = predict
 
     def val(self, data: Union[str, List[str]], conf: float = 0.5,
-            max_gt: int = 64, split: str = "val") -> Dict[str, float]:
+            max_gt: int = 64, split: str = "val",
+            rect: bool = False) -> Dict[str, float]:
         """Evaluate HOTA/MOTA/IDF1/mAP on a dataset yaml or image list.
         `split` picks the dataset-yaml split (reference `split` key:
-        val|test|train)."""
+        val|test|train); `rect=True` derives a minimum-rectangle input
+        shape from the first image (reference `rect` val)."""
         from mo_yolo_tpu.engine.validator import TrackValidator
 
         if isinstance(data, str):
@@ -112,7 +142,8 @@ class MOTRTrack:
             self.names = self.names or d["names"]
         else:
             files = list(data)
-        v = TrackValidator(self.model, self.variables, imgsz=self.imgsz,
+        imgsz = _rect_from_first(files, self.imgsz) if rect else self.imgsz
+        v = TrackValidator(self.model, self.variables, imgsz=imgsz,
                            conf=conf)
         return v(files, max_gt=max_gt)
 
@@ -166,8 +197,10 @@ class MOTRTrack:
 
         with open(str(Path(path).resolve()) + ".meta.json") as f:
             meta = json.load(f)
+        from mo_yolo_tpu.data.letterbox import to_hw
         self.cfg_path = meta["cfg_path"]
         self.imgsz = meta.get("imgsz", 640)
+        self.in_h, self.in_w = to_hw(self.imgsz)
         self.names = {int(k): v for k, v in (meta.get("names") or {}).items()}
         self._model_kw = meta.get("model_kw", {})
         self._nc = meta.get("nc")
@@ -185,7 +218,7 @@ class MOTRTrack:
             spec=parse_model_yaml(self.cfg_path, nc=self._nc),
             tracker=tracker, impl=impl, dtype=jdt, **self._model_kw)
         target = init_variables(self.model, jax.random.PRNGKey(0),
-                                image_size=(self.imgsz, self.imgsz))
+                                image_size=(self.in_h, self.in_w))
         self.variables = load_params(path, target)
         return self
 
@@ -218,7 +251,7 @@ class MOTRTrack:
             from mo_yolo_tpu.models.tracker import TrackState
             state = init_track_state(1, self.model.tracker.n_slots,
                                      self.model.hd)
-            frames = jnp.zeros((1, self.imgsz, self.imgsz, 3))
+            frames = jnp.zeros((1, self.in_h, self.in_w, 3))
 
             def fn(state_leaves, f):
                 st = TrackState(*state_leaves)
@@ -269,7 +302,7 @@ class MOTRTrack:
             from jax import export as jexport
             state = init_track_state(1, self.model.tracker.n_slots,
                                      self.model.hd)
-            frames = jnp.zeros((1, self.imgsz, self.imgsz, 3))
+            frames = jnp.zeros((1, self.in_h, self.in_w, 3))
             from mo_yolo_tpu.models.tracker import TrackState
             variables = self.variables
 
@@ -293,7 +326,7 @@ class MOTRTrack:
         if fmt == "stablehlo":
             state = init_track_state(1, self.model.tracker.n_slots,
                                      self.model.hd)
-            frames = jnp.zeros((1, self.imgsz, self.imgsz, 3))
+            frames = jnp.zeros((1, self.in_h, self.in_w, 3))
             lowered = jax.jit(
                 lambda v, s, f: self.model.apply(v, s, f,
                                                  method=self.model.stream_step)
@@ -343,13 +376,17 @@ class Detector:
         import jax.numpy as jnp
         from mo_yolo_tpu.models.detect import build_detection_model
 
+        from mo_yolo_tpu.data.letterbox import to_hw
+
         jdt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
-        self.imgsz = imgsz
+        self.imgsz = imgsz               # int, (h, w), or "WxH" (rect)
+        self.in_h, self.in_w = to_hw(imgsz)
         self.names = names or {}
         cfg = _resolve_model_cfg(str(model))
         self.model = build_detection_model(cfg, nc=nc, dtype=jdt)
         self.variables = self.model.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, imgsz, imgsz, 3)))
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, self.in_h, self.in_w, 3)))
         self._step = jax.jit(lambda v, x: self.model.apply(
             v, x, method=self.model.predict_step))
 
@@ -367,11 +404,11 @@ class Detector:
             s = np.asarray(scores[0])
             c = np.asarray(cls[0])
             keep = s >= conf
-            size = self.imgsz
-            xyxy = np.stack([(b[:, 0] - b[:, 2] / 2) * size,
-                             (b[:, 1] - b[:, 3] / 2) * size,
-                             (b[:, 0] + b[:, 2] / 2) * size,
-                             (b[:, 1] + b[:, 3] / 2) * size], 1)[keep]
+            ih, iw = self.in_h, self.in_w
+            xyxy = np.stack([(b[:, 0] - b[:, 2] / 2) * iw,
+                             (b[:, 1] - b[:, 3] / 2) * ih,
+                             (b[:, 0] + b[:, 2] / 2) * iw,
+                             (b[:, 1] + b[:, 3] / 2) * ih], 1)[keep]
             xyxy = boxes_to_original(xyxy, meta)
             yield TrackResults(boxes_xyxy=xyxy, conf=s[keep],
                                cls=c[keep].astype(int),
@@ -396,12 +433,14 @@ class Detector:
     def val(self, data: Union[str, List[str]], conf: float = 0.001,
             max_gt: int = 64, save_json: bool = False,
             save_dir: str = "runs/detect/val",
-            split: str = "val") -> Dict[str, float]:
+            split: str = "val", rect: bool = False) -> Dict[str, float]:
         """Standalone detection mAP over a dataset yaml or image list.
 
         save_json dumps COCO-format `predictions.json` for external eval
         (reference `save_json`, `models/yolo/detect/val.py`); `split`
-        picks the dataset-yaml split (reference `split`: val|test|train)."""
+        picks the dataset-yaml split (reference `split`: val|test|train);
+        `rect=True` uses the minimum stride-32 rectangle of the first
+        image's aspect (reference rect val)."""
         from mo_yolo_tpu.engine.validator import DetectionValidator
 
         if isinstance(data, str):
@@ -411,7 +450,8 @@ class Detector:
             self.names = self.names or d["names"]
         else:
             files = list(data)
-        v = DetectionValidator(self.model, self.variables, imgsz=self.imgsz,
+        imgsz = _rect_from_first(files, self.imgsz) if rect else self.imgsz
+        v = DetectionValidator(self.model, self.variables, imgsz=imgsz,
                                conf=conf, save_json=save_json,
                                save_dir=save_dir)
         return v(files, max_gt=max_gt)
@@ -448,7 +488,7 @@ class Detector:
             from mo_yolo_tpu.utils.checkpoint import save_params
             save_params(path, self.variables)
             return path
-        frames = jnp.zeros((1, self.imgsz, self.imgsz, 3))
+        frames = jnp.zeros((1, self.in_h, self.in_w, 3))
         variables = self.variables
 
         def fn(f):

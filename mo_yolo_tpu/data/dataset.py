@@ -120,7 +120,9 @@ class TrackDataset:
                 LOGGER.warning(
                     f"dropped {len(self.files) - len(ok)} corrupt image(s)")
             self.files = ok
-        self.imgsz = imgsz
+        from mo_yolo_tpu.data.letterbox import to_hw
+        self.in_h, self.in_w = to_hw(imgsz)   # rect-capable (reference
+        self.imgsz = max(self.in_h, self.in_w)  # `rect` / imgsz=[h,w])
         self.max_gt = max_gt
         self.clip_len = clip_len
         self.augmenter = augmenter
@@ -206,7 +208,7 @@ class TrackDataset:
         if augment and self.augmenter is not None:
             img, lab = self.augmenter(img, lab)
         h0, w0 = img.shape[:2]
-        out, (gain, _), (px, py) = letterbox(img, (self.imgsz, self.imgsz),
+        out, (gain, _), (px, py) = letterbox(img, (self.in_h, self.in_w),
                                              scaleup=False)
         G = self.max_gt
         cls = np.zeros(G, np.int32)
@@ -218,10 +220,10 @@ class TrackDataset:
             l = lab[:n]
             # labels are normalized to the ORIGINAL image; remap to the
             # letterboxed frame
-            cx = (l[:, 1] * w0 * gain + px) / self.imgsz
-            cy = (l[:, 2] * h0 * gain + py) / self.imgsz
-            bw = l[:, 3] * w0 * gain / self.imgsz
-            bh = l[:, 4] * h0 * gain / self.imgsz
+            cx = (l[:, 1] * w0 * gain + px) / self.in_w
+            cy = (l[:, 2] * h0 * gain + py) / self.in_h
+            bw = l[:, 3] * w0 * gain / self.in_w
+            bh = l[:, 4] * h0 * gain / self.in_h
             boxes[:n] = np.stack([cx, cy, bw, bh], 1)
             cls[:n] = l[:, 0].astype(np.int32)
             tid[:n] = l[:, 5].astype(np.int32)

@@ -24,9 +24,12 @@ class MultiStreamPredictor:
                  conf: float = 0.5):
         from mo_yolo_tpu.parallel.mesh import make_mesh, make_sharded_stream_step
 
+        from mo_yolo_tpu.data.letterbox import to_hw
+
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
+        self.in_h, self.in_w = to_hw(imgsz)
         self.conf = conf
         self.mesh = mesh or make_mesh()
         self._step = make_sharded_stream_step(model, variables, self.mesh)
@@ -49,12 +52,13 @@ class MultiStreamPredictor:
         last = [None] * B
         alive = [True] * B
         while any(alive):
-            batch = np.zeros((B, self.imgsz, self.imgsz, 3), np.float32)
+            batch = np.zeros((B, self.in_h, self.in_w, 3), np.float32)
             for b in range(B):
                 if alive[b]:
                     try:
                         _, img = next(iters[b])
-                        x, _ = preprocess(img, self.imgsz, scale_fill=True)
+                        x, _ = preprocess(img, (self.in_h, self.in_w),
+                                          scale_fill=True)
                         last[b] = x[0]
                     except StopIteration:
                         alive[b] = False

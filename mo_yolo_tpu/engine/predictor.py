@@ -34,9 +34,12 @@ class TrackPredictor:
                  vid_stride: int = 1):
         import jax
 
+        from mo_yolo_tpu.data.letterbox import to_hw
+
         self.model = model
         self.variables = variables
-        self.imgsz = imgsz
+        self.imgsz = imgsz               # int, (h, w), or "WxH" (rect)
+        self.in_h, self.in_w = to_hw(imgsz)
         self.conf = conf
         self.names = names or {}
         self.vid_stride = max(int(vid_stride), 1)
@@ -72,13 +75,13 @@ class TrackPredictor:
                 if nfl.available() and all(
                         f.lower().endswith((".jpg", ".jpeg", ".png"))
                         for f in files):
-                    ld = nfl.NativeFrameLoader(files, self.imgsz, self.imgsz,
+                    ld = nfl.NativeFrameLoader(files, self.in_h, self.in_w,
                                                n_threads=2, scale_fill=True)
                     for p, buf, (oh, ow) in ld:
                         meta = {"orig_shape": (oh, ow),
-                                "gain": (self.imgsz / ow, self.imgsz / oh),
+                                "gain": (self.in_w / ow, self.in_h / oh),
                                 "pad": (0.0, 0.0),
-                                "input_shape": (self.imgsz, self.imgsz),
+                                "input_shape": (self.in_h, self.in_w),
                                 "scale_fill": True}
                         yield p, buf[None], meta, None
                     return
@@ -87,7 +90,8 @@ class TrackPredictor:
             except Exception:
                 pass  # fall through to PIL path
         for path, img in make_source(source, vid_stride=self.vid_stride):
-            x, meta = preprocess(img, self.imgsz, scale_fill=True)
+            x, meta = preprocess(img, (self.in_h, self.in_w),
+                                 scale_fill=True)
             yield path, x, meta, img
 
     def stream(self, source, save_mot: Optional[str] = None,
@@ -158,12 +162,12 @@ class TrackPredictor:
         if self.classes is not None:
             keep &= np.isin(out["cls"].astype(int), self.classes)
         boxes = out["box"][keep]  # cxcywh in [0,1] of model input
-        size = meta["input_shape"][0]
+        ih, iw = meta["input_shape"]
         xyxy = np.stack([
-            (boxes[:, 0] - boxes[:, 2] / 2) * size,
-            (boxes[:, 1] - boxes[:, 3] / 2) * size,
-            (boxes[:, 0] + boxes[:, 2] / 2) * size,
-            (boxes[:, 1] + boxes[:, 3] / 2) * size], 1) if len(boxes) else \
+            (boxes[:, 0] - boxes[:, 2] / 2) * iw,
+            (boxes[:, 1] - boxes[:, 3] / 2) * ih,
+            (boxes[:, 0] + boxes[:, 2] / 2) * iw,
+            (boxes[:, 1] + boxes[:, 3] / 2) * ih], 1) if len(boxes) else \
             np.zeros((0, 4))
         xyxy = boxes_to_original(xyxy, meta)
         return TrackResults(

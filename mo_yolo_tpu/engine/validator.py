@@ -163,9 +163,12 @@ class MultiStreamValidator:
         from mo_yolo_tpu.parallel.mesh import (make_mesh,
                                                make_sharded_stream_step)
 
+        from mo_yolo_tpu.data.letterbox import to_hw
+
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
+        self.in_h, self.in_w = to_hw(imgsz)
         self.conf = conf
         self.det_conf = det_conf
         self.nc = nc or model.spec.nc
@@ -196,7 +199,7 @@ class MultiStreamValidator:
             T = max(len(s) for s in wave if s is not None)
             last = [None] * B
             for t in range(T):
-                batch = np.zeros((B, self.imgsz, self.imgsz, 3), np.float32)
+                batch = np.zeros((B, self.in_h, self.in_w, 3), np.float32)
                 samples = [None] * B
                 for b, s in enumerate(wave):
                     if s is not None and t < len(s):
@@ -257,9 +260,12 @@ class DetectionValidator:
                  save_dir: str = "runs/detect/val"):
         import jax
 
+        from mo_yolo_tpu.data.letterbox import to_hw
+
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
+        self.in_h, self.in_w = to_hw(imgsz)
         self.conf = conf
         self.nc = nc or model.spec.nc
         self.save_json = save_json      # reference `save_json`: COCO-format
@@ -292,7 +298,8 @@ class DetectionValidator:
                 from pathlib import Path as _P
                 stem = _P(ds.files[i]).stem if i < len(ds.files) else str(i)
                 image_id = int(stem) if stem.isnumeric() else stem
-                xyxy = _xywhn2xyxy(b[keep]) * self.imgsz
+                xyxy = _xywhn2xyxy(b[keep]) * np.array(
+                    [self.in_w, self.in_h, self.in_w, self.in_h], float)
                 ck, sck = c[keep], sc[keep]
                 for j in range(len(xyxy)):
                     x1, y1, x2, y2 = (float(v) for v in xyxy[j])

@@ -364,12 +364,13 @@ class TrackTrainer:
             model, lcfg, TrainConfig(clip_len=T, lr=self.lr,
                                      total_steps=10), mesh)
         ts = init_fn(self.api.variables)
-        s = self.api.imgsz
+        from mo_yolo_tpu.data.letterbox import to_hw
+        ih, iw = to_hw(self.api.imgsz)
         limit = device_memory_bytes()
         best = candidates[0]
         for b in candidates:
             clip = {
-                "images": jnp.zeros((T, b, s, s, 3), jnp.float32),
+                "images": jnp.zeros((T, b, ih, iw, 3), jnp.float32),
                 "gt_cls": jnp.zeros((T, b, self.max_gt), jnp.int32),
                 "gt_boxes": jnp.zeros((T, b, self.max_gt, 4), jnp.float32),
                 "gt_track_id": jnp.zeros((T, b, self.max_gt), jnp.int32),
