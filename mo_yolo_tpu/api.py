@@ -93,7 +93,7 @@ class MOTRTrack:
                 save_crop: bool = False,
                 save_dir: str = "runs/track/predict", line_width: int = 2,
                 show_labels: bool = True, show_conf: bool = True,
-                rect: bool = False):
+                rect: bool = False, visualize: bool = False):
         """Streaming tracking inference over a frame source. Returns a
         generator of TrackResults (stream=True) or a list. `classes`
         restricts output to the given class ids; `vid_stride` keeps every
@@ -117,7 +117,7 @@ class MOTRTrack:
                                "falling back to configured imgsz")
         pred = TrackPredictor(self.model, self.variables, imgsz=imgsz,
                               conf=conf, names=self.names, classes=classes,
-                              vid_stride=vid_stride)
+                              vid_stride=vid_stride, visualize=visualize)
         gen = pred.stream(source, save_mot=save_mot, save=save,
                           save_crop=save_crop, save_dir=save_dir,
                           line_width=line_width, show_labels=show_labels,
@@ -433,7 +433,8 @@ class Detector:
     def val(self, data: Union[str, List[str]], conf: float = 0.001,
             max_gt: int = 64, save_json: bool = False,
             save_dir: str = "runs/detect/val",
-            split: str = "val", rect: bool = False) -> Dict[str, float]:
+            split: str = "val", rect: bool = False,
+            save_hybrid: bool = False) -> Dict[str, float]:
         """Standalone detection mAP over a dataset yaml or image list.
 
         save_json dumps COCO-format `predictions.json` for external eval
@@ -453,7 +454,7 @@ class Detector:
         imgsz = _rect_from_first(files, self.imgsz) if rect else self.imgsz
         v = DetectionValidator(self.model, self.variables, imgsz=imgsz,
                                conf=conf, save_json=save_json,
-                               save_dir=save_dir)
+                               save_dir=save_dir, save_hybrid=save_hybrid)
         return v(files, max_gt=max_gt)
 
     def track(self, source, conf: float = 0.1, tracker: str = "bytetrack"):

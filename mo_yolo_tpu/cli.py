@@ -114,7 +114,9 @@ def main(argv=None):
                            save_dir=kv.pop("save_dir", "runs/track/predict"),
                            line_width=int(kv.pop("line_width", 2)),
                            show_labels=bool(kv.pop("show_labels", True)),
-                           show_conf=bool(kv.pop("show_conf", True))):
+                           show_conf=bool(kv.pop("show_conf", True)),
+                           rect=bool(kv.pop("rect", False)),
+                           visualize=bool(kv.pop("visualize", False))):
             n += 1
             if kv.get("verbose", True):
                 LOGGER.info(f"{r.path}: {len(r)} tracks "

@@ -31,7 +31,7 @@ from mo_yolo_tpu.metrics.mot import write_mot_txt
 class TrackPredictor:
     def __init__(self, model, variables, imgsz: int = 640,
                  conf: float = 0.5, names=None, classes=None,
-                 vid_stride: int = 1):
+                 vid_stride: int = 1, visualize: bool = False):
         import jax
 
         from mo_yolo_tpu.data.letterbox import to_hw
@@ -48,6 +48,12 @@ class TrackPredictor:
             np.asarray(sorted({int(c) for c in np.atleast_1d(classes)}))
         self._step = jax.jit(
             lambda v, s, f: model.apply(v, s, f, method=model.stream_step))
+        # reference `visualize`: dump per-stage feature-map grids under
+        # save_dir (extra traced forward — debug mode only)
+        self.visualize = visualize
+        self._feat_step = jax.jit(
+            lambda v, f: model.apply(v, f, method=model.frame_forward)[1]
+        ) if visualize else None
         self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
 
     def reset_state(self):
@@ -119,6 +125,12 @@ class TrackPredictor:
             for path, x, meta, img in self._frames(source):
                 t0, t1 = t1, time.perf_counter()  # t1-t0 = decode+preprocess
                 state, out = self._step(self.variables, state, jnp.asarray(x))
+                if self._feat_step is not None:
+                    from mo_yolo_tpu.utils.plotting import (
+                        feature_visualization)
+                    feats = self._feat_step(self.variables, jnp.asarray(x))
+                    feature_visualization(
+                        [np.asarray(f, np.float32) for f in feats], save_dir)
                 if pending is not None:
                     yield self._emit(pending, mot_fh, n, save, save_crop,
                                      save_dir, line_width, show_labels,

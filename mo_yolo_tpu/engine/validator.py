@@ -257,7 +257,8 @@ class DetectionValidator:
     def __init__(self, model, variables, imgsz: int = 640,
                  conf: float = 0.001, nc: Optional[int] = None,
                  save_json: bool = False,
-                 save_dir: str = "runs/detect/val"):
+                 save_dir: str = "runs/detect/val",
+                 save_hybrid: bool = False):
         import jax
 
         from mo_yolo_tpu.data.letterbox import to_hw
@@ -270,6 +271,8 @@ class DetectionValidator:
         self.nc = nc or model.spec.nc
         self.save_json = save_json      # reference `save_json`: COCO-format
         self.save_dir = save_dir        # predictions.json for external eval
+        self.save_hybrid = save_hybrid  # reference: GT+pred label txts
+                                        # for auto-labelling
         self._step = jax.jit(
             lambda v, x: model.apply(v, x, method=model.predict_step))
 
@@ -309,6 +312,24 @@ class DetectionValidator:
                         "bbox": [round(x1, 3), round(y1, 3),
                                  round(x2 - x1, 3), round(y2 - y1, 3)],
                         "score": round(float(sck[j]), 5)})
+            if self.save_hybrid:
+                # reference `save_hybrid` (`engine/validator.py` lb +
+                # `models/yolo/detect/val.py:39`): per-image label txt
+                # merging GT rows with predictions >= 0.25 conf, normalized
+                # `cls cx cy w h` — auto-labelling seed files
+                from pathlib import Path as _P
+                lp = _P(self.save_dir) / "labels"
+                lp.mkdir(parents=True, exist_ok=True)
+                stem = _P(ds.files[i]).stem if i < len(ds.files) else str(i)
+                rows = []
+                for cc, bb in zip(s.cls[s.mask], s.boxes[s.mask]):
+                    rows.append(f"{int(cc)} " + " ".join(
+                        f"{v:.6f}" for v in bb))
+                strong = keep & (sc >= 0.25)
+                for cc, bb in zip(c[strong], b[strong]):
+                    rows.append(f"{int(cc)} " + " ".join(
+                        f"{v:.6f}" for v in bb))
+                (lp / f"{stem}.txt").write_text("\n".join(rows) + "\n")
         out = det.compute()
         out["fps"] = len(ds) / max(time.perf_counter() - t0, 1e-9)
         if self.save_json:

@@ -137,3 +137,37 @@ def plot_confusion_matrix(matrix: np.ndarray, out_png: str,
     fig.savefig(out_png, dpi=120)
     plt.close(fig)
     return out_png
+
+
+def feature_visualization(feats: Sequence[np.ndarray], save_dir: str,
+                          n: int = 32, prefix: str = "stage") -> List[str]:
+    """Save per-stage feature-map grids during inference (reference
+    `feature_visualization`, `utils/plotting.py:497-524`: first batch
+    element, up to n channels, 8-wide grid, one PNG per stage).
+
+    feats: list of [B, H, W, C] arrays (NHWC — the TPU layout; the
+    reference is NCHW). Returns the written paths."""
+    from PIL import Image
+
+    out_dir = Path(save_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for stage, f in enumerate(feats):
+        a = np.asarray(f)
+        if a.ndim != 4 or a.shape[1] < 2 or a.shape[2] < 2:
+            continue
+        a = a[0]                                  # [H, W, C]
+        h, w, c = a.shape
+        k = min(n, c)
+        cols, rows = 8, int(np.ceil(k / 8))
+        canvas = np.zeros((rows * h, cols * w), np.uint8)
+        for i in range(k):
+            ch = a[..., i].astype(np.float32)
+            lo, hi = float(ch.min()), float(ch.max())
+            ch8 = ((ch - lo) / (hi - lo + 1e-9) * 255).astype(np.uint8)
+            r, col = divmod(i, cols)
+            canvas[r * h:(r + 1) * h, col * w:(col + 1) * w] = ch8
+        p = out_dir / f"{prefix}{stage}_features.png"
+        Image.fromarray(canvas).save(p)
+        paths.append(str(p))
+    return paths
