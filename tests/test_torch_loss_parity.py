@@ -1,0 +1,160 @@
+"""Numeric LOSS parity against the reference criterion.
+
+Forward parity (tests/test_torch_parity.py) proves the modules compute the
+same functions; this file proves the TRAINING OBJECTIVE is the same: the
+real reference `MOTRTrackingLoss` (`ultralytics/utils/loss.py:424-748`,
+imported from /root/reference via the tests/torch_ref.py shims) and our
+`train/losses.py` criterion produce matching class/bbox/giou and per-layer
+aux losses on identical predictions, GT, and last-layer match indices —
+including the aux layers' independent Hungarian re-matching (scipy there,
+on-device Jonker-Volgenant here)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+from tests.torch_ref import load_reference  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_loss():
+    try:
+        load_reference()          # installs shims + sys.path
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"reference tree not importable: {e}")
+    from ultralytics.utils import loss as ref_loss_mod
+    return ref_loss_mod
+
+
+def _fixture(L=3, B=1, Q=12, G=5, nc=4, seed=0):
+    """Predictions hovering near distinct GT boxes so every per-layer
+    Hungarian optimum is unique (scipy and JV must agree)."""
+    rng = np.random.default_rng(seed)
+    gt_boxes = np.stack([
+        np.array([0.1 + 0.18 * g, 0.2 + 0.12 * g, 0.1, 0.12], np.float32)
+        for g in range(G)])
+    gt_cls = rng.integers(0, nc, G).astype(np.int64)
+    pred_boxes = rng.uniform(0.05, 0.9, (L, B, Q, 4)).astype(np.float32)
+    for g in range(G):                      # plant near-matches at query 2g
+        pred_boxes[:, 0, 2 * g] = gt_boxes[g] + rng.normal(
+            0, 0.01, (L, 4)).astype(np.float32)
+    pred_boxes = np.clip(pred_boxes, 0.02, 0.98)
+    pred_logits = rng.normal(0, 1, (L, B, Q, nc)).astype(np.float32)
+    # last-layer matching: GT g <- query 2g (given, as the track head does)
+    src = np.array([2 * g for g in range(G)], np.int64)
+    dst = np.arange(G, dtype=np.int64)
+    return pred_boxes, pred_logits, gt_boxes, gt_cls, src, dst
+
+
+def test_motr_loss_parity_main_and_aux(ref_loss):
+    from mo_yolo_tpu.train.losses import LossConfig, matched_layer_losses
+
+    L, B, Q, G, nc = 3, 1, 12, 5, 4
+    pb, pl, gtb, gtc, src, dst = _fixture(L, B, Q, G, nc)
+
+    # ---- reference ----
+    crit = ref_loss.MOTRTrackingLoss(nc=nc, use_vfl=True)
+    batch = {"cls": torch.from_numpy(gtc),
+             "bboxes": torch.from_numpy(gtb),
+             "gt_groups": [G]}
+    with torch.no_grad():
+        total, num_obj = crit.forward(
+            (torch.from_numpy(pb), torch.from_numpy(pl)), batch,
+            match_indices=[(torch.from_numpy(src), torch.from_numpy(dst))])
+    ref = {k: float(v) for k, v in total.items()}
+    assert num_obj == G
+
+    # ---- ours ----
+    cfg = LossConfig(nc=nc, use_vfl=True)
+    assign = np.full((B, G), -1, np.int32)
+    assign[0, dst] = src
+    out = matched_layer_losses(
+        cfg, jnp.asarray(pb), jnp.asarray(pl), jnp.asarray(gtb[None]),
+        jnp.asarray(gtc.astype(np.int32)[None]),
+        jnp.ones((B, G), bool), jnp.asarray(assign))
+
+    for k_ref, k_ours in [("loss_class", "loss_class"),
+                          ("loss_bbox", "loss_bbox"),
+                          ("loss_giou", "loss_giou"),
+                          ("loss_class_aux", "loss_class_aux"),
+                          ("loss_bbox_aux", "loss_bbox_aux"),
+                          ("loss_giou_aux", "loss_giou_aux")]:
+        r, o = ref[k_ref], float(out[k_ours])
+        assert abs(r - o) <= 2e-3 * max(abs(r), 1.0), (k_ref, r, o)
+
+
+def test_motr_loss_parity_no_vfl_focal_path(ref_loss):
+    """num_gts>0 forces VFL above; with use_vfl=False the reference takes
+    the FocalLoss path — our sigmoid_focal must match it too."""
+    from mo_yolo_tpu.train.losses import LossConfig, matched_layer_losses
+
+    L, B, Q, G, nc = 2, 1, 10, 3, 5
+    pb, pl, gtb, gtc, src, dst = _fixture(L, B, Q, G, nc, seed=7)
+
+    crit = ref_loss.MOTRTrackingLoss(nc=nc, use_vfl=False)
+    batch = {"cls": torch.from_numpy(gtc),
+             "bboxes": torch.from_numpy(gtb),
+             "gt_groups": [G]}
+    with torch.no_grad():
+        total, _ = crit.forward(
+            (torch.from_numpy(pb), torch.from_numpy(pl)), batch,
+            match_indices=[(torch.from_numpy(src), torch.from_numpy(dst))])
+
+    cfg = LossConfig(nc=nc, use_vfl=False)
+    assign = np.full((B, G), -1, np.int32)
+    assign[0, dst] = src
+    out = matched_layer_losses(
+        cfg, jnp.asarray(pb), jnp.asarray(pl), jnp.asarray(gtb[None]),
+        jnp.asarray(gtc.astype(np.int32)[None]),
+        jnp.ones((B, G), bool), jnp.asarray(assign))
+
+    for k in ("loss_class", "loss_bbox", "loss_giou",
+              "loss_class_aux", "loss_bbox_aux", "loss_giou_aux"):
+        r, o = float(total[k]), float(out[k])
+        assert abs(r - o) <= 2e-3 * max(abs(r), 1.0), (k, r, o)
+
+
+def test_motr_loss_parity_dn_branch(ref_loss):
+    """Denoising-branch parity on the LAST layer (fixed index matching on
+    both sides). Deliberate divergence documented: the reference's dn AUX
+    layers re-match by Hungarian because `_get_loss_aux` unconditionally
+    overwrites the passed match_indices (`loss.py:571-579`) — upstream
+    RT-DETR (and our `dn_losses`) use the FIXED dn indices for every
+    layer, which is the intent of contrastive denoising; so only the
+    `loss_*_dn` main keys are compared."""
+    from mo_yolo_tpu.train.losses import LossConfig, dn_losses
+
+    L, B, Q, G, nc, ng = 2, 1, 12, 3, 4, 2
+    Ndn = 2 * ng * G
+    rng = np.random.default_rng(11)
+    pb, pl, gtb, gtc, src, dst = _fixture(L, B, Q, G, nc, seed=3)
+    dn_boxes = rng.uniform(0.1, 0.9, (L, B, Ndn, 4)).astype(np.float32)
+    dn_logits = rng.normal(0, 1, (L, B, Ndn, nc)).astype(np.float32)
+    pos_idx = np.concatenate([2 * k * G + np.arange(G) for k in range(ng)])
+
+    crit = ref_loss.MOTRTrackingLoss(nc=nc, use_vfl=True)
+    batch = {"cls": torch.from_numpy(gtc),
+             "bboxes": torch.from_numpy(gtb),
+             "gt_groups": [G]}
+    with torch.no_grad():
+        total, _ = crit.forward(
+            (torch.from_numpy(pb), torch.from_numpy(pl)), batch,
+            dn_bboxes=torch.from_numpy(dn_boxes),
+            dn_scores=torch.from_numpy(dn_logits),
+            dn_meta={"dn_pos_idx": [torch.from_numpy(pos_idx)],
+                     "dn_num_group": ng},
+            match_indices=[(torch.from_numpy(src), torch.from_numpy(dst))])
+
+    cfg = LossConfig(nc=nc, use_vfl=True)
+    out = dn_losses(cfg, jnp.asarray(dn_boxes), jnp.asarray(dn_logits),
+                    jnp.asarray(gtb[None]),
+                    jnp.asarray(gtc.astype(np.int32)[None]),
+                    jnp.ones((B, G), bool), num_group=ng)
+
+    for k in ("loss_class_dn", "loss_bbox_dn", "loss_giou_dn"):
+        r, o = float(total[k]), float(out[k])
+        assert abs(r - o) <= 2e-3 * max(abs(r), 1.0), (k, r, o)
