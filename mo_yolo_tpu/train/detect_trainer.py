@@ -68,7 +68,7 @@ class DetectTrainer:
                  save_dir: str = "runs/detect", seed: int = 0,
                  log_every: int = 10, val_every: int = 0,
                  augment: bool = False, hyp=None, close_mosaic: int = 0,
-                 fraction: float = 1.0):
+                 fraction: float = 1.0, val: bool = True, pretrained=None):
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -84,6 +84,10 @@ class DetectTrainer:
         self.close_mosaic = close_mosaic
         # reference `fraction`: train on the first fraction of the dataset
         self.fraction = min(max(float(fraction), 0.0), 1.0) or 1.0
+        if not val:     # reference `val` bool beats val_every
+            self.val_every = 0
+        # reference `pretrained`: load saved weights before training
+        self.pretrained = pretrained if isinstance(pretrained, str) else None
 
     def run(self):
         import random
@@ -148,6 +152,11 @@ class DetectTrainer:
                            **wu)
         init_fn, step_fn = make_detect_train_step(model, lcfg, tcfg)
         step_fn = jax.jit(step_fn)
+        if self.pretrained:
+            from mo_yolo_tpu.utils.checkpoint import load_params
+            self.api.variables = load_params(self.pretrained,
+                                             target=self.api.variables)
+            LOGGER.info(f"pretrained weights loaded from {self.pretrained}")
         ts = init_fn(self.api.variables)
         key = jax.random.PRNGKey(self.seed)
         save_dir = Path(self.save_dir)

@@ -119,9 +119,17 @@ class _TaskTrainer:
     def __init__(self, model, variables, data: str, epochs: int = 1,
                  batch: int = 4, lr: float = 1e-4, max_gt: int = 16,
                  imgsz: int = 256, save_dir: str = "", seed: int = 0,
-                 log_every: int = 10, hyp=None):
+                 log_every: int = 10, hyp=None, fraction: float = 1.0,
+                 pretrained=None):
         self.model = model
         self.variables = variables
+        # reference `fraction` / `pretrained` (same semantics as the
+        # track/detect trainers)
+        self.fraction = min(max(float(fraction), 0.0), 1.0) or 1.0
+        if isinstance(pretrained, str) and pretrained:
+            from mo_yolo_tpu.utils.checkpoint import load_params
+            self.variables = load_params(pretrained, target=self.variables)
+            LOGGER.info(f"pretrained weights loaded from {pretrained}")
         self.data = data
         self.epochs = epochs
         self.batch = batch
@@ -157,6 +165,9 @@ class _TaskTrainer:
         from mo_yolo_tpu.utils.checkpoint import save_params
 
         d = load_dataset_yaml(self.data)
+        if self.fraction < 1.0:
+            keep = max(int(round(len(d["train"]) * self.fraction)), 1)
+            d["train"] = d["train"][:keep]
         ds = self.make_dataset(d["train"])
         steps = max(len(ds) // self.batch, 1)
         tcfg = TrainConfig(clip_len=1, lr=self.lr,
@@ -290,6 +301,9 @@ class ClassifyTrainer(_TaskTrainer):
                 labels.append(ci)
         if not files:
             raise ValueError(f"no class-subdir images under {root}")
+        if self.fraction < 1.0:
+            keep = max(int(round(len(files) * self.fraction)), 1)
+            files, labels = files[:keep], labels[:keep]
         self._files, self._labels = files, np.asarray(labels, np.int32)
         self.data_is_tree = True
 

@@ -290,6 +290,14 @@ def test_trainer_fraction_clamped():
                         val=False).val_every == 0
     assert TrackTrainer(api_model=None, data="x.yaml",
                         val_every=3).val_every == 3
+    assert DetectTrainer(api_model=None, data="x.yaml", val_every=2,
+                         val=False).val_every == 0
+    # task trainers share the fraction clamp
+    from mo_yolo_tpu.train.task_trainers import ClassifyTrainer
+    t = ClassifyTrainer(None, {"params": {}}, "tree", fraction=0.5)
+    assert t.fraction == 0.5
+    assert ClassifyTrainer(None, {"params": {}}, "tree",
+                           fraction=0.0).fraction == 1.0
 
 
 @pytest.mark.slow
