@@ -166,6 +166,44 @@ class MOTRTrack:
                                augment=augment, **kw)
         return trainer.run()
 
+    def info(self, detailed: bool = False, verbose: bool = True,
+             flops: bool = False) -> Dict[str, float]:
+        """Model summary (reference `Model.info` / `model_info`,
+        `utils/torch_utils.py:170-191`): layer count, parameter count,
+        optionally per-tensor rows (`detailed`) and XLA-counted GFLOPs of
+        the streaming step (`flops=True` — triggers one compile)."""
+        import jax
+        from mo_yolo_tpu.utils.logging import LOGGER
+
+        leaves = jax.tree.leaves_with_path(self.variables.get("params", {}))
+        n_p = sum(x.size for _, x in leaves)
+        mods = {jax.tree_util.keystr(p[:-1]) for p, _ in leaves}
+        out = {"layers": len(mods), "params": int(n_p)}
+        if detailed and verbose:
+            LOGGER.info(f"{'name':>60} {'parameters':>12} {'shape':>20}")
+            for p, x in leaves:
+                LOGGER.info(f"{jax.tree_util.keystr(p):>60} "
+                            f"{x.size:>12} {str(list(x.shape)):>20}")
+        if flops:
+            import jax.numpy as jnp
+            from mo_yolo_tpu.models.tracker import init_track_state
+            from mo_yolo_tpu.utils.profiling import xla_flops
+            state = init_track_state(1, self.model.tracker.n_slots,
+                                     self.model.hd)
+            fl = xla_flops(
+                lambda v, s, f: self.model.apply(v, s, f,
+                                                 method=self.model.stream_step),
+                self.variables, state,
+                jnp.zeros((1, self.in_h, self.in_w, 3)))
+            out["gflops"] = (fl or 0.0) / 1e9
+        if verbose:
+            fs = (f", {out['gflops']:.1f} GFLOPs/frame"
+                  if "gflops" in out else "")
+            LOGGER.info(f"{Path(self.cfg_path or 'model').stem} summary: "
+                        f"{out['layers']} param modules, "
+                        f"{out['params']:,} parameters{fs}")
+        return out
+
     # ------------------------------------------------------------------ #
     def save(self, path: str):
         """Persist weights + EVERYTHING needed to rebuild the exact model:
@@ -456,6 +494,36 @@ class Detector:
                                conf=conf, save_json=save_json,
                                save_dir=save_dir, save_hybrid=save_hybrid)
         return v(files, max_gt=max_gt)
+
+    def info(self, detailed: bool = False, verbose: bool = True,
+             flops: bool = False) -> Dict[str, float]:
+        """Model summary (reference `Model.info`): layer/param counts,
+        optional XLA GFLOPs of the predict step."""
+        import jax
+        from mo_yolo_tpu.utils.logging import LOGGER
+
+        leaves = jax.tree.leaves_with_path(self.variables.get("params", {}))
+        n_p = sum(x.size for _, x in leaves)
+        mods = {jax.tree_util.keystr(p[:-1]) for p, _ in leaves}
+        out = {"layers": len(mods), "params": int(n_p)}
+        if detailed and verbose:
+            for p, x in leaves:
+                LOGGER.info(f"{jax.tree_util.keystr(p):>60} "
+                            f"{x.size:>12} {str(list(x.shape)):>20}")
+        if flops:
+            import jax.numpy as jnp
+            from mo_yolo_tpu.utils.profiling import xla_flops
+            fl = xla_flops(
+                lambda v, x: self.model.apply(
+                    v, x, method=self.model.predict_step),
+                self.variables, jnp.zeros((1, self.in_h, self.in_w, 3)))
+            out["gflops"] = (fl or 0.0) / 1e9
+        if verbose:
+            fs = (f", {out['gflops']:.1f} GFLOPs/image"
+                  if "gflops" in out else "")
+            LOGGER.info(f"detector summary: {out['layers']} param modules, "
+                        f"{out['params']:,} parameters{fs}")
+        return out
 
     def track(self, source, conf: float = 0.1, tracker: str = "bytetrack"):
         """Detection + classic box tracker (BYTETracker / BOTSORT).

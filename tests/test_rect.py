@@ -136,3 +136,16 @@ def test_predict_rect_auto(tmp_path):
     # rect_hw(64, 128, 64) = (32, 64)
     n = sum(1 for _ in m.predict(frames, conf=0.0, rect=True))
     assert n == 2
+
+
+def test_model_info_summary():
+    """info() (reference Model.info): layer/param counts, detailed rows,
+    and XLA-counted GFLOPs on the tiny flagship-architecture model."""
+    from mo_yolo_tpu.api import MOTRTrack
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
+                  nq=8, ndl=1, d_ffn=32, hd=32, num_denoising=0)
+    out = m.info(verbose=False)
+    assert out["params"] > 1000 and out["layers"] > 10
+    out2 = m.info(verbose=False, flops=True)
+    assert out2["gflops"] > 0, out2
