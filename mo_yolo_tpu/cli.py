@@ -41,11 +41,62 @@ def parse_kv(args) -> Dict[str, Any]:
     return out
 
 
+def _special(cmd: str, rest) -> int:
+    """Reference special commands (`cfg/__init__.py:282-296`): checks,
+    version, settings [reset], cfg, copy-cfg."""
+    from pathlib import Path
+
+    cfg_path = Path(__file__).resolve().parent / "cfg" / "default.yaml"
+    if cmd == "version":
+        from mo_yolo_tpu import __version__
+        print(__version__)
+    elif cmd == "cfg":
+        print(cfg_path.read_text())
+    elif cmd == "copy-cfg":
+        import shutil
+        dst = Path.cwd() / "default_copy.yaml"
+        shutil.copy(cfg_path, dst)
+        LOGGER.info(f"{cfg_path} copied to {dst}\nUsage: python -m "
+                    f"mo_yolo_tpu cfg={dst.name} <task> <mode> ...")
+    elif cmd == "settings":
+        from mo_yolo_tpu.utils.settings import load_settings, settings_path
+        s = load_settings()
+        if rest and rest[0] == "reset":
+            s.reset()
+            LOGGER.info("Settings reset successfully")
+            s = load_settings()
+        print(f"settings: {settings_path()}")
+        for k, v in sorted(s.items()):
+            print(f"{k}={v}")
+    elif cmd == "checks":
+        import importlib.util as iu
+        import platform
+        import jax
+        from mo_yolo_tpu import __version__
+        print(f"mo_yolo_tpu {__version__}  python {platform.python_version()}"
+              f"  jax {jax.__version__}")
+        print(f"backend: {jax.default_backend()}  devices: "
+              f"{[str(d) for d in jax.devices()]}")
+        for dep in ("flax", "optax", "orbax.checkpoint", "numpy", "PIL",
+                    "scipy", "torch", "tensorflow"):
+            print(f"  {dep}: "
+                  f"{'ok' if iu.find_spec(dep.split('.')[0]) else 'MISSING'}")
+    else:
+        return 1
+    return 0
+
+
+SPECIAL = ("checks", "version", "settings", "cfg", "copy-cfg")
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help", "help"):
         print(__doc__)
         return 0
+    c = argv[0].lstrip("-")
+    if c in SPECIAL:
+        return _special(c, argv[1:])
     task = argv[0] if argv and argv[0] in TASKS else "track"
     rest = argv[1:] if argv and argv[0] in TASKS else argv
     if not rest or rest[0] not in MODES:

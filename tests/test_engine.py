@@ -389,3 +389,29 @@ def test_predictor_classes_filter(tmp_path):
             "gain": (1.0, 1.0), "pad": (0.0, 0.0), "scale_fill": False}
     res = p._postprocess(out, meta, "x.jpg", np.zeros((64, 64, 3), np.uint8))
     assert len(res) == 2 and set(res.cls.tolist()) == {1}
+
+
+def test_cli_special_commands(tmp_path, monkeypatch, capsys):
+    """Reference special CLI commands (`cfg/__init__.py:282-296`):
+    version / cfg / settings / checks / copy-cfg."""
+    from mo_yolo_tpu import __version__
+    from mo_yolo_tpu.cli import main
+
+    assert main(["version"]) == 0
+    assert __version__ in capsys.readouterr().out
+
+    assert main(["cfg"]) == 0
+    out = capsys.readouterr().out
+    assert "imgsz:" in out and "tracker" in out
+
+    monkeypatch.setenv("MO_YOLO_TPU_CONFIG_DIR", str(tmp_path / "cfgdir"))
+    assert main(["settings"]) == 0
+    assert "datasets_dir=" in capsys.readouterr().out
+    assert main(["settings", "reset"]) == 0
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["copy-cfg"]) == 0
+    assert (tmp_path / "default_copy.yaml").exists()
+
+    assert main(["checks"]) == 0
+    assert "devices" in capsys.readouterr().out
