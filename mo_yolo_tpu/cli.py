@@ -89,6 +89,57 @@ def _special(cmd: str, rest) -> int:
 SPECIAL = ("checks", "version", "settings", "cfg", "copy-cfg")
 
 
+# keys that route into the trainers' `hyp` dict when not first-class
+# parameters of the target trainer (the reference flattens its whole
+# default.yaml; our trainers take augmentation/gain/optimizer knobs as hyp)
+HYP_KEYS = {"hsv_h", "hsv_s", "hsv_v", "degrees", "translate", "scale",
+            "shear", "perspective", "fliplr", "flipud", "mosaic", "mixup",
+            "copy_paste", "box", "cls", "dfl", "pose", "kobj",
+            "label_smoothing", "optimizer", "momentum", "cos_lr", "lrf",
+            "warmup_momentum", "warmup_bias_lr", "warmup_epochs",
+            "close_mosaic"}
+ALIASES = {"lr0": "lr"}
+
+
+def route_kwargs(kv: Dict[str, Any], *sigs, allow_hyp: bool = True
+                 ) -> Dict[str, Any]:
+    """Split flat config keys into (accepted kwargs, hyp dict, dropped).
+
+    `sigs` are callables whose signatures define the accepted surface
+    (facade method + trainer __init__). Unknown keys are warned about and
+    dropped — a full default.yaml copy can drive any mode (reference
+    `cfg=` workflow) without crashing on section keys the mode ignores."""
+    import inspect
+    kv = dict(kv)
+    for a, b in ALIASES.items():
+        if a in kv and b not in kv:
+            kv[b] = kv.pop(a)
+    if "project" in kv or "name" in kv:
+        kv.setdefault("save_dir",
+                      f"{kv.pop('project', 'runs')}/{kv.pop('name', 'exp')}")
+        kv.pop("project", None)
+        kv.pop("name", None)
+    accepted = set()
+    for s in sigs:
+        accepted |= set(inspect.signature(s).parameters)
+    accepted -= {"self", "data", "source", "kw", "kwargs"}
+    out, dropped = {}, []
+    hyp = dict(kv.pop("hyp", {}) or {})
+    for k, v in kv.items():
+        if k in accepted:
+            out[k] = v
+        elif allow_hyp and k in HYP_KEYS:
+            hyp[k] = v
+        else:
+            dropped.append(k)
+    if hyp and allow_hyp:
+        out["hyp"] = hyp
+    if dropped:
+        LOGGER.warning("ignoring config keys not applicable here: "
+                       f"{sorted(dropped)}")
+    return out
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help", "help"):
@@ -103,6 +154,18 @@ def main(argv=None):
         raise SystemExit(f"usage: mo_yolo_tpu [{'|'.join(TASKS)}] "
                          f"<{'|'.join(MODES)}> k=v ...")
     mode, kv = rest[0], parse_kv(rest[1:])
+
+    # reference `cfg=custom.yaml` (copy-cfg workflow): file values are the
+    # base, explicit k=v args override; `task`/`mode` keys in the file are
+    # honored only when not given on the command line (already resolved).
+    cfg_file = kv.pop("cfg", None)
+    if cfg_file:
+        import yaml
+        with open(cfg_file) as f:
+            base = yaml.safe_load(f) or {}
+        base.pop("task", None)
+        base.pop("mode", None)
+        kv = {**{k: v for k, v in base.items() if v is not None}, **kv}
 
     model_arg = kv.pop("model", None)
     imgsz = kv.pop("imgsz", 640)
@@ -144,18 +207,23 @@ def main(argv=None):
             LOGGER.info(f"processed {n} frames")
             return 0
         if mode == "val":
-            metrics = m.val(kv.pop("data"), **kv)
+            metrics = m.val(kv.pop("data"),
+                            **route_kwargs(kv, m.val, allow_hyp=False))
             LOGGER.info(" ".join(f"{k}={v:.2f}" if isinstance(v, float)
                                  else f"{k}={v}"
                                  for k, v in metrics.items()))
             return 0
         if mode == "train":
-            m.train(kv.pop("data"), **kv)
+            from mo_yolo_tpu.train.detect_trainer import DetectTrainer
+            m.train(kv.pop("data"),
+                    **route_kwargs(kv, m.train, DetectTrainer.__init__))
             return 0
         raise SystemExit(f"mode {mode!r} not supported for task {task!r}")
     if mode == "predict":
         source = kv.pop("source")
         save_mot = kv.pop("save_mot", None)
+        verbose = kv.pop("verbose", True)
+        kv = route_kwargs(kv, m.predict, allow_hyp=False)
         n = 0
         for r in m.predict(source, conf=kv.pop("conf", 0.5),
                            save_mot=save_mot,
@@ -169,16 +237,19 @@ def main(argv=None):
                            rect=bool(kv.pop("rect", False)),
                            visualize=bool(kv.pop("visualize", False))):
             n += 1
-            if kv.get("verbose", True):
+            if verbose:
                 LOGGER.info(f"{r.path}: {len(r)} tracks "
                             f"({m and ''}{r.orig_shape})")
         LOGGER.info(f"processed {n} frames")
     elif mode == "val":
-        metrics = m.val(kv.pop("data"), conf=kv.pop("conf", 0.5))
+        metrics = m.val(kv.pop("data"),
+                        **route_kwargs(kv, m.val, allow_hyp=False))
         LOGGER.info(" ".join(f"{k}={v:.2f}" if isinstance(v, float) else
                              f"{k}={v}" for k, v in metrics.items()))
     elif mode == "train":
-        m.train(kv.pop("data"), **kv)
+        from mo_yolo_tpu.train.trainer import TrackTrainer
+        m.train(kv.pop("data"),
+                **route_kwargs(kv, m.train, TrackTrainer.__init__))
     elif mode == "export":
         out = m.export(fmt=kv.pop("format", "stablehlo"),
                        path=kv.pop("path", "model_export"))

@@ -415,3 +415,43 @@ def test_cli_special_commands(tmp_path, monkeypatch, capsys):
 
     assert main(["checks"]) == 0
     assert "devices" in capsys.readouterr().out
+
+
+def test_cli_cfg_file_drives_training(tmp_path, monkeypatch):
+    """`cfg=custom.yaml` (the copy-cfg workflow): a FULL default.yaml copy
+    drives train end-to-end; file values are the base, k=v args override,
+    keys inapplicable to the mode are warned about and dropped, hyp-type
+    keys nest into the trainer's hyp dict."""
+    import shutil
+    import numpy as np
+    from PIL import Image
+    from mo_yolo_tpu.cli import main
+
+    root = tmp_path
+    (root / "images/seq01").mkdir(parents=True)
+    (root / "labels/seq01").mkdir(parents=True)
+    paths = []
+    for t in range(4):
+        img = np.full((64, 64, 3), 70, np.uint8)
+        img[20:34, 12 + 4 * t:26 + 4 * t, 0] = 255
+        Image.fromarray(img).save(root / f"images/seq01/{t:06d}.jpg")
+        (root / f"labels/seq01/{t:06d}.txt").write_text(
+            f"0 {(19 + 4 * t)/64:.4f} {27/64:.4f} 0.22 0.22 0")
+        paths.append(f"images/seq01/{t:06d}.jpg")
+    (root / "train.txt").write_text("\n".join(paths))
+    (root / "data.yaml").write_text(
+        f"path: {root}\ntrain: train.txt\nval: train.txt\nnc: 1\n"
+        "names:\n  0: a\n")
+
+    from pathlib import Path as _P
+    pkg_cfg = _P("mo_yolo_tpu/cfg/default.yaml").resolve()
+    cfg = root / "my.yaml"
+    shutil.copy(pkg_cfg, cfg)
+
+    rc = main(["track", "train", f"cfg={cfg}",
+               "model=tests/tiny_track.yaml", f"data={root/'data.yaml'}",
+               "imgsz=64", "dtype=float32", "epochs=1", "clip_len=2",
+               "max_gt=4", "lr0=0.001", f"save_dir={root/'run'}",
+               "log_every=1"])
+    assert rc == 0
+    assert (root / "run" / "results.csv").exists()
