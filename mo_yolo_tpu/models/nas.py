@@ -49,7 +49,8 @@ class NASModel(nn.Module):
         score 0. Matches `DetectionModel.predict_step`'s contract so the
         standalone `DetectionValidator` drives either family."""
         boxes, cls_p = self(images, train=False)     # xyxy px, [B,S,nc]
-        size = jnp.asarray(images.shape[1], boxes.dtype)
+        # per-axis normalization (rect inputs have H != W)
+        sz = jnp.asarray([images.shape[2], images.shape[1]], boxes.dtype)
 
         def one(b, c):
             bb, ss, cc, valid = nms_fixed(b, c.max(-1), jnp.argmax(c, -1),
@@ -57,8 +58,8 @@ class NASModel(nn.Module):
                                           conf_thresh=self.conf,
                                           max_det=self.max_det,
                                           agnostic=self.agnostic)
-            cxy = (bb[:, :2] + bb[:, 2:]) / 2 / size
-            wh = (bb[:, 2:] - bb[:, :2]) / size
+            cxy = (bb[:, :2] + bb[:, 2:]) / 2 / sz
+            wh = (bb[:, 2:] - bb[:, :2]) / sz
             return (jnp.concatenate([cxy, wh], -1), ss * valid,
                     cc.astype(jnp.int32))
 
