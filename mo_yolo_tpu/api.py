@@ -598,7 +598,8 @@ class _TaskModel:
     def __init__(self, task: str, model: str = "yolo_track.yaml",
                  nc: Optional[int] = None, imgsz: int = 256, seed: int = 0,
                  kpt_shape=(17, 3), agnostic_nms: bool = False,
-                 dropout: float = 0.0):
+                 dropout: float = 0.0, conf: float = 0.001,
+                 iou: float = 0.7, max_det: int = 100):
         import jax
         import jax.numpy as jnp
         from mo_yolo_tpu.models.graph import parse_model_yaml
@@ -609,11 +610,15 @@ class _TaskModel:
         spec = parse_model_yaml(_resolve_model_cfg(str(model)), nc=nc)
         self.task = task
         self.imgsz = imgsz
+        # reference conf/iou/max_det val+predict keys reach the on-device
+        # NMS through the model fields
+        nms_kw = dict(conf=conf, iou=iou, max_det=max_det)
         if task == "segment":
-            self.model = SegmentationModel(spec=spec, agnostic=agnostic_nms)
+            self.model = SegmentationModel(spec=spec, agnostic=agnostic_nms,
+                                           **nms_kw)
         elif task == "pose":
             self.model = PoseModel(spec=spec, kpt_shape=tuple(kpt_shape),
-                                   agnostic=agnostic_nms)
+                                   agnostic=agnostic_nms, **nms_kw)
         else:
             self.model = ClassifyModel(spec=spec, nc=spec.nc,
                                        dropout=dropout)

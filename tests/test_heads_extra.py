@@ -46,3 +46,14 @@ def test_classify_head():
     v = head.init(jax.random.PRNGKey(0), x)
     logits = head.apply(v, x)
     assert logits.shape == (3, 10)
+
+
+def test_task_facade_nms_knobs():
+    """conf/iou/max_det (reference val/predict keys) reach the on-device
+    NMS via the segment/pose model fields."""
+    from mo_yolo_tpu.api import YOLO
+
+    y = YOLO("tests/tiny_track.yaml", task="pose", imgsz=64,
+             conf=0.3, iou=0.5, max_det=7, agnostic_nms=True)
+    m = y.model
+    assert (m.conf, m.iou, m.max_det, m.agnostic) == (0.3, 0.5, 7, True)
