@@ -55,12 +55,14 @@ def main():
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     ts, m = step(ts, clip, key)
-    jax.block_until_ready(m["loss"])
+    # real host fetch — block_until_ready alone does not synchronize
+    # through the axon relay
+    float(m["loss"])
     print(f"compile+first step: {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(args.iters):
         ts, m = step(ts, clip, key)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = (time.time() - t0) / args.iters
     print(f"bwd={os.environ.get('MO_YOLO_DEFORM_BWD', 'pallas')} "
           f"impl={model.impl} steady step: {dt*1000:.1f} ms")
