@@ -168,11 +168,17 @@ def main(argv=None):
         kv = {**{k: v for k, v in base.items() if v is not None}, **kv}
 
     model_arg = kv.pop("model", None)
+    imgsz_given = "imgsz" in kv
     imgsz = kv.pop("imgsz", 640)
 
     if mode == "bench":
         import subprocess
-        return subprocess.call([sys.executable, "bench.py", str(imgsz)])
+        cmd = [sys.executable, "bench.py"]
+        if imgsz_given:     # else bench's default dual-shape headline mode
+            cmd += ["--imgsz", str(imgsz)]
+        if "streams" in kv:
+            cmd += ["--streams", str(kv.pop("streams"))]
+        return subprocess.call(cmd)
     if mode == "benchmark":
         from mo_yolo_tpu.utils.benchmarks import benchmark
         benchmark(imgsz=imgsz, **kv)
