@@ -455,3 +455,35 @@ def test_cli_cfg_file_drives_training(tmp_path, monkeypatch):
                "log_every=1"])
     assert rc == 0
     assert (root / "run" / "results.csv").exists()
+
+
+def test_route_kwargs_unit():
+    """route_kwargs edges: lr0 alias, project/name -> save_dir, hyp
+    nesting, signature acceptance, unknown-key dropping."""
+    from mo_yolo_tpu.cli import route_kwargs
+
+    def facade(data, epochs=1, lr=1e-4, save_dir="runs", **kw):
+        pass
+
+    def trainer(self, api_model, data, batch=1, hyp=None, resume=False):
+        pass
+
+    kv = {"epochs": 3, "lr0": 0.01, "project": "p", "name": "n",
+          "batch": 4, "mosaic": 0.5, "box": 9.0, "iou": 0.7,
+          "resume": True}
+    out = route_kwargs(kv, facade, trainer)
+    assert out["epochs"] == 3 and out["lr"] == 0.01       # alias
+    assert out["save_dir"] == "p/n"                       # project/name
+    assert out["batch"] == 4 and out["resume"] is True    # trainer sig
+    assert out["hyp"] == {"mosaic": 0.5, "box": 9.0}      # hyp nesting
+    assert "iou" not in out and "project" not in out      # dropped
+    # explicit save_dir wins over project/name
+    out2 = route_kwargs({"project": "p", "save_dir": "x"}, facade)
+    assert out2["save_dir"] == "x"
+    # explicit lr beats the lr0 alias
+    out3 = route_kwargs({"lr": 0.5, "lr0": 0.1}, facade)
+    assert out3["lr"] == 0.5
+    # allow_hyp=False drops hyp-type keys instead of nesting
+    out4 = route_kwargs({"mosaic": 1.0, "epochs": 2}, facade,
+                        allow_hyp=False)
+    assert out4 == {"epochs": 2}
