@@ -188,6 +188,11 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
     if head_row is None:
         raise ValueError("model yaml has no head row (Detect/MOTRTrack/...)")
     frm_t, head_mod, head_args = head_row
+    if head_mod == "Segment" and len(head_args) >= 3:
+        # reference parse_model width-scales the proto channels (npr,
+        # args[2]) like any other channel count (`nn/tasks.py` Segment arm)
+        head_args = (head_args[0], head_args[1],
+                     make_divisible(min(head_args[2], max_channels) * width))
     out_idx = tuple(frm_t)
     out_ch = tuple(ch[f + 1] for f in out_idx)
     out_st = tuple(node_stride[f] for f in out_idx)

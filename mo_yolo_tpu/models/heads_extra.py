@@ -30,8 +30,11 @@ class Proto(nn.Module):
     @nn.compact
     def __call__(self, p3, train: bool = False):
         x = ConvBnAct(self.c_, 3, dtype=self.dtype, name="cv1")(p3, train)
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        # learned 2x upsample, matching the reference's ConvTranspose2d
+        # (`block.py:44`) so imported weights reproduce its masks
+        x = nn.ConvTranspose(self.c_, (2, 2), strides=(2, 2),
+                             padding="VALID", dtype=self.dtype,
+                             name="upsample")(x)
         x = ConvBnAct(self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
         return ConvBnAct(self.nm, 1, dtype=self.dtype, name="cv3")(x, train)
 
@@ -42,6 +45,7 @@ class SegmentHead(nn.Module):
 
     nc: int
     nm: int = 32
+    npr: int = 256           # proto hidden channels (width-scaled by parse)
     strides: Tuple[int, ...] = (8, 16, 32)
     dtype: Any = jnp.float32
 
@@ -50,8 +54,8 @@ class SegmentHead(nn.Module):
                  raw: bool = False):
         det = YoloDetectHead(self.nc, self.strides, dtype=self.dtype,
                              name="detect")(feats, raw=raw)
-        protos = Proto(nm=self.nm, dtype=self.dtype, name="proto")(
-            feats[0], train)                                   # [B,2h,2w,nm]
+        protos = Proto(c_=self.npr, nm=self.nm, dtype=self.dtype,
+                       name="proto")(feats[0], train)          # [B,2h,2w,nm]
         coefs = []
         c4 = max(feats[0].shape[-1] // 4, self.nm)
         for i, f in enumerate(feats):
@@ -132,7 +136,10 @@ class SegmentationModel(nn.Module):
     def setup(self):
         from mo_yolo_tpu.models.graph import BackboneNeck
         self.backbone = BackboneNeck(self.spec, dtype=self.dtype)
-        self.head = SegmentHead(self.spec.nc, self.nm,
+        ha = getattr(self.spec, "head_args", ())
+        nm = int(ha[1]) if len(ha) >= 2 else self.nm
+        npr = int(ha[2]) if len(ha) >= 3 else 256
+        self.head = SegmentHead(self.spec.nc, nm, npr,
                                 self.spec.out_strides, dtype=self.dtype)
 
     def __call__(self, images, train: bool = False, raw: bool = False):

@@ -189,11 +189,91 @@ def _expand_torch_entry(tk: str, tv):
         return None
     if rest[-1] == "num_batches_tracked":
         return None
+    v8 = _expand_v8_head_entry(rest, tv)
+    if v8 is not ...:
+        if rest[0] in ("conv", "linear"):
+            # `model.N.conv.*` is ambiguous: Classify head vs a backbone
+            # row whose module has a `.conv` child (LightConv in HG
+            # graphs). Emit both candidate paths; apply lands whichever
+            # exists in the target tree.
+            bb = _expand_backbone_entry(parts[1], rest, tv)
+            if bb:
+                v8 = (v8 or []) + bb
+        return v8
     if rest[0] in _HEAD_ATTRS:
         if rest[0] == "decoder" and len(rest) > 1 and rest[1] in _HEAD_ATTRS:
             rest = rest[1:]          # surgery spelling model.H.decoder.X
         return _expand_head_entry(rest, tv)
     return _expand_backbone_entry(parts[1], rest, tv)
+
+
+def _conv_bn_entries(bases, tail, tv):
+    """ConvBnAct leaves under each candidate base path.
+    tail = torch sub-key within the Conv module, e.g. ("conv","weight")
+    or ("bn","running_mean")."""
+    out = []
+    for base in bases:
+        if tail[0] == "conv" and tail[1] == "weight":
+            out.append((f"{base}/conv/kernel", tv, "conv"))
+        elif tail[0] == "bn":
+            leaf = tail[1]
+            if leaf == "weight":
+                out.append((f"{base}/bn/scale", tv, "none"))
+            elif leaf == "bias":
+                out.append((f"{base}/bn/bias", tv, "none"))
+            elif leaf == "running_mean":
+                out.append((base.replace("params/", "batch_stats/", 1)
+                            + "/bn/mean", tv, "none"))
+            elif leaf == "running_var":
+                out.append((base.replace("params/", "batch_stats/", 1)
+                            + "/bn/var", tv, "none"))
+    return out
+
+
+def _expand_v8_head_entry(rest, tv):
+    """YOLOv8 task heads (Detect/Segment/Pose/Classify,
+    `nn/modules/head.py:27-599` + `block.py:Proto`): cv2/cv3 box+cls
+    branches, cv4 mask-coef/keypoint branch, Proto, Classify conv+linear.
+
+    Returns `...` (Ellipsis) when the key is NOT a v8 head key so the
+    caller falls through to the decoder-head / backbone routes. Candidate
+    paths are emitted for every composition that hosts the head
+    (`NASModel.head`, `SegmentHead/PoseHead .detect`); apply lands
+    whichever exists in the target tree."""
+    if rest[0] == "dfl":
+        return None          # fixed arange conv — we decode analytically
+    if rest[0] in ("cv2", "cv3", "cv4") and len(rest) >= 4 \
+            and rest[1].isdigit() and rest[2].isdigit():
+        i, j = rest[1], rest[2]
+        name = f"{rest[0]}_{i}_{j}"
+        bases = [f"params/head/{name}"]
+        if rest[0] != "cv4":     # detect branch also nests under Seg/Pose
+            bases.append(f"params/head/detect/{name}")
+        if j == "2":             # plain nn.Conv2d output projection
+            leaf = rest[3]
+            if leaf == "weight":
+                return [(f"{b}/kernel", tv, "conv") for b in bases]
+            if leaf == "bias":
+                return [(f"{b}/bias", tv, "none") for b in bases]
+            return []
+        return _conv_bn_entries(bases, tuple(rest[3:5]), tv)
+    if rest[0] == "proto" and len(rest) >= 3:
+        sub = rest[1]
+        base = f"params/head/proto/{sub}"
+        if sub == "upsample":
+            if rest[2] == "weight":
+                return [(f"{base}/kernel", tv, "convT")]
+            if rest[2] == "bias":
+                return [(f"{base}/bias", tv, "none")]
+            return []
+        return _conv_bn_entries([f"params/head/proto/{sub}"],
+                                tuple(rest[2:4]), tv)
+    # Classify head: model.N.conv.{conv|bn}.* + model.N.linear.*
+    if rest[0] == "conv" and len(rest) >= 3 and rest[1] in ("conv", "bn"):
+        return _conv_bn_entries(["params/head/conv"], tuple(rest[1:3]), tv)
+    if rest[0] == "linear" and len(rest) == 2:
+        return _linear_or_norm("params/head/linear", True, rest[1], tv)
+    return ...
 
 
 def _expand_backbone_entry(idx: str, rest, tv):
@@ -349,6 +429,14 @@ def _convert(tv, ours, tag: str):
         # ALWAYS transpose [out,in] -> [in,out]; square kernels included
         if len(tshape) == 2 and (tshape[1], tshape[0]) == oshape:
             return np.ascontiguousarray(tv.T).astype(np.float32)
+        return None
+    if tag == "convT":
+        # torch ConvTranspose2d [in,out,kH,kW] -> flax ConvTranspose HWIO
+        # with spatial flip (verified numerically vs torch)
+        if len(tshape) == 4 and (tshape[2], tshape[3], tshape[0],
+                                 tshape[1]) == oshape:
+            return np.ascontiguousarray(
+                np.transpose(tv, (2, 3, 0, 1))[::-1, ::-1]).astype(np.float32)
         return None
     return tv.astype(np.float32) if tshape == oshape else None
 
