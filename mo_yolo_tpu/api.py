@@ -267,21 +267,51 @@ class MOTRTrack:
                                               strict=strict)
         return self
 
-    def export(self, fmt: str = "stablehlo", path: str = "model_export"):
+    def export(self, fmt: str = "stablehlo", path: str = "model_export",
+               half: bool = False, int8: bool = False,
+               dynamic: bool = False, keras: bool = False,
+               opset: Optional[int] = None, simplify: bool = False,
+               nms: bool = False, workspace: int = 4,
+               optimize: bool = False):
         """Export the jitted stream step. Formats: 'stablehlo' (text IR),
         'jaxexport' (serialized AOT artifact), 'params' (orbax weights),
         'saved_model' (TF SavedModel via jax2tf), 'tflite', 'pb' (frozen
         GraphDef), 'onnx' (via tf2onnx when installed) — the TPU-relevant
         subset of the reference's 12 formats (`engine/exporter.py:76-93`).
-        """
+
+        Reference export knobs (`cfg/default.yaml:71-79`):
+        `half` bakes bfloat16 weights (TPU's half type; f16 output for
+        tflite); `int8` runs TFLite post-training quantization with a
+        random-calibration representative dataset; `dynamic` exports
+        polymorphic batch via jax2tf `polymorphic_shapes`; `keras` wraps
+        the SavedModel function in a `tf.keras.Model`; `opset` forwards
+        to tf2onnx. `simplify`/`nms`/`workspace`/`optimize` are
+        onnxsim/CoreML/TensorRT/torchscript-mobile-only in the reference
+        and are accepted but inert here (warned)."""
         import jax
         import jax.numpy as jnp
         from mo_yolo_tpu.models.tracker import init_track_state
+        from mo_yolo_tpu.utils.logging import LOGGER
 
+        for flag, why in ((simplify, "simplify (onnxsim)"),
+                          (nms, "nms (CoreML-only)"),
+                          (optimize, "optimize (torchscript-mobile-only)")):
+            if flag:
+                LOGGER.warning(f"export arg {why} has no effect in the "
+                               "TPU stack; ignored")
+        if half:
+            # bake half-precision weights into the artifact (TPU half =
+            # bfloat16; tflite additionally narrows the flatbuffer below)
+            self.variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                self.variables)
         if fmt == "params":
             self.save(path)
             return path
-        if fmt in ("saved_model", "tflite", "pb"):
+        if keras and fmt == "saved_model":
+            fmt = "keras"
+        if fmt in ("saved_model", "tflite", "pb", "keras"):
             # jax2tf: state flattened to a tuple (TF cannot carry custom
             # pytree nodes); weights baked in as constants
             import tensorflow as tf
@@ -297,14 +327,39 @@ class MOTRTrack:
                     self.variables, st, f, method=self.model.stream_step)
                 return tuple(new_st), out
 
+            poly = None
+            lead = (1,)
+            if dynamic:
+                # reference `dynamic`: polymorphic batch axis. Every state
+                # leaf and the frame tensor lead with the stream batch.
+                def spec(x):
+                    return "b, " + ", ".join("_" for _ in x.shape[1:]) \
+                        if x.ndim else "()"
+                poly = [tuple(spec(x) for x in state), spec(frames)]
+                lead = (None,)
             tf_fn = tf.function(
-                jax2tf.convert(fn, with_gradient=False),
+                jax2tf.convert(fn, with_gradient=False,
+                               polymorphic_shapes=poly),
                 input_signature=[
-                    tuple(tf.TensorSpec(x.shape, tf.as_dtype(
+                    tuple(tf.TensorSpec(lead + x.shape[1:], tf.as_dtype(
                         jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype))
                         for x in state),
-                    tf.TensorSpec(frames.shape, tf.float32)],
+                    tf.TensorSpec(lead + frames.shape[1:], tf.float32)],
                 autograph=False)
+            if fmt == "keras":
+                # reference `keras=True`: wrap the converted function in
+                # a tf.keras model and save the native keras artifact
+                class _Wrap(tf.keras.Model):
+                    def call(self, inputs):
+                        return tf_fn(tuple(inputs[:-1]), inputs[-1])
+
+                km = _Wrap()
+                km([tf.zeros(x.shape, tf.as_dtype(
+                    jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype))
+                    for x in state] + [tf.zeros(frames.shape, tf.float32)])
+                out = str(Path(path).with_suffix(".keras"))
+                km.save(out)
+                return out
             if fmt == "saved_model":
                 out_dir = str(Path(path)) + "_saved_model"
                 module = tf.Module()
@@ -327,6 +382,18 @@ class MOTRTrack:
                 [tf_fn.get_concrete_function()])
             conv.target_spec.supported_ops = [
                 tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+            if int8:
+                # reference int8: post-training quantization. Full
+                # integer calibration is not supported by the TFLite
+                # MLIR quantizer for this XLA-lowered op set (verified:
+                # ExperimentalMlirQuantizeModel raises), so this is
+                # dynamic-range PTQ — int8 weights, float activations —
+                # which is what tf.lite.Optimize.DEFAULT gives without a
+                # representative dataset.
+                conv.optimizations = [tf.lite.Optimize.DEFAULT]
+            elif half:
+                conv.optimizations = [tf.lite.Optimize.DEFAULT]
+                conv.target_spec.supported_types = [tf.float16]
             blob = conv.convert()
             out = Path(path).with_suffix(".tflite")
             out.parent.mkdir(parents=True, exist_ok=True)
@@ -393,13 +460,15 @@ class MOTRTrack:
             import subprocess
             import sys as _sys
             out = str(Path(path).with_suffix(".onnx"))
-            subprocess.run(
-                [_sys.executable, "-m", "tf2onnx.convert", "--saved-model",
-                 sm_dir, "--output", out], check=True)
+            cmd = [_sys.executable, "-m", "tf2onnx.convert",
+                   "--saved-model", sm_dir, "--output", out]
+            if opset:
+                cmd += ["--opset", str(int(opset))]
+            subprocess.run(cmd, check=True)
             return out
         raise ValueError(f"unsupported export format {fmt!r} (supported: "
                          "'stablehlo', 'jaxexport', 'params', 'saved_model',"
-                         " 'tflite', 'pb', 'onnx')")
+                         " 'keras', 'tflite', 'pb', 'onnx')")
 
 
 class Detector:
@@ -599,7 +668,8 @@ class _TaskModel:
                  nc: Optional[int] = None, imgsz: int = 256, seed: int = 0,
                  kpt_shape=(17, 3), agnostic_nms: bool = False,
                  dropout: float = 0.0, conf: float = 0.001,
-                 iou: float = 0.7, max_det: int = 100):
+                 iou: float = 0.7, max_det: int = 100,
+                 retina_masks: bool = False):
         import jax
         import jax.numpy as jnp
         from mo_yolo_tpu.models.graph import parse_model_yaml
@@ -615,6 +685,7 @@ class _TaskModel:
         nms_kw = dict(conf=conf, iou=iou, max_det=max_det)
         if task == "segment":
             self.model = SegmentationModel(spec=spec, agnostic=agnostic_nms,
+                                           retina_masks=retina_masks,
                                            **nms_kw)
         elif task == "pose":
             self.model = PoseModel(spec=spec, kpt_shape=tuple(kpt_shape),
@@ -686,8 +757,13 @@ class _TaskModel:
         return {"accuracy_top1": 100.0 * top1 / max(n, 1),
                 "accuracy_top5": 100.0 * top5 / max(n, 1), "n": n}
 
-    def predict(self, source):
-        """Per-image raw task outputs (fixed-slot, host numpy)."""
+    def predict(self, source, masks: bool = False):
+        """Per-image raw task outputs (fixed-slot, host numpy).
+
+        For segment with `masks=True`, additionally composes per-
+        detection masks on-device (input resolution, box-cropped;
+        `retina_masks` from the constructor picks the native-res path)
+        and yields (path, (boxes, scores, cls, masks))."""
         import jax.numpy as jnp
         from mo_yolo_tpu.data.letterbox import preprocess
         from mo_yolo_tpu.data.loaders import make_source
@@ -696,10 +772,20 @@ class _TaskModel:
         step = jax.jit(lambda v, x: self.model.apply(
             v, x, method=getattr(self.model, "predict_step", None) or
             self.model.__call__))
+        compose = None
+        if masks and self.task == "segment":
+            def _full(v, x):
+                bb, ss, cc, cok, protos = self.model.apply(
+                    v, x, method=self.model.predict_step)
+                mk = self.model.apply(
+                    v, bb, cok, protos, method=self.model.compose_masks)
+                return bb, ss, cc, mk
+            compose = jax.jit(_full)
         for path, img in make_source(source):
             x, _ = preprocess(img, self.imgsz, scale_fill=True)
-            yield path, jax.tree.map(np.asarray, step(self.variables,
-                                                      jnp.asarray(x)))
+            fn = compose or step
+            yield path, jax.tree.map(np.asarray, fn(self.variables,
+                                                    jnp.asarray(x)))
 
 
 class YOLO:

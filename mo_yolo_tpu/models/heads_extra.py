@@ -131,6 +131,8 @@ class SegmentationModel(nn.Module):
     conf: float = 0.001
     iou: float = 0.7
     agnostic: bool = False   # cross-class suppression (reference agnostic_nms)
+    retina_masks: bool = False  # compose masks at input res (reference
+                                # `retina_masks` -> ops.process_mask_native)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -158,6 +160,35 @@ class SegmentationModel(nn.Module):
 
         bb, ss, cc, cok = jax.vmap(one)(boxes, cls_p, coef)
         return bb, ss, cc, cok, protos
+
+    def compose_masks(self, boxes, coef, protos):
+        """Per-detection masks from NMS-kept coefficients, cropped to
+        their boxes; always returned at input resolution [B,S,H,W].
+
+        `boxes` xyxy in input pixels [B,S,4]. Default path mirrors the
+        reference `ops.process_mask(upsample=True)` (compose+crop at
+        proto res, then bilinear-upsample); with `retina_masks=True` it
+        mirrors `ops.process_mask_native` (upsample protos FIRST, then
+        compose+crop at native res — crisper edges, more FLOPs).
+        Reference: `ultralytics/utils/ops.py` process_mask*."""
+        B, Hp, Wp, nm = protos.shape
+        H, W = Hp * 4, Wp * 4          # protos live at stride 4
+
+        def crop(m, bx):
+            # zero outside the (possibly fractional) box on m's own grid
+            h, w = m.shape[-2:]
+            ys = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+            xs = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+            x1, y1, x2, y2 = (bx[..., i][:, :, None, None] for i in range(4))
+            keep = (xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
+            return m * keep
+        if self.retina_masks:
+            pr = jax.image.resize(protos, (B, H, W, nm), "bilinear")
+            m = jax.nn.sigmoid(jnp.einsum("bsn,bhwn->bshw", coef, pr))
+            return crop(m, boxes)
+        m = jax.nn.sigmoid(jnp.einsum("bsn,bhwn->bshw", coef, protos))
+        m = crop(m, boxes / 4.0)
+        return jax.image.resize(m, (B, m.shape[1], H, W), "bilinear")
 
 
 class PoseModel(nn.Module):

@@ -34,10 +34,17 @@ class SegDataset:
     """Images + polygon labels -> fixed-shape (image, cls, boxes xyxy px,
     pad mask, masks at proto resolution)."""
 
-    def __init__(self, files, imgsz: int, max_gt: int = 16):
+    def __init__(self, files, imgsz: int, max_gt: int = 16,
+                 mask_ratio: int = 4, overlap_mask: bool = True):
         self.files = list(files)
         self.imgsz = imgsz
-        self.proto = imgsz // 4
+        # reference `mask_ratio`: GT masks rasterized at imgsz/mask_ratio
+        # (loss resizes to proto res when they differ)
+        self.proto = imgsz // int(mask_ratio)
+        # reference `overlap_mask`: overlapping pixels resolved to one
+        # owner (big instances drawn first, small last wins) instead of
+        # independent per-instance maps
+        self.overlap_mask = overlap_mask
         self.max_gt = max_gt
 
     def __len__(self):
@@ -64,6 +71,13 @@ class SegDataset:
             out_box[:n] = polygons_to_boxes(polys[:n]) * self.imgsz
             out_m[:n] = True
             out_masks[:n] = rasterize_polygons(polys[:n], self.proto)
+            if self.overlap_mask and n > 1:
+                areas = out_masks[:n].sum((1, 2))
+                owner = np.full((self.proto, self.proto), -1, np.int32)
+                for j in np.argsort(-areas):      # descending area;
+                    owner[out_masks[j] > 0.5] = j  # smallest wins overlap
+                for j in range(n):
+                    out_masks[j] = (owner == j).astype(np.float32)
         return x[0], out_cls, out_box, out_m, out_masks
 
 
@@ -223,8 +237,16 @@ class _TaskTrainer:
 class SegTrainer(_TaskTrainer):
     task = "segment"
 
+    def __init__(self, *a, mask_ratio: int = 4, overlap_mask: bool = True,
+                 **kw):
+        super().__init__(*a, **kw)
+        self.mask_ratio = int(mask_ratio)
+        self.overlap_mask = bool(overlap_mask)
+
     def make_dataset(self, files):
-        return SegDataset(files, self.imgsz, self.max_gt)
+        return SegDataset(files, self.imgsz, self.max_gt,
+                          mask_ratio=self.mask_ratio,
+                          overlap_mask=self.overlap_mask)
 
     def batch_from(self, samples):
         img, cls, box, m, masks = (np.stack(z) for z in zip(*samples))
@@ -238,10 +260,15 @@ class SegTrainer(_TaskTrainer):
             {"params": params, "batch_stats": batch_stats},
             batch["images"], True, True, mutable=["batch_stats"])
         box_dist, cls_logits, anc, strides, coef, protos = out
+        gtm = batch["gt_masks"]
+        if gtm.shape[-2:] != protos.shape[1:3]:
+            # mask_ratio != 4: bring GT masks to proto resolution
+            gtm = jax.image.resize(
+                gtm, (*gtm.shape[:2], *protos.shape[1:3]), "nearest")
         losses = v8_segmentation_loss(
             cfg, box_dist, cls_logits, anc, strides, coef, protos,
             batch["gt_cls"], batch["gt_boxes"], batch["gt_mask"],
-            batch["gt_masks"], imgsz=float(self.imgsz))
+            gtm, imgsz=float(self.imgsz))
         return losses["loss"], (mut["batch_stats"],
                                 {k: v for k, v in losses.items()
                                  if k != "loss"})
