@@ -93,7 +93,9 @@ class MOTRTrack:
                 save_crop: bool = False,
                 save_dir: str = "runs/track/predict", line_width: int = 2,
                 show_labels: bool = True, show_conf: bool = True,
-                rect: bool = False, visualize: bool = False):
+                rect: bool = False, visualize: bool = False,
+                boxes: bool = True, show: bool = False,
+                workers: int = 2):
         """Streaming tracking inference over a frame source. Returns a
         generator of TrackResults (stream=True) or a list. `classes`
         restricts output to the given class ids; `vid_stride` keeps every
@@ -117,11 +119,12 @@ class MOTRTrack:
                                "falling back to configured imgsz")
         pred = TrackPredictor(self.model, self.variables, imgsz=imgsz,
                               conf=conf, names=self.names, classes=classes,
-                              vid_stride=vid_stride, visualize=visualize)
+                              vid_stride=vid_stride, visualize=visualize,
+                              workers=workers)
         gen = pred.stream(source, save_mot=save_mot, save=save,
                           save_crop=save_crop, save_dir=save_dir,
                           line_width=line_width, show_labels=show_labels,
-                          show_conf=show_conf)
+                          show_conf=show_conf, boxes=boxes, show=show)
         return gen if stream else list(gen)
 
     __call__ = predict

@@ -18,7 +18,8 @@ from typing import Any, Dict
 
 from mo_yolo_tpu.utils.logging import LOGGER
 
-TASKS = ("track", "detect", "rtdetr", "nas", "sam", "fastsam")
+TASKS = ("track", "detect", "rtdetr", "nas", "sam", "fastsam",
+         "segment", "pose", "classify")
 MODES = ("train", "val", "predict", "export", "bench", "benchmark")
 
 
@@ -140,6 +141,22 @@ def route_kwargs(kv: Dict[str, Any], *sigs, allow_hyp: bool = True
     return out
 
 
+def _use_device(d: str) -> None:
+    """reference `device` key: pick the JAX device computations default
+    to — 'cpu', 'tpu', 'tpu:1', or a bare index into jax.devices()."""
+    import jax
+    d = d.lower()
+    if ":" in d:
+        plat, idx = d.split(":", 1)
+        devs, idx = jax.devices(plat), int(idx)
+    elif d.isdigit():
+        devs, idx = jax.devices(), int(d)
+    else:
+        devs, idx = jax.devices(d), 0
+    jax.config.update("jax_default_device", devs[idx])
+    LOGGER.info(f"device={d}: defaulting to {devs[idx]}")
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help", "help"):
@@ -171,6 +188,19 @@ def main(argv=None):
     imgsz_given = "imgsz" in kv
     imgsz = kv.pop("imgsz", 640)
 
+    # reference global keys honored before any model is built
+    device = kv.pop("device", None)
+    if device not in (None, "", "None"):
+        _use_device(str(device))
+    if kv.pop("dnn", False):
+        LOGGER.warning("dnn=True (OpenCV-DNN ONNX backend) is N/A in the "
+                       "TPU stack; ignored")
+    # reference `amp`: mixed precision on by default -> bfloat16 network
+    # (TPU's AMP); amp=False forces float32 unless dtype is explicit
+    amp = kv.pop("amp", True)
+    if not amp and "dtype" not in kv:
+        kv["dtype"] = "float32"
+
     if mode == "bench":
         import subprocess
         cmd = [sys.executable, "bench.py"]
@@ -186,6 +216,8 @@ def main(argv=None):
 
     if task in ("sam", "fastsam"):
         return _segment_anything(task, mode, model_arg, imgsz, kv)
+    if task in ("segment", "pose", "classify"):
+        return _task_mode(task, mode, model_arg, imgsz, kv)
 
     if task == "detect":
         from mo_yolo_tpu.api import Detector as cls
@@ -203,7 +235,12 @@ def main(argv=None):
     if task == "track":
         m = cls(model_arg, imgsz=imgsz, dtype=kv.pop("dtype", "bfloat16"))
     else:
-        m = cls(model_arg, imgsz=imgsz)
+        import inspect
+        ckw = {}
+        if "dtype" in kv and \
+                "dtype" in inspect.signature(cls.__init__).parameters:
+            ckw["dtype"] = kv.pop("dtype")
+        m = cls(model_arg, imgsz=imgsz, **ckw)
         if mode == "predict":
             n = 0
             for r in m.predict(kv.pop("source"),
@@ -241,26 +278,80 @@ def main(argv=None):
                            show_labels=bool(kv.pop("show_labels", True)),
                            show_conf=bool(kv.pop("show_conf", True)),
                            rect=bool(kv.pop("rect", False)),
-                           visualize=bool(kv.pop("visualize", False))):
+                           visualize=bool(kv.pop("visualize", False)),
+                           **kv):
             n += 1
             if verbose:
                 LOGGER.info(f"{r.path}: {len(r)} tracks "
                             f"({m and ''}{r.orig_shape})")
         LOGGER.info(f"processed {n} frames")
     elif mode == "val":
+        # reference `profile`: benchmark the export formats alongside val
+        profile = bool(kv.pop("profile", False))
         metrics = m.val(kv.pop("data"),
                         **route_kwargs(kv, m.val, allow_hyp=False))
         LOGGER.info(" ".join(f"{k}={v:.2f}" if isinstance(v, float) else
                              f"{k}={v}" for k, v in metrics.items()))
+        if profile:
+            from mo_yolo_tpu.utils.benchmarks import benchmark
+            benchmark(m, imgsz=imgsz if isinstance(imgsz, int) else 256,
+                      formats=["live", "params", "jaxexport"], n_iter=3)
     elif mode == "train":
         from mo_yolo_tpu.train.trainer import TrackTrainer
         m.train(kv.pop("data"),
                 **route_kwargs(kv, m.train, TrackTrainer.__init__))
     elif mode == "export":
         out = m.export(fmt=kv.pop("format", "stablehlo"),
-                       path=kv.pop("path", "model_export"))
+                       path=kv.pop("path", "model_export"),
+                       **route_kwargs(kv, m.export, allow_hyp=False))
         LOGGER.info(f"exported to {out}")
     return 0
+
+
+def _task_mode(task, mode, model_arg, imgsz, kv):
+    """`segment`/`pose`/`classify` train|val|predict through the task
+    facade (reference `yolo segment train data=... model=...` etc.,
+    `cfg/__init__.py entrypoint` task routing)."""
+    import inspect
+
+    from mo_yolo_tpu.api import _TaskModel
+
+    init_params = set(inspect.signature(_TaskModel.__init__).parameters) \
+        - {"self", "task"}
+    ikw = {k: kv.pop(k) for k in list(kv) if k in init_params}
+    m = _TaskModel(task, model_arg or "yolo_track.yaml", imgsz=imgsz, **ikw)
+    if mode == "train":
+        from mo_yolo_tpu.train.task_trainers import (ClassifyTrainer,
+                                                     PoseTrainer,
+                                                     SegTrainer,
+                                                     _TaskTrainer)
+        trainer = {"segment": SegTrainer, "pose": PoseTrainer,
+                   "classify": ClassifyTrainer}[task]
+        # subclass __init__s hide the base surface behind *a/**kw — route
+        # against both signatures
+        out = m.train(kv.pop("data"),
+                      **route_kwargs(kv, trainer.__init__,
+                                     _TaskTrainer.__init__))
+        LOGGER.info(f"{task} training done: {out}")
+        return 0
+    if mode == "val":
+        metrics = m.val(kv.pop("data"))
+        LOGGER.info(" ".join(f"{k}={v:.3f}" if isinstance(v, float)
+                             else f"{k}={v}" for k, v in metrics.items()))
+        return 0
+    if mode == "predict":
+        n = 0
+        want_masks = bool(kv.pop("masks", task == "segment"))
+        for path, out in m.predict(kv.pop("source"), masks=want_masks):
+            first = out[0] if isinstance(out, (tuple, list)) else out
+            LOGGER.info(f"{path}: output shapes "
+                        f"{[getattr(o, 'shape', None) for o in out]}"
+                        if isinstance(out, (tuple, list))
+                        else f"{path}: {first.shape}")
+            n += 1
+        LOGGER.info(f"processed {n} frames")
+        return 0
+    raise SystemExit(f"mode {mode!r} not supported for task {task!r}")
 
 
 def _segment_anything(task, mode, model_arg, imgsz, kv):

@@ -31,7 +31,8 @@ from mo_yolo_tpu.metrics.mot import write_mot_txt
 class TrackPredictor:
     def __init__(self, model, variables, imgsz: int = 640,
                  conf: float = 0.5, names=None, classes=None,
-                 vid_stride: int = 1, visualize: bool = False):
+                 vid_stride: int = 1, visualize: bool = False,
+                 workers: int = 2):
         import jax
 
         from mo_yolo_tpu.data.letterbox import to_hw
@@ -43,6 +44,8 @@ class TrackPredictor:
         self.conf = conf
         self.names = names or {}
         self.vid_stride = max(int(vid_stride), 1)
+        # reference `workers`: decode-thread count for the native loader
+        self.workers = max(int(workers), 1)
         # reference `classes` filter: restrict predictions to these ids
         self.classes = None if classes is None else \
             np.asarray(sorted({int(c) for c in np.atleast_1d(classes)}))
@@ -82,7 +85,8 @@ class TrackPredictor:
                         f.lower().endswith((".jpg", ".jpeg", ".png"))
                         for f in files):
                     ld = nfl.NativeFrameLoader(files, self.in_h, self.in_w,
-                                               n_threads=2, scale_fill=True)
+                                               n_threads=self.workers,
+                                               scale_fill=True)
                     for p, buf, (oh, ow) in ld:
                         meta = {"orig_shape": (oh, ow),
                                 "gain": (self.in_w / ow, self.in_h / oh),
@@ -104,7 +108,8 @@ class TrackPredictor:
                save: bool = False, save_crop: bool = False,
                save_dir: str = "runs/track/predict",
                line_width: int = 2, show_labels: bool = True,
-               show_conf: bool = True) -> Iterator[TrackResults]:
+               show_conf: bool = True, boxes: bool = True,
+               show: bool = False) -> Iterator[TrackResults]:
         """Yield TrackResults per frame; optionally write MOT txt,
         annotated frames (`save`, reference BasePredictor `save`) and
         per-box crops (`save_crop`) under `save_dir`."""
@@ -134,7 +139,7 @@ class TrackPredictor:
                 if pending is not None:
                     yield self._emit(pending, mot_fh, n, save, save_crop,
                                      save_dir, line_width, show_labels,
-                                     show_conf)
+                                     show_conf, boxes, show)
                     n += 1
                 pending = (path, meta, img, out)
                 t2 = time.perf_counter()
@@ -142,14 +147,15 @@ class TrackPredictor:
                               "dispatch": (t2 - t1) * 1e3}
             if pending is not None:
                 yield self._emit(pending, mot_fh, n, save, save_crop,
-                                 save_dir, line_width, show_labels, show_conf)
+                                 save_dir, line_width, show_labels,
+                                 show_conf, boxes, show)
         finally:
             if mot_fh is not None:
                 mot_fh.close()
 
     def _emit(self, pending, mot_fh, n, save=False, save_crop=False,
               save_dir="runs/track/predict", line_width=2, show_labels=True,
-              show_conf=True) -> TrackResults:
+              show_conf=True, boxes=True, show=False) -> TrackResults:
         from mo_yolo_tpu.models.tracker import unpack_outputs
         path, meta, img, out = pending
         res_np = unpack_outputs(np.asarray(out[0]))  # ONE host fetch
@@ -161,7 +167,13 @@ class TrackPredictor:
         stem = f"{stem.replace('#', '_')}_{n:06d}" if "#" in str(path) else stem
         if save:
             res.save(Path(save_dir) / f"{stem}.jpg", line_width=line_width,
-                     show_labels=show_labels, show_conf=show_conf)
+                     show_labels=show_labels, show_conf=show_conf,
+                     boxes=boxes)
+        if show:
+            from mo_yolo_tpu.utils.plotting import show_image
+            show_image(res.plot(line_width=line_width,
+                                show_labels=show_labels,
+                                show_conf=show_conf, boxes=boxes))
         if save_crop:
             res.save_crop(Path(save_dir) / "crops", file_name=stem)
         return res

@@ -24,6 +24,40 @@ def _plt():
     return plt
 
 
+_show_warned = False
+
+
+def show_image(img: np.ndarray, title: str = "mo_yolo_tpu") -> bool:
+    """Display one annotated HWC-uint8 frame (reference `show=True`,
+    `engine/predictor.py show window`). cv2 window when available, PIL
+    viewer when a DISPLAY exists; headless hosts get ONE warning and
+    the stream continues. Returns whether anything was shown."""
+    global _show_warned
+    import os
+    # cv2.imshow on a headless build aborts the process (C++ abort, not a
+    # catchable exception) — never touch a GUI backend without a display
+    if os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY"):
+        try:
+            import cv2
+            cv2.imshow(title, np.ascontiguousarray(img[..., ::-1]))
+            cv2.waitKey(1)
+            return True
+        except Exception:
+            pass
+        try:
+            from PIL import Image
+            Image.fromarray(img).show(title=title)
+            return True
+        except Exception:
+            pass
+    if not _show_warned:
+        _show_warned = True
+        from mo_yolo_tpu.utils.logging import LOGGER
+        LOGGER.warning("show=True: no display backend available on this "
+                       "host (no cv2 window, no DISPLAY); frames not shown")
+    return False
+
+
 def plot_results(csv_path: str, out_png: Optional[str] = None) -> str:
     """Training curves from a results.csv (reference `plot_results`).
     Plots every numeric column except epoch/step against step index."""
