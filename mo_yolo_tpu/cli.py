@@ -31,6 +31,14 @@ def parse_kv(args) -> Dict[str, Any]:
         k, v = a.split("=", 1)
         if v.lower() in ("true", "false"):
             out[k] = v.lower() == "true"
+        elif v[:1] in "[({":
+            # list/tuple/dict values, e.g. kpt_shape=[17,3] (reference
+            # smart_value -> ast.literal_eval, cfg/__init__.py)
+            import ast
+            try:
+                out[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                out[k] = v
         else:
             try:
                 out[k] = int(v)

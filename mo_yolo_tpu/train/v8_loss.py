@@ -13,7 +13,7 @@ Fixed shapes: GT padded to [B, G] with a mask; everything jittable.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -173,11 +173,15 @@ def v8_segmentation_loss(cfg: V8LossConfig,
                          gt_labels, gt_bboxes_xyxy, gt_mask,
                          gt_masks,       # [B,G,Hp,Wp] binary at proto res
                          imgsz: float,
-                         gain_mask: float = 1.0) -> Dict[str, jnp.ndarray]:
+                         gain_mask: Optional[float] = None
+                         ) -> Dict[str, jnp.ndarray]:
     """v8 segmentation loss (reference `v8SegmentationLoss`,
-    `utils/loss.py:231-330`): detect loss + per-fg-anchor BCE between
-    (coef @ protos) and the assigned GT mask, cropped to the GT box and
-    normalized by box area."""
+    `utils/loss.py:229-321`): detect loss + per-fg-anchor BCE between
+    (coef @ protos) and the assigned GT mask, cropped (half-open, like
+    `ops.crop_mask`) to the assigned box and normalized by box area.
+    Reference normalization: UNWEIGHTED mean over each image's fg
+    anchors, then mean over the batch, scaled by the BOX gain
+    (`loss[1] *= self.hyp.box / batch_size`)."""
     det = v8_detection_loss(cfg, box_dist, cls_logits, anc_points, strides,
                             gt_labels, gt_bboxes_xyxy, gt_mask)
     tb, ts, fg, assigned = _assignment(cfg, box_dist, cls_logits, anc_points,
@@ -196,17 +200,19 @@ def v8_segmentation_loss(cfg: V8LossConfig,
     xs = jnp.arange(Wp, dtype=jnp.float32)[None, None, None, :]
     ys = jnp.arange(Hp, dtype=jnp.float32)[None, None, :, None]
     inside = ((xs >= box[..., 0:1, None] * sx) &
-              (xs <= box[..., 2:3, None] * sx) &
+              (xs < box[..., 2:3, None] * sx) &
               (ys >= box[..., 1:2, None] * sy) &
-              (ys <= box[..., 3:4, None] * sy))
+              (ys < box[..., 3:4, None] * sy))
     bce = optax_sigmoid_bce(pred, tgt) * inside
+    # reference: crop(loss).mean(plane) / normalized-box-area ==
+    # crop(loss).sum(plane) / box-area-in-proto-cells
     area = jnp.maximum((box[..., 2] - box[..., 0]) *
-                       (box[..., 3] - box[..., 1]) * sx * sy, 1.0)  # [B,S]
+                       (box[..., 3] - box[..., 1]) * sx * sy, 1e-9)  # [B,S]
     per_anchor = bce.sum(axis=(2, 3)) / area
-    ts_sum = jnp.maximum(ts.sum(), 1.0)
-    w = ts.sum(-1) * fg
-    mask_loss = jnp.sum(per_anchor * w) / ts_sum
-    total = det["loss"] + gain_mask * mask_loss
+    n_fg = jnp.maximum(fg.sum(-1), 1.0)                              # [B]
+    mask_loss = jnp.mean((per_anchor * fg).sum(-1) / n_fg)
+    g = cfg.gain_box if gain_mask is None else gain_mask
+    total = det["loss"] + g * mask_loss
     return {"loss": total, "box": det["box"], "cls": det["cls"],
             "dfl": det["dfl"], "mask": mask_loss, "fg": det["fg"]}
 
@@ -229,24 +235,29 @@ def v8_pose_loss(cfg: V8LossConfig,
     K = pred_kpts.shape[2]
     tkpt = jnp.take_along_axis(gt_kpts, assigned[:, :, None, None], axis=1)
     box = jnp.take_along_axis(gt_bboxes_xyxy, assigned[..., None], axis=1)
-    area = jnp.maximum((box[..., 2] - box[..., 0]) *
-                       (box[..., 3] - box[..., 1]), 1.0)          # [B,S]
+    # raw assigned-box area like the reference (no clamp; the 1e-9 eps
+    # below keeps padded slots finite and fg masks them out)
+    area = (box[..., 2] - box[..., 0]) * (box[..., 3] - box[..., 1])
     vis = (tkpt[..., 2] > 0).astype(jnp.float32)                  # [B,S,K]
     d2 = jnp.sum((pred_kpts[..., :2] - tkpt[..., :2]) ** 2, -1)   # [B,S,K]
-    # reference KeypointLoss (`utils/loss.py:125`):
+    # reference KeypointLoss (`utils/loss.py:114-127`):
     #   e = d / (2*sigma)^2 / (area + eps) / 2, with per-keypoint OKS
-    # sigmas for COCO-17 pose else uniform 1/K (`utils/loss.py:332`)
+    # sigmas for COCO-17 pose else uniform 1/K (`utils/loss.py:332`);
+    # kpt_loss_factor * mean over (fg x K) collapses to
+    # sum((1-exp(-e))*vis) / visible_count PER IMAGE, then the per-image
+    # sums are averaged over the batch (`loss[1] *= hyp.pose/batch_size`)
     sigmas = (jnp.asarray(_OKS_SIGMA_COCO17) if K == 17
               else jnp.full((K,), 1.0 / K, jnp.float32))
     e = d2 / ((2 * sigmas[None, None]) ** 2 *
               (area[..., None] + 1e-9) * 2)
-    kpt_per = jnp.sum((1.0 - jnp.exp(-e)) * vis, -1) / \
-        jnp.maximum(vis.sum(-1), 1.0)                             # [B,S]
-    ts_sum = jnp.maximum(ts.sum(), 1.0)
-    w = ts.sum(-1) * fg
-    pose_loss = jnp.sum(kpt_per * w) / ts_sum
-    kobj = optax_sigmoid_bce(pred_kpts[..., 2], vis).mean(-1)     # [B,S]
-    kobj_loss = jnp.sum(kobj * w) / ts_sum
+    fgk = fg[..., None] * vis                                     # [B,S,K]
+    pose_loss = jnp.mean(
+        jnp.sum((1.0 - jnp.exp(-e)) * fgk, (1, 2)) /
+        (jnp.sum(fgk, (1, 2)) + 1e-9))
+    # kobj: BCEWithLogits MEAN over each image's (fg x K) set
+    kobj = optax_sigmoid_bce(pred_kpts[..., 2], vis) * fg[..., None]
+    kobj_loss = jnp.mean(kobj.sum((1, 2)) /
+                         jnp.maximum(fg.sum(-1) * K, 1.0))
     total = det["loss"] + gain_pose * pose_loss + gain_kobj * kobj_loss
     return {"loss": total, "box": det["box"], "cls": det["cls"],
             "dfl": det["dfl"], "pose": pose_loss, "kobj": kobj_loss,
