@@ -79,10 +79,8 @@ def benchmark(model=None, imgsz: int = 256, formats: Optional[List[str]] = None,
                     rows.append(row)
                     continue
                 path = model.export(fmt, path=str(out / f"model_{fmt}"))
-                row["size_mb"] = round(_dir_bytes(Path(path)) / 1e6, 2)
-                row["ok"] = True        # runnable check is TF-side; export
-                rows.append(row)        # success + size is the TPU story
-                continue
+                backend = AutoBackend(path, imgsz=imgsz)
+                artifact = Path(path)
             else:
                 row["note"] = f"unknown format {fmt}"
                 rows.append(row)
