@@ -20,7 +20,8 @@ from mo_yolo_tpu.utils.logging import LOGGER
 
 TASKS = ("track", "detect", "rtdetr", "nas", "sam", "fastsam",
          "segment", "pose", "classify")
-MODES = ("train", "val", "predict", "export", "bench", "benchmark")
+MODES = ("train", "val", "predict", "track", "export", "bench",
+         "benchmark")
 
 
 def parse_kv(args) -> Dict[str, Any]:
@@ -257,6 +258,20 @@ def main(argv=None):
                 LOGGER.info(f"{r.path}: {len(r)} detections")
             LOGGER.info(f"processed {n} frames")
             return 0
+        if mode == "track":
+            # reference `yolo track`: detect + classic tracker
+            # (`trackers/track.py`), conf forced to the BYTE low band
+            if not hasattr(m, "track"):
+                raise SystemExit(f"mode 'track' not supported for task "
+                                 f"{task!r}")
+            n = 0
+            for r in m.track(kv.pop("source"),
+                             conf=kv.pop("conf", 0.1),
+                             tracker=str(kv.pop("tracker", "bytetrack"))):
+                n += 1
+                LOGGER.info(f"{r.path}: {len(r)} tracks")
+            LOGGER.info(f"processed {n} frames")
+            return 0
         if mode == "val":
             metrics = m.val(kv.pop("data"),
                             **route_kwargs(kv, m.val, allow_hyp=False))
@@ -270,7 +285,9 @@ def main(argv=None):
                     **route_kwargs(kv, m.train, DetectTrainer.__init__))
             return 0
         raise SystemExit(f"mode {mode!r} not supported for task {task!r}")
-    if mode == "predict":
+    if mode in ("predict", "track"):
+        # for the MOTR track task, `yolo track` IS streaming predict
+        # (the tracker runs inside the device step)
         source = kv.pop("source")
         save_mot = kv.pop("save_mot", None)
         verbose = kv.pop("verbose", True)

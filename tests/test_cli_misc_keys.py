@@ -110,3 +110,22 @@ def test_default_yaml_covers_reference_keys():
         open("/root/reference/ultralytics/cfg/default.yaml")))
     missing = ref - ours
     assert not missing, sorted(missing)
+
+
+def test_cli_track_mode(tmp_path):
+    """Reference `yolo track` mode: detect task -> classic tracker,
+    track task -> the streaming MOTR predictor."""
+    from PIL import Image
+    from mo_yolo_tpu.cli import main
+
+    (tmp_path / "seq").mkdir()
+    for t in range(2):
+        img = np.full((64, 64, 3), 70, np.uint8)
+        img[20:40, 20:40] = 220
+        Image.fromarray(img).save(tmp_path / "seq" / f"{t:03d}.jpg")
+    rc = main(["detect", "track", "model=tests/tiny_detr.yaml",
+               f"source={tmp_path}/seq", "imgsz=64", "tracker=bytetrack"])
+    assert rc == 0
+    rc = main(["track", "track", "model=tests/tiny_track.yaml",
+               f"source={tmp_path}/seq", "imgsz=64"])
+    assert rc == 0
