@@ -9,6 +9,16 @@ e.g.
     python -m mo_yolo_tpu track val model=ckpt_dir data=MOT.yaml
     python -m mo_yolo_tpu track export model=ckpt_dir format=stablehlo
     python -m mo_yolo_tpu track bench imgsz=640
+    python -m mo_yolo_tpu detect track model=ckpt_dir source=video.mp4 tracker=botsort
+    python -m mo_yolo_tpu segment train model=yolov8n-seg data=d.yaml epochs=10
+    python -m mo_yolo_tpu pose predict model=ckpt kpt_shape=[17,3] source=imgs/
+    python -m mo_yolo_tpu classify val model=ckpt data=imagenette/
+    python -m mo_yolo_tpu sam predict source=imgs/ texts="a dog"
+
+Tasks: track detect rtdetr nas sam fastsam segment pose classify.
+Modes: train val predict track export bench benchmark.
+Specials: checks version settings cfg copy-cfg.
+Any default.yaml key is accepted as k=v (cfg=custom.yaml for a file).
 """
 
 from __future__ import annotations
