@@ -760,13 +760,18 @@ class _TaskModel:
         return {"accuracy_top1": 100.0 * top1 / max(n, 1),
                 "accuracy_top5": 100.0 * top5 / max(n, 1), "n": n}
 
-    def predict(self, source, masks: bool = False):
-        """Per-image raw task outputs (fixed-slot, host numpy).
+    def predict(self, source, masks: bool = False,
+                as_results: bool = False):
+        """Per-image task outputs.
 
-        For segment with `masks=True`, additionally composes per-
-        detection masks on-device (input resolution, box-cropped;
-        `retina_masks` from the constructor picks the native-res path)
-        and yields (path, (boxes, scores, cls, masks))."""
+        Default: raw fixed-slot device arrays (one host fetch). For
+        segment with `masks=True`, additionally composes per-detection
+        masks on-device (input resolution, box-cropped; `retina_masks`
+        from the constructor picks the native-res path) and yields
+        (path, (boxes, scores, cls, masks)). With `as_results=True`,
+        yields reference-style `TrackResults` in original-image pixels
+        with `.masks`/`.keypoints`/`.probs` populated per task
+        (`engine/results.py` Results surface)."""
         import jax.numpy as jnp
         from mo_yolo_tpu.data.letterbox import preprocess
         from mo_yolo_tpu.data.loaders import make_source
@@ -776,7 +781,7 @@ class _TaskModel:
             v, x, method=getattr(self.model, "predict_step", None) or
             self.model.__call__))
         compose = None
-        if masks and self.task == "segment":
+        if (masks or as_results) and self.task == "segment":
             def _full(v, x):
                 bb, ss, cc, cok, protos = self.model.apply(
                     v, x, method=self.model.predict_step)
@@ -787,8 +792,43 @@ class _TaskModel:
         for path, img in make_source(source):
             x, _ = preprocess(img, self.imgsz, scale_fill=True)
             fn = compose or step
-            yield path, jax.tree.map(np.asarray, fn(self.variables,
-                                                    jnp.asarray(x)))
+            out = jax.tree.map(np.asarray, fn(self.variables,
+                                              jnp.asarray(x)))
+            if not as_results:
+                yield path, out
+                continue
+            yield path, self._to_results(out, img, path)
+
+    def _to_results(self, out, img, path):
+        """Fixed-slot device outputs -> reference-style TrackResults in
+        original pixels (kept slots only; scale_fill per-axis rescale)."""
+        from mo_yolo_tpu.engine.results import TrackResults
+        oh, ow = img.shape[:2]
+        sx, sy = ow / self.imgsz, oh / self.imgsz
+        common = dict(orig_shape=(oh, ow), path=str(path), orig_img=img)
+        if self.task == "classify":
+            logits = np.asarray(out[0], np.float32)
+            e = np.exp(logits - logits.max())
+            z = np.zeros((0,))
+            return TrackResults(boxes_xyxy=np.zeros((0, 4)), conf=z,
+                                cls=z.astype(int), track_id=z.astype(int),
+                                probs=e / e.sum(), **common)
+        bb, ss, cc = (np.asarray(o) for o in out[:3])
+        keep = ss[0] > 0
+        boxes = bb[0][keep] * np.asarray([sx, sy, sx, sy], np.float32)
+        extra = {}
+        if self.task == "segment":
+            extra["masks"] = np.asarray(out[3])[0][keep]
+        elif self.task == "pose":
+            kp = np.asarray(out[3])[0][keep].copy()
+            kp[..., 0] *= sx
+            kp[..., 1] *= sy
+            extra["keypoints"] = kp
+        n = int(keep.sum())
+        return TrackResults(boxes_xyxy=boxes, conf=ss[0][keep],
+                            cls=cc[0][keep].astype(int),
+                            track_id=np.full(n, -1, int), **extra,
+                            **common)
 
 
 class YOLO:

@@ -375,14 +375,19 @@ def _task_mode(task, mode, model_arg, imgsz, kv):
                              else f"{k}={v}" for k, v in metrics.items()))
         return 0
     if mode == "predict":
+        from pathlib import Path as _P
         n = 0
-        want_masks = bool(kv.pop("masks", task == "segment"))
-        for path, out in m.predict(kv.pop("source"), masks=want_masks):
-            first = out[0] if isinstance(out, (tuple, list)) else out
-            LOGGER.info(f"{path}: output shapes "
-                        f"{[getattr(o, 'shape', None) for o in out]}"
-                        if isinstance(out, (tuple, list))
-                        else f"{path}: {first.shape}")
+        save = bool(kv.pop("save", False))
+        save_dir = str(kv.pop("save_dir", f"runs/{task}/predict"))
+        for path, res in m.predict(kv.pop("source"), as_results=True):
+            if res.probs is not None:
+                top = int(res.probs.argmax())
+                LOGGER.info(f"{path}: top1 class {top} "
+                            f"({float(res.probs[top]):.3f})")
+            else:
+                LOGGER.info(f"{path}: {len(res)} detections")
+            if save:
+                res.save(_P(save_dir) / f"{_P(str(path)).stem}.jpg")
             n += 1
         LOGGER.info(f"processed {n} frames")
         return 0

@@ -26,6 +26,10 @@ class TrackResults:
     path: str = ""
     names: Optional[Dict[int, str]] = None
     orig_img: Optional[np.ndarray] = None
+    # task extras (reference Results.masks/.keypoints/.probs):
+    masks: Optional[np.ndarray] = None       # [n, h, w] bool/float, orig res
+    keypoints: Optional[np.ndarray] = None   # [n, K, 3] x,y px + conf/vis
+    probs: Optional[np.ndarray] = None       # [nc] classify probabilities
 
     def __len__(self):
         return len(self.boxes_xyxy)
@@ -56,20 +60,39 @@ class TrackResults:
 
     def plot(self, img: Optional[np.ndarray] = None,
              line_width: int = 2, show_labels: bool = True,
-             show_conf: bool = True, boxes: bool = True) -> np.ndarray:
-        """Draw boxes + `id:N cls conf` labels; returns HWC uint8.
+             show_conf: bool = True, boxes: bool = True,
+             masks: bool = True, kpt_radius: int = 3,
+             kpt_line: bool = True) -> np.ndarray:
+        """Draw boxes + `id:N cls conf` labels, mask overlays, keypoint
+        dots/skeleton, classify top-5; returns HWC uint8.
 
-        `line_width`/`labels`/`conf`/`boxes` follow the reference
-        `Results.plot` keyword surface (`engine/results.py:366-470`)."""
+        Follows the reference `Results.plot` keyword surface
+        (`engine/results.py:366-470`: labels/conf/boxes/masks/
+        kpt_radius/kpt_line)."""
         from PIL import Image, ImageDraw
         base = img if img is not None else self.orig_img
         if base is None:
             base = np.zeros((*self.orig_shape, 3), np.uint8)
-        im = Image.fromarray(base.astype(np.uint8))
-        dr = ImageDraw.Draw(im)
+        base = base.astype(np.uint8)
         palette = [(255, 56, 56), (56, 168, 255), (72, 249, 10),
                    (255, 178, 29), (207, 210, 49), (26, 147, 52),
                    (61, 219, 134), (255, 112, 31)]
+        if masks and self.masks is not None and len(self.masks):
+            # alpha-blend each instance mask (reference Annotator.masks)
+            over = base.astype(np.float32)
+            for i, mk in enumerate(self.masks):
+                if mk.shape != base.shape[:2]:
+                    from PIL import Image as _I
+                    mk = np.asarray(_I.fromarray(
+                        (np.asarray(mk) > 0.5).astype(np.uint8) * 255
+                    ).resize((base.shape[1], base.shape[0]))) > 127
+                else:
+                    mk = np.asarray(mk) > 0.5
+                color = np.asarray(palette[i % len(palette)], np.float32)
+                over[mk] = over[mk] * 0.6 + color * 0.4
+            base = over.astype(np.uint8)
+        im = Image.fromarray(base)
+        dr = ImageDraw.Draw(im)
         for i, b in enumerate(self.boxes_xyxy):
             tid = int(self.track_id[i])
             color = palette[tid % len(palette)] if tid >= 0 else (200, 200, 200)
@@ -82,6 +105,31 @@ class TrackResults:
                 if show_conf:
                     label += f" {self.conf[i]:.2f}"
                 dr.text((b[0], max(0, b[1] - 12)), label, fill=color)
+        if self.keypoints is not None and len(self.keypoints):
+            # COCO-17 skeleton (reference `utils/plotting.py` Annotator)
+            skel = [(15, 13), (13, 11), (16, 14), (14, 12), (11, 12),
+                    (5, 11), (6, 12), (5, 6), (5, 7), (6, 8), (7, 9),
+                    (8, 10), (1, 2), (0, 1), (0, 2), (1, 3), (2, 4),
+                    (3, 5), (4, 6)]
+            for i, kp in enumerate(self.keypoints):
+                color = palette[i % len(palette)]
+                ok = kp[:, 2] > 0.5 if kp.shape[-1] == 3 else \
+                    np.ones(len(kp), bool)
+                if kpt_line and len(kp) == 17:
+                    for a, bb2 in skel:
+                        if ok[a] and ok[bb2]:
+                            dr.line([tuple(kp[a, :2]), tuple(kp[bb2, :2])],
+                                    fill=color, width=max(line_width, 1))
+                for k in np.where(ok)[0]:
+                    x, y = float(kp[k, 0]), float(kp[k, 1])
+                    dr.ellipse([x - kpt_radius, y - kpt_radius,
+                                x + kpt_radius, y + kpt_radius], fill=color)
+        if self.probs is not None:
+            top = np.argsort(-np.asarray(self.probs))[:5]
+            txt = ", ".join(
+                f"{(self.names or {}).get(int(c), int(c))} "
+                f"{float(self.probs[c]):.2f}" for c in top)
+            dr.text((2, 2), txt, fill=(255, 255, 255))
         return np.asarray(im)
 
     def save(self, filename, **plot_kw) -> str:

@@ -125,3 +125,35 @@ def test_seg_trainer_mask_ratio_step(tmp_path):
                    mask_ratio=2, log_every=1)
     out = t.run()
     assert np.isfinite(out["final_loss"])
+
+
+def test_task_results_surface(tmp_path):
+    """as_results=True yields reference-style Results with masks /
+    keypoints / probs and a plot() that overlays them."""
+    from PIL import Image
+    from mo_yolo_tpu.api import YOLO
+
+    img = np.zeros((80, 96, 3), np.uint8)
+    img[20:60, 30:70] = 200
+    p = tmp_path / "a.jpg"
+    Image.fromarray(img).save(p)
+
+    seg = YOLO("tests/tiny_track.yaml", task="segment", nc=2, imgsz=64)
+    for _, r in seg.predict(str(p), as_results=True):
+        assert r.orig_shape == (80, 96)
+        assert r.masks is not None and r.masks.shape[1:] == (64, 64)
+        assert len(r.masks) == len(r)
+        rendered = r.plot()
+        assert rendered.shape == (80, 96, 3)
+
+    pose = YOLO("tests/tiny_track.yaml", task="pose", nc=1,
+                imgsz=64, kpt_shape=(17, 3))
+    for _, r in pose.predict(str(p), as_results=True):
+        assert r.keypoints is not None and r.keypoints.shape[1:] == (17, 3)
+        assert r.plot(kpt_line=True).shape == (80, 96, 3)
+
+    cls = YOLO("tests/tiny_track.yaml", task="classify", nc=2, imgsz=64)
+    for _, r in cls.predict(str(p), as_results=True):
+        assert r.probs is not None and len(r.probs) == 2
+        np.testing.assert_allclose(r.probs.sum(), 1.0, rtol=1e-5)
+        assert r.plot().shape == (80, 96, 3)
