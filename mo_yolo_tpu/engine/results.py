@@ -45,11 +45,26 @@ class TrackResults:
         return np.stack([cx, cy, bw, bh], 1)
 
     def save_txt(self, txt_file, save_conf: bool = False) -> None:
-        """Write `track_id cls cx cy w h [conf]` lines (normalized), the
-        reference `TrackResults.save_txt` format (`results.py:475-511`)."""
+        """Write label txt lines (normalized), following the reference
+        `Results.save_txt` per task (`results.py:475-511`):
+        track rows `track_id cls cx cy w h [conf]`; with masks, segment
+        rows `cls x1 y1 x2 y2 ... [conf]` (largest mask contour); with
+        keypoints, pose rows `cls cx cy w h kx ky kv ... [conf]`."""
         lines = []
         for i, b in enumerate(self.boxes_xywhn):
-            vals = [int(self.track_id[i]), int(self.cls[i]), *b.tolist()]
+            if self.masks is not None:
+                poly = _mask_to_poly_n(self.masks[i])
+                vals = [int(self.cls[i]), *poly.reshape(-1).tolist()]
+            elif self.keypoints is not None:
+                h, w = self.orig_shape
+                kp = np.asarray(self.keypoints[i], np.float32).copy()
+                kp[:, 0] /= w
+                kp[:, 1] /= h
+                vals = [int(self.cls[i]), *b.tolist(),
+                        *kp.reshape(-1).tolist()]
+            else:
+                vals = [int(self.track_id[i]), int(self.cls[i]),
+                        *b.tolist()]
             if save_conf:
                 vals.append(float(self.conf[i]))
             lines.append(" ".join(f"{v:g}" if not isinstance(v, int) else str(v)
@@ -164,3 +179,26 @@ class TrackResults:
             Image.fromarray(
                 self.orig_img[y1:y2, x1:x2].astype(np.uint8)
             ).save(str(d / f"{stem}_{i}.jpg"))
+
+
+def _mask_to_poly_n(mask: np.ndarray) -> np.ndarray:
+    """Binary mask -> largest-contour polygon, NORMALIZED xy [M,2]
+    (reference `ops.masks2segments` + `Masks.xyn`, `utils/ops.py`). cv2
+    contour when available, bounding-box corners otherwise."""
+    m8 = (np.asarray(mask) > 0.5).astype(np.uint8)
+    h, w = m8.shape
+    try:
+        import cv2
+        cs = cv2.findContours(m8, cv2.RETR_EXTERNAL,
+                              cv2.CHAIN_APPROX_SIMPLE)[0]
+        if cs:
+            poly = max(cs, key=len).reshape(-1, 2).astype(np.float32)
+            return poly / np.asarray([w, h], np.float32)
+    except ImportError:
+        pass
+    ys, xs = np.nonzero(m8)
+    if not len(xs):
+        return np.zeros((0, 2), np.float32)
+    x1, x2, y1, y2 = xs.min(), xs.max() + 1, ys.min(), ys.max() + 1
+    return np.asarray([[x1, y1], [x2, y1], [x2, y2], [x1, y2]],
+                      np.float32) / np.asarray([w, h], np.float32)

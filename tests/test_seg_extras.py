@@ -157,3 +157,28 @@ def test_task_results_surface(tmp_path):
         assert r.probs is not None and len(r.probs) == 2
         np.testing.assert_allclose(r.probs.sum(), 1.0, rtol=1e-5)
         assert r.plot().shape == (80, 96, 3)
+
+
+def test_save_txt_task_variants(tmp_path):
+    """save_txt row formats per task (reference Results.save_txt):
+    segment = cls + normalized polygon, pose = cls + xywhn + kpts."""
+    from mo_yolo_tpu.engine.results import TrackResults
+
+    mk = np.zeros((64, 64))
+    mk[10:30, 20:40] = 1.0
+    base = dict(boxes_xyxy=np.asarray([[20.0, 10.0, 40.0, 30.0]]),
+                conf=np.asarray([0.9]), cls=np.asarray([0]),
+                track_id=np.asarray([-1]), orig_shape=(64, 64))
+    TrackResults(**base, masks=mk[None]).save_txt(
+        tmp_path / "seg.txt", save_conf=True)
+    row = (tmp_path / "seg.txt").read_text().split()
+    assert row[0] == "0" and abs(float(row[-1]) - 0.9) < 1e-6
+    xs = np.asarray(row[1:-1], np.float32)
+    assert len(xs) >= 8 and xs.min() >= 0 and xs.max() <= 1
+
+    kp = np.zeros((1, 17, 3))
+    kp[0, :, 0], kp[0, :, 1], kp[0, :, 2] = 32, 16, 2
+    TrackResults(**base, keypoints=kp[0][None]).save_txt(
+        tmp_path / "kpt.txt")
+    row2 = (tmp_path / "kpt.txt").read_text().split()
+    assert len(row2) == 1 + 4 + 51
