@@ -622,18 +622,34 @@ class Detector:
     def track(self, source, conf: float = 0.1, tracker: str = "bytetrack"):
         """Detection + classic box tracker (BYTETracker / BOTSORT).
 
-        conf defaults to track_low_thresh (0.1) — the reference forces
-        conf=0.1 when tracking (`trackers/track.py`) so BYTE's second
-        association stage sees the low-confidence band [0.1, 0.5)."""
+        `tracker` is a name ('bytetrack'/'botsort') or a tracker yaml —
+        a custom copy of `cfg/trackers/*.yaml` (reference
+        `trackers/track.py` check_yaml path). conf defaults to
+        track_low_thresh (0.1) — the reference forces conf=0.1 when
+        tracking so BYTE's second association stage sees the
+        low-confidence band [0.1, 0.5)."""
         from mo_yolo_tpu.trackers import BOTSORT, BYTETracker
         from mo_yolo_tpu.engine.results import TrackResults
 
-        bt = BOTSORT() if tracker == "botsort" else BYTETracker()
+        name, cfg = str(tracker), None
+        if name.endswith((".yaml", ".yml")):
+            import dataclasses as _dc
+            import yaml as _yaml
+            from mo_yolo_tpu.trackers.byte_tracker import ByteTrackerConfig
+            if not Path(name).is_file():   # bundled cfg/trackers/<name>
+                name = str(Path(__file__).parent / "cfg/trackers" /
+                           Path(name).name)
+            d = _yaml.safe_load(open(name)) or {}
+            fields = {f.name for f in _dc.fields(ByteTrackerConfig)}
+            cfg = ByteTrackerConfig(
+                **{k: v for k, v in d.items() if k in fields})
+            name = str(d.get("tracker_type", "bytetrack"))
+        bt = BOTSORT(cfg) if name == "botsort" else BYTETracker(cfg)
         for r in self.predict(source, conf=conf):
             dets = np.concatenate([r.boxes_xyxy, r.conf[:, None],
                                    r.cls[:, None].astype(float)], 1) \
                 if len(r) else np.zeros((0, 6))
-            out = bt.update(dets, r.orig_img if tracker == "botsort" else None)
+            out = bt.update(dets, r.orig_img if name == "botsort" else None)
             yield TrackResults(
                 boxes_xyxy=out[:, :4], conf=out[:, 5],
                 cls=out[:, 6].astype(int), track_id=out[:, 4].astype(int),

@@ -129,3 +129,25 @@ def test_cli_track_mode(tmp_path):
     rc = main(["track", "track", "model=tests/tiny_track.yaml",
                f"source={tmp_path}/seq", "imgsz=64"])
     assert rc == 0
+
+
+def test_tracker_yaml_config(tmp_path):
+    """`tracker=` accepts bundled and custom tracker yamls (reference
+    cfg/trackers/*.yaml + trackers/track.py check_yaml)."""
+    from PIL import Image
+    from mo_yolo_tpu.api import Detector
+
+    (tmp_path / "seq").mkdir()
+    for t in range(2):
+        img = np.full((64, 64, 3), 70, np.uint8)
+        img[20:40, 20:40] = 220
+        Image.fromarray(img).save(tmp_path / "seq" / f"{t:03d}.jpg")
+    m = Detector("tests/tiny_detr.yaml", imgsz=64)
+    assert sum(1 for _ in m.track(str(tmp_path / "seq"),
+                                  tracker="botsort.yaml")) == 2
+    cy = tmp_path / "custom.yaml"
+    cy.write_text(yaml.safe_dump({"tracker_type": "bytetrack",
+                                  "track_buffer": 5,
+                                  "match_thresh": 0.7}))
+    assert sum(1 for _ in m.track(str(tmp_path / "seq"),
+                                  tracker=str(cy))) == 2
