@@ -169,6 +169,66 @@ class MOTRTrack:
                                augment=augment, **kw)
         return trainer.run()
 
+    # keys the TrackTrainer takes as constructor kwargs; every other
+    # sampled key routes into its `hyp` dict (augment geometry etc.)
+    _TUNE_TOP = ("lr", "lrf", "momentum", "warmup_epochs", "warmup_momentum")
+
+    def _fresh_for_tune(self, seed: int = 0) -> "MOTRTrack":
+        """A re-initialized copy of this model for one tuning trial."""
+        if not self.cfg_path:
+            raise ValueError(
+                "tune() needs a yaml-built model; for a checkpoint start "
+                "point pass pretrained=<params dir> in train_args instead")
+        return MOTRTrack(self.cfg_path, nc=self._nc, imgsz=self.imgsz,
+                         dtype=self._dtype_str, impl=self._impl,
+                         names=self.names, seed=seed, **self._model_kw)
+
+    def _route_tune_hyp(self, hyp: Dict[str, Any]) -> Dict[str, Any]:
+        top = {k: v for k, v in hyp.items() if k in self._TUNE_TOP}
+        rest = {k: v for k, v in hyp.items() if k not in self._TUNE_TOP}
+        if rest:
+            top["hyp"] = rest
+        return top
+
+    def tune(self, data: str, epochs: int = 10,
+             space: Optional[Dict[str, Any]] = None, max_samples: int = 10,
+             grace_period: int = 0, reduction: int = 2, seed: int = 0,
+             save_dir: str = "runs/track/tune", use_ray: bool = False,
+             **train_args) -> Dict[str, Any]:
+        """Hyperparameter tuning (reference `Model.tune`,
+        `engine/model.py:396-408` -> `utils/tuner.py:run_ray_tune`).
+        Native random search + successive halving; each trial trains a
+        freshly initialized model in save_dir/trial_N. grace_period>0
+        enables ASHA-style rungs (TrackTrainer trials continue via
+        resume). Returns {best_hyp, best_fitness, results}."""
+        from mo_yolo_tpu.utils.tuner import DEFAULT_SPACE, Tuner, run_ray_tune
+
+        if use_ray:
+            return run_ray_tune(self, space=space,
+                                grace_period=grace_period,
+                                max_samples=max_samples, data=data,
+                                epochs=epochs, **train_args)
+        if space is None:   # drop multi-image augs the track trainer
+            space = {k: v for k, v in DEFAULT_SPACE.items()  # doesn't use
+                     if k not in ("mosaic", "mixup", "copy_paste")}
+
+        def train_fn(hyp, n_epochs, tdir, resume):
+            # stable per-trial init seed (trial_N dir suffix), so a rung
+            # continuation resumes the same initialization
+            m = self._fresh_for_tune(
+                seed=seed + 1 + int(tdir.rsplit("_", 1)[-1]))
+            kw = dict(train_args)
+            routed = self._route_tune_hyp(hyp)
+            if "hyp" in kw and "hyp" in routed:  # fixed hyp + sampled hyp
+                routed["hyp"] = {**kw.pop("hyp"), **routed["hyp"]}
+            kw.update(routed)
+            return m.train(data, epochs=n_epochs, save_dir=tdir,
+                           resume=resume, **kw)
+
+        return Tuner(train_fn, space=space, max_samples=max_samples,
+                     grace_period=grace_period, reduction=reduction,
+                     seed=seed, save_dir=save_dir)(epochs=epochs)
+
     def info(self, detailed: bool = False, verbose: bool = True,
              flops: bool = False, profile: bool = False
              ) -> Dict[str, float]:
@@ -514,6 +574,8 @@ class Detector:
         self.imgsz = imgsz               # int, (h, w), or "WxH" (rect)
         self.in_h, self.in_w = to_hw(imgsz)
         self.names = names or {}
+        self._ctor = dict(model=str(model), nc=nc, imgsz=imgsz,
+                          dtype=dtype, names=names)
         cfg = _resolve_model_cfg(str(model))
         self.model = build_detection_model(cfg, nc=nc, dtype=jdt)
         self.variables = self.model.init(
@@ -561,6 +623,49 @@ class Detector:
                              lr=lr, max_gt=max_gt, save_dir=save_dir,
                              seed=seed, log_every=log_every,
                              augment=augment, **kw).run()
+
+    def _fresh_for_tune(self, seed: int = 0) -> "Detector":
+        return type(self)(seed=seed, **self._ctor)
+
+    def _route_tune_hyp(self, hyp: Dict[str, Any]) -> Dict[str, Any]:
+        # DetectTrainer reads everything but `lr` from its hyp dict
+        # (momentum/lrf/warmup_* and the augment geometry alike)
+        top = {"lr": hyp["lr"]} if "lr" in hyp else {}
+        rest = {k: v for k, v in hyp.items() if k != "lr"}
+        if rest:
+            top["hyp"] = rest
+        return top
+
+    def tune(self, data: str, epochs: int = 10,
+             space: Optional[Dict[str, Any]] = None, max_samples: int = 10,
+             grace_period: int = 0, reduction: int = 2, seed: int = 0,
+             save_dir: str = "runs/detect/tune", use_ray: bool = False,
+             **train_args) -> Dict[str, Any]:
+        """Hyperparameter tuning for the detect task (reference
+        `Model.tune`, `engine/model.py:396-408`). DetectTrainer has no
+        resume, so ASHA rungs retrain survivors from scratch at the
+        longer budget (same bracket, more compute)."""
+        from mo_yolo_tpu.utils.tuner import Tuner, run_ray_tune
+
+        if use_ray:
+            return run_ray_tune(self, space=space,
+                                grace_period=grace_period,
+                                max_samples=max_samples, data=data,
+                                epochs=epochs, **train_args)
+        def train_fn(hyp, n_epochs, tdir, resume):
+            del resume
+            m = self._fresh_for_tune(
+                seed=seed + 1 + int(tdir.rsplit("_", 1)[-1]))
+            kw = dict(train_args)
+            routed = self._route_tune_hyp(hyp)
+            if "hyp" in kw and "hyp" in routed:  # fixed hyp + sampled hyp
+                routed["hyp"] = {**kw.pop("hyp"), **routed["hyp"]}
+            kw.update(routed)
+            return m.train(data, epochs=n_epochs, save_dir=tdir, **kw)
+
+        return Tuner(train_fn, space=space, max_samples=max_samples,
+                     grace_period=grace_period, reduction=reduction,
+                     seed=seed, save_dir=save_dir)(epochs=epochs)
 
     def val(self, data: Union[str, List[str]], conf: float = 0.001,
             max_gt: int = 64, save_json: bool = False,

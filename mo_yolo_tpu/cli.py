@@ -16,7 +16,9 @@ e.g.
     python -m mo_yolo_tpu sam predict source=imgs/ texts="a dog"
 
 Tasks: track detect rtdetr nas sam fastsam segment pose classify.
-Modes: train val predict track export bench benchmark.
+Modes: train val predict track export tune bench benchmark.
+`tune` runs hyperparameter search (max_samples=N grace_period=G), e.g.
+    python -m mo_yolo_tpu track tune data=MOT.yaml epochs=8 max_samples=4
 Specials: checks version settings cfg copy-cfg.
 Any default.yaml key is accepted as k=v (cfg=custom.yaml for a file).
 """
@@ -30,7 +32,7 @@ from mo_yolo_tpu.utils.logging import LOGGER
 
 TASKS = ("track", "detect", "rtdetr", "nas", "sam", "fastsam",
          "segment", "pose", "classify")
-MODES = ("train", "val", "predict", "track", "export", "bench",
+MODES = ("train", "val", "predict", "track", "export", "tune", "bench",
          "benchmark")
 
 
@@ -294,6 +296,14 @@ def main(argv=None):
             m.train(kv.pop("data"),
                     **route_kwargs(kv, m.train, DetectTrainer.__init__))
             return 0
+        if mode == "tune" and hasattr(m, "tune"):
+            from mo_yolo_tpu.train.detect_trainer import DetectTrainer
+            out = m.tune(kv.pop("data"),
+                         **route_kwargs(kv, m.tune, m.train,
+                                        DetectTrainer.__init__))
+            LOGGER.info(f"tune best fitness {out['best_fitness']:.4g} "
+                        f"(trial {out['best_trial']}): {out['best_hyp']}")
+            return 0
         raise SystemExit(f"mode {mode!r} not supported for task {task!r}")
     if mode in ("predict", "track"):
         # for the MOTR track task, `yolo track` IS streaming predict
@@ -335,6 +345,13 @@ def main(argv=None):
         from mo_yolo_tpu.train.trainer import TrackTrainer
         m.train(kv.pop("data"),
                 **route_kwargs(kv, m.train, TrackTrainer.__init__))
+    elif mode == "tune":
+        from mo_yolo_tpu.train.trainer import TrackTrainer
+        out = m.tune(kv.pop("data"),
+                     **route_kwargs(kv, m.tune, m.train,
+                                    TrackTrainer.__init__))
+        LOGGER.info(f"tune best fitness {out['best_fitness']:.4g} "
+                    f"(trial {out['best_trial']}): {out['best_hyp']}")
     elif mode == "export":
         out = m.export(fmt=kv.pop("format", "stablehlo"),
                        path=kv.pop("path", "model_export"),

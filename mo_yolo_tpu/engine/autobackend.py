@@ -6,6 +6,12 @@ params checkpoint directory, a model yaml (fresh weights), a serialized
 `.jaxexport` AOT artifact, a jax2tf TF SavedModel directory, or a
 `.tflite` flatbuffer (CPU serving interop). Exposes one
 `stream_step(state, frames)` callable regardless of origin.
+
+Reference `.pt` checkpoints enter through weight name-mapping
+(`load_torch`) so the TPU always runs our graph; `torch_direct=True`
+additionally unpickles the original torch module on host CPU
+(`engine/torch_backend.py`, the reference AutoBackend pt branch) for
+A/B-validating the import.
 """
 
 from __future__ import annotations
@@ -16,9 +22,11 @@ from typing import Optional
 
 class AutoBackend:
     def __init__(self, weights, imgsz: int = 640, dtype: str = "bfloat16",
-                 nc: Optional[int] = None, **model_kw):
+                 nc: Optional[int] = None, torch_direct: bool = False,
+                 **model_kw):
         import jax
 
+        self.pt_direct = None
         self._exported = None
         self._tf_mod = None
         self._tflite = None
@@ -75,6 +83,12 @@ class AutoBackend:
                             **model_kw)
             api.load_torch(str(weights))
             self.model, self.variables = api.model, api.variables
+            if torch_direct:
+                # also hold the original torch module for host-side A/B
+                # (reference AutoBackend pt branch; see
+                # engine/torch_backend.py)
+                from mo_yolo_tpu.engine.torch_backend import load_pt_backend
+                self.pt_direct = load_pt_backend(str(weights))
         else:
             raise ValueError(f"unsupported weights source: {weights!r}")
         self.imgsz = imgsz

@@ -1,0 +1,160 @@
+"""Direct `.pt` inference backend (reference `AutoBackend` pt branch,
+`nn/autobackend.py:321-420` + `nn/tasks.py:854-878`): unpickle a real
+reference checkpoint dict and run the torch module as-is on CPU.
+
+Closes the "no pt direct inference" gap: the TPU path imports weights via
+`load_torch`; this backend is the torch-side ground truth for A/B checks.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.torch_ref import load_reference  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref():
+    try:
+        return load_reference()
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"reference tree not importable: {e}")
+
+
+def _image():
+    yy, xx = np.mgrid[0:160, 0:160].astype(np.float32) / 160.0
+    img = np.stack([xx, yy, xx * yy], -1)[None].astype(np.float32)
+    img[0, 40:80, 30:70, 0] = 1.0
+    return img
+
+
+def _ref_pt(ref, tmp_path, key="model"):
+    torch.manual_seed(0)
+    m = ref.tasks.DetectionModel(cfg="yolov8n.yaml", nc=4,
+                                 verbose=False).float()
+    m.train()
+    with torch.no_grad():
+        m(torch.rand(2, 3, 160, 160,
+                     generator=torch.Generator().manual_seed(1)))
+    m.eval()
+    pt = tmp_path / "ref.pt"
+    payload = {key: m, "train_args": {"names": {i: str(i)
+                                                for i in range(4)}},
+               "epoch": 3, "best_fitness": 0.5}
+    torch.save(payload, pt)
+    return m, str(pt)
+
+
+def test_pt_backend_matches_module_forward(ref, tmp_path):
+    from mo_yolo_tpu.engine.torch_backend import TorchPtBackend
+
+    m, pt = _ref_pt(ref, tmp_path)
+    be = TorchPtBackend(pt)
+    img = _image()                                 # NHWC, ours
+    y = be.forward(img)
+    while isinstance(y, (list, tuple)):
+        y = y[0]
+    with torch.no_grad():
+        want = m(torch.from_numpy(np.transpose(img, (0, 3, 1, 2))))
+    while isinstance(want, (list, tuple)):
+        want = want[0]
+    # not bitwise: the reloaded copy may pick different CPU conv kernels
+    # (requires_grad stripped); 1e-4 on values up to ~500 is float noise
+    np.testing.assert_allclose(y, want.numpy(), rtol=0, atol=1e-4)
+    assert be.ckpt["epoch"] == 3                   # metadata preserved
+    assert be.names == {i: str(i) for i in range(4)}
+
+
+def test_pt_backend_ema_key_and_detect(ref, tmp_path):
+    from mo_yolo_tpu.engine.torch_backend import TorchPtBackend
+
+    _, pt = _ref_pt(ref, tmp_path, key="ema")      # reference prefers ema
+    be = TorchPtBackend(pt)
+    dets = be.detect(_image(), conf=0.0, iou=0.7, max_det=50)
+    assert len(dets) == 1
+    xyxy, sc, cls = dets[0]
+    assert xyxy.shape[1] == 4 and len(xyxy) == len(sc) == len(cls) <= 50
+    assert (sc[:-1] >= sc[1:]).all()               # score-ordered
+    assert ((cls >= 0) & (cls < 4)).all()
+    # xywh->xyxy decode sanity: random-init DFL spans at most
+    # reg_max*stride (15.5*32) past the 160px canvas, never unbounded
+    assert np.isfinite(xyxy).all()
+    assert xyxy.min() > -600 and xyxy.max() < 800
+    assert (xyxy[:, 2:] >= xyxy[:, :2]).all()      # x2>=x1, y2>=y1
+
+
+def test_pt_backend_agrees_with_imported_jax_model(ref, tmp_path):
+    """The migration A/B: TorchPtBackend(ckpt) vs our flax model after
+    `apply_torch_state_dict` of the same checkpoint — identical raw
+    head outputs at f32 (same gate as test_torch_v8_parity)."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from mo_yolo_tpu.engine.torch_backend import TorchPtBackend
+    from mo_yolo_tpu.models.graph import parse_model_yaml
+    from mo_yolo_tpu.models.nas import NASModel
+    from mo_yolo_tpu.utils.checkpoint import apply_torch_state_dict
+
+    m, pt = _ref_pt(ref, tmp_path)
+    be = TorchPtBackend(pt)
+    with open("/root/reference/ultralytics/cfg/models/v8/yolov8.yaml") as f:
+        cfg = yaml.safe_load(f)
+    cfg["nc"] = 4
+    cfg["scale"] = "n"
+    ours = NASModel(spec=parse_model_yaml(cfg))
+    v = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 160, 160, 3)))
+    sd = {k: t.float().numpy() for k, t in be.model.state_dict().items()}
+    v2, _ = apply_torch_state_dict(sd, v, strict=True)
+    img = _image()
+    y_t = be.forward(img)
+    while isinstance(y_t, (list, tuple)):
+        y_t = y_t[0]                                # [B, 4+nc, A]
+    bx, cp = ours.apply(v2, jnp.asarray(img))
+    cxcywh = np.concatenate([(np.asarray(bx)[..., :2] +
+                              np.asarray(bx)[..., 2:]) / 2,
+                             np.asarray(bx)[..., 2:] -
+                             np.asarray(bx)[..., :2]], -1)
+    np.testing.assert_allclose(cxcywh, y_t[:, :4].transpose(0, 2, 1),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(cp),
+                               y_t[:, 4:].transpose(0, 2, 1), atol=1e-6)
+
+
+def test_nms_classwise_suppresses_duplicates():
+    from mo_yolo_tpu.engine.torch_backend import _nms_classwise
+
+    xyxy = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [0, 0, 10, 10],
+                     [50, 50, 60, 60]], np.float32)
+    sc = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    cls = np.array([0, 0, 1, 0])
+    keep = _nms_classwise(xyxy, sc, cls, 0.5)
+    # box 1 overlaps box 0 same-class -> gone; box 2 same coords but
+    # other class -> kept; box 3 disjoint -> kept
+    assert sorted(keep.tolist()) == [0, 2, 3]
+
+
+def test_pt_backend_missing_package_message(tmp_path):
+    """A checkpoint whose defining package isn't importable must raise a
+    ModuleNotFoundError naming the fix, not an opaque pickle error."""
+    import importlib
+    import sys
+
+    from mo_yolo_tpu.engine.torch_backend import (TorchPtBackend,
+                                                  load_pt_backend)
+
+    (tmp_path / "alien_ckpt_pkg.py").write_text(
+        "class AlienModel:\n    pass\n")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        mod = importlib.import_module("alien_ckpt_pkg")
+        p = tmp_path / "alien.pt"
+        torch.save({"model": mod.AlienModel()}, p)
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("alien_ckpt_pkg", None)
+    (tmp_path / "alien_ckpt_pkg.py").unlink()
+    with pytest.raises(ModuleNotFoundError, match="ultralytics"):
+        TorchPtBackend(str(p))
+    assert load_pt_backend(str(p)) is None         # soft variant logs
