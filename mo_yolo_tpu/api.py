@@ -38,7 +38,61 @@ def _resolve_model_cfg(name: str) -> str:
                             f"(searched {_MODEL_DIR})")
 
 
-class MOTRTrack:
+class _TuneMixin:
+    """Shared `tune()` (reference `Model.tune`, `engine/model.py:396-408`
+    -> `utils/tuner.py:run_ray_tune`): native random search + ASHA-style
+    successive halving over per-trial fresh models; delegates to Ray
+    Tune when installed and `use_ray=True`. Facades provide
+    `_fresh_for_tune(seed)` and `_route_tune_hyp(hyp)`; `_tune_resume`
+    says whether their trainer can continue a trial from its save_dir
+    (otherwise later rungs retrain survivors from scratch — the same
+    halving bracket, more compute)."""
+
+    _tune_resume = False
+    _tune_save_dir = "runs/tune"
+
+    def _tune_space(self, space):
+        from mo_yolo_tpu.utils.tuner import DEFAULT_SPACE
+        return dict(space) if space is not None else dict(DEFAULT_SPACE)
+
+    def tune(self, data: str, epochs: int = 10,
+             space: Optional[Dict[str, Any]] = None, max_samples: int = 10,
+             grace_period: int = 0, reduction: int = 2, seed: int = 0,
+             save_dir: Optional[str] = None, use_ray: bool = False,
+             **train_args) -> Dict[str, Any]:
+        """Hyperparameter search. Each trial trains a freshly initialized
+        model in save_dir/trial_N; grace_period>0 enables halving rungs.
+        Returns {best_hyp, best_fitness, best_trial, results}."""
+        from mo_yolo_tpu.utils.tuner import Tuner, run_ray_tune
+
+        if use_ray:
+            return run_ray_tune(self, space=space,
+                                grace_period=grace_period,
+                                max_samples=max_samples, data=data,
+                                epochs=epochs, **train_args)
+        space = self._tune_space(space)
+
+        def train_fn(hyp, n_epochs, tdir, resume):
+            # stable per-trial init seed (trial_N dir suffix), so a rung
+            # continuation resumes the same initialization
+            m = self._fresh_for_tune(
+                seed=seed + 1 + int(tdir.rsplit("_", 1)[-1]))
+            kw = dict(train_args)
+            routed = self._route_tune_hyp(hyp)
+            if "hyp" in kw and "hyp" in routed:  # fixed hyp + sampled hyp
+                routed["hyp"] = {**kw.pop("hyp"), **routed["hyp"]}
+            kw.update(routed)
+            if self._tune_resume:
+                kw["resume"] = resume
+            return m.train(data, epochs=n_epochs, save_dir=tdir, **kw)
+
+        return Tuner(train_fn, space=space, max_samples=max_samples,
+                     grace_period=grace_period, reduction=reduction,
+                     seed=seed,
+                     save_dir=save_dir or self._tune_save_dir)(epochs=epochs)
+
+
+class MOTRTrack(_TuneMixin):
     """End-to-end multi-object tracker (DecoderTracker) on TPU."""
 
     def __init__(self, model: str = "yolo_track.yaml", nc: Optional[int] = None,
@@ -172,6 +226,16 @@ class MOTRTrack:
     # keys the TrackTrainer takes as constructor kwargs; every other
     # sampled key routes into its `hyp` dict (augment geometry etc.)
     _TUNE_TOP = ("lr", "lrf", "momentum", "warmup_epochs", "warmup_momentum")
+    _tune_resume = True           # TrackTrainer continues rungs via resume
+    _tune_save_dir = "runs/track/tune"
+
+    def _tune_space(self, space):
+        if space is not None:
+            return dict(space)
+        from mo_yolo_tpu.utils.tuner import DEFAULT_SPACE
+        # drop multi-image augs the track trainer doesn't use
+        return {k: v for k, v in DEFAULT_SPACE.items()
+                if k not in ("mosaic", "mixup", "copy_paste")}
 
     def _fresh_for_tune(self, seed: int = 0) -> "MOTRTrack":
         """A re-initialized copy of this model for one tuning trial."""
@@ -189,45 +253,6 @@ class MOTRTrack:
         if rest:
             top["hyp"] = rest
         return top
-
-    def tune(self, data: str, epochs: int = 10,
-             space: Optional[Dict[str, Any]] = None, max_samples: int = 10,
-             grace_period: int = 0, reduction: int = 2, seed: int = 0,
-             save_dir: str = "runs/track/tune", use_ray: bool = False,
-             **train_args) -> Dict[str, Any]:
-        """Hyperparameter tuning (reference `Model.tune`,
-        `engine/model.py:396-408` -> `utils/tuner.py:run_ray_tune`).
-        Native random search + successive halving; each trial trains a
-        freshly initialized model in save_dir/trial_N. grace_period>0
-        enables ASHA-style rungs (TrackTrainer trials continue via
-        resume). Returns {best_hyp, best_fitness, results}."""
-        from mo_yolo_tpu.utils.tuner import DEFAULT_SPACE, Tuner, run_ray_tune
-
-        if use_ray:
-            return run_ray_tune(self, space=space,
-                                grace_period=grace_period,
-                                max_samples=max_samples, data=data,
-                                epochs=epochs, **train_args)
-        if space is None:   # drop multi-image augs the track trainer
-            space = {k: v for k, v in DEFAULT_SPACE.items()  # doesn't use
-                     if k not in ("mosaic", "mixup", "copy_paste")}
-
-        def train_fn(hyp, n_epochs, tdir, resume):
-            # stable per-trial init seed (trial_N dir suffix), so a rung
-            # continuation resumes the same initialization
-            m = self._fresh_for_tune(
-                seed=seed + 1 + int(tdir.rsplit("_", 1)[-1]))
-            kw = dict(train_args)
-            routed = self._route_tune_hyp(hyp)
-            if "hyp" in kw and "hyp" in routed:  # fixed hyp + sampled hyp
-                routed["hyp"] = {**kw.pop("hyp"), **routed["hyp"]}
-            kw.update(routed)
-            return m.train(data, epochs=n_epochs, save_dir=tdir,
-                           resume=resume, **kw)
-
-        return Tuner(train_fn, space=space, max_samples=max_samples,
-                     grace_period=grace_period, reduction=reduction,
-                     seed=seed, save_dir=save_dir)(epochs=epochs)
 
     def info(self, detailed: bool = False, verbose: bool = True,
              flops: bool = False, profile: bool = False
@@ -556,7 +581,7 @@ class MOTRTrack:
                          " 'keras', 'tflite', 'pb', 'onnx')")
 
 
-class Detector:
+class Detector(_TuneMixin):
     """Detection-task facade (RT-DETR-style set prediction) with classic
     tracker attachment — the reference's `model.track()` path
     (`trackers/track.py:16-62`: detect + BYTETracker/BOTSORT)."""
@@ -584,12 +609,21 @@ class Detector:
         self._step = jax.jit(lambda v, x: self.model.apply(
             v, x, method=self.model.predict_step))
 
-    def predict(self, source, conf: float = 0.5):
-        """Per-frame detection results (no identity)."""
+    def predict(self, source, conf: float = 0.5, augment: bool = False):
+        """Per-frame detection results (no identity). augment (TTA) is a
+        v8-Detect-head feature (`NAS.predict(augment=True)`); the RT-DETR
+        set-prediction head has no reference TTA recipe, so it warns and
+        runs the plain forward (matching the reference RTDETR)."""
         import jax.numpy as jnp
         from mo_yolo_tpu.data.letterbox import boxes_to_original, preprocess
         from mo_yolo_tpu.data.loaders import make_source
         from mo_yolo_tpu.engine.results import TrackResults
+
+        if augment:
+            from mo_yolo_tpu.utils.logging import LOGGER
+            LOGGER.warning("augment=True (TTA) is not defined for the "
+                           "RT-DETR head; use the NAS (v8 Detect) family. "
+                           "Running the plain forward.")
 
         for path, img in make_source(source):
             x, meta = preprocess(img, self.imgsz, scale_fill=True)
@@ -624,6 +658,9 @@ class Detector:
                              seed=seed, log_every=log_every,
                              augment=augment, **kw).run()
 
+    _tune_save_dir = "runs/detect/tune"   # DetectTrainer has no resume:
+                                          # rungs retrain from scratch
+
     def _fresh_for_tune(self, seed: int = 0) -> "Detector":
         return type(self)(seed=seed, **self._ctor)
 
@@ -635,37 +672,6 @@ class Detector:
         if rest:
             top["hyp"] = rest
         return top
-
-    def tune(self, data: str, epochs: int = 10,
-             space: Optional[Dict[str, Any]] = None, max_samples: int = 10,
-             grace_period: int = 0, reduction: int = 2, seed: int = 0,
-             save_dir: str = "runs/detect/tune", use_ray: bool = False,
-             **train_args) -> Dict[str, Any]:
-        """Hyperparameter tuning for the detect task (reference
-        `Model.tune`, `engine/model.py:396-408`). DetectTrainer has no
-        resume, so ASHA rungs retrain survivors from scratch at the
-        longer budget (same bracket, more compute)."""
-        from mo_yolo_tpu.utils.tuner import Tuner, run_ray_tune
-
-        if use_ray:
-            return run_ray_tune(self, space=space,
-                                grace_period=grace_period,
-                                max_samples=max_samples, data=data,
-                                epochs=epochs, **train_args)
-        def train_fn(hyp, n_epochs, tdir, resume):
-            del resume
-            m = self._fresh_for_tune(
-                seed=seed + 1 + int(tdir.rsplit("_", 1)[-1]))
-            kw = dict(train_args)
-            routed = self._route_tune_hyp(hyp)
-            if "hyp" in kw and "hyp" in routed:  # fixed hyp + sampled hyp
-                routed["hyp"] = {**kw.pop("hyp"), **routed["hyp"]}
-            kw.update(routed)
-            return m.train(data, epochs=n_epochs, save_dir=tdir, **kw)
-
-        return Tuner(train_fn, space=space, max_samples=max_samples,
-                     grace_period=grace_period, reduction=reduction,
-                     seed=seed, save_dir=save_dir)(epochs=epochs)
 
     def val(self, data: Union[str, List[str]], conf: float = 0.001,
             max_gt: int = 64, save_json: bool = False,
@@ -805,7 +811,7 @@ class RTDETR(Detector):
         super().__init__(model, **kw)
 
 
-class _TaskModel:
+class _TaskModel(_TuneMixin):
     """Shared facade for segment / pose / classify (reference task models,
     `models/yolo/{segment,pose,classify}/`): train via the task trainers,
     val via the task validators."""
@@ -826,6 +832,11 @@ class _TaskModel:
         spec = parse_model_yaml(_resolve_model_cfg(str(model)), nc=nc)
         self.task = task
         self.imgsz = imgsz
+        self._ctor = dict(task=task, model=str(model), nc=nc, imgsz=imgsz,
+                          kpt_shape=kpt_shape, agnostic_nms=agnostic_nms,
+                          dropout=dropout, conf=conf, iou=iou,
+                          max_det=max_det, retina_masks=retina_masks)
+        self._tune_save_dir = f"runs/{task}/tune"
         # reference conf/iou/max_det val+predict keys reach the on-device
         # NMS through the model fields
         nms_kw = dict(conf=conf, iou=iou, max_det=max_det)
@@ -853,6 +864,17 @@ class _TaskModel:
         out = t.run()
         self.variables = t.variables
         return out
+
+    def _fresh_for_tune(self, seed: int = 0) -> "_TaskModel":
+        return type(self)(seed=seed, **self._ctor)
+
+    def _route_tune_hyp(self, hyp: Dict[str, Any]) -> Dict[str, Any]:
+        # task trainers read everything but `lr` from their hyp dict
+        top = {"lr": hyp["lr"]} if "lr" in hyp else {}
+        rest = {k: v for k, v in hyp.items() if k != "lr"}
+        if rest:
+            top["hyp"] = rest
+        return top
 
     def val(self, data) -> Dict[str, float]:
         from mo_yolo_tpu.engine.validator import (PoseValidator,

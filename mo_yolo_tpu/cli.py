@@ -137,10 +137,16 @@ def route_kwargs(kv: Dict[str, Any], *sigs, allow_hyp: bool = True
         if a in kv and b not in kv:
             kv[b] = kv.pop(a)
     if "project" in kv or "name" in kv:
-        kv.setdefault("save_dir",
-                      f"{kv.pop('project', 'runs')}/{kv.pop('name', 'exp')}")
+        # reference save-dir composition incl. `exist_ok` (`cfg` ->
+        # `get_save_dir` -> `increment_path`): never overwrite an earlier
+        # run — runs/exp -> runs/exp2 -> ... unless exist_ok=true
+        from mo_yolo_tpu.utils.files import increment_path
+        base = f"{kv.pop('project', 'runs')}/{kv.pop('name', 'exp')}"
+        kv.setdefault("save_dir", str(increment_path(
+            base, exist_ok=bool(kv.get("exist_ok", False)))))
         kv.pop("project", None)
         kv.pop("name", None)
+    kv.pop("exist_ok", None)
     accepted = set()
     for s in sigs:
         accepted |= set(inspect.signature(s).parameters)
@@ -265,7 +271,8 @@ def main(argv=None):
         if mode == "predict":
             n = 0
             for r in m.predict(kv.pop("source"),
-                               conf=kv.pop("conf", 0.25)):
+                               conf=kv.pop("conf", 0.25),
+                               augment=bool(kv.pop("augment", False))):
                 n += 1
                 LOGGER.info(f"{r.path}: {len(r)} detections")
             LOGGER.info(f"processed {n} frames")
@@ -385,6 +392,13 @@ def _task_mode(task, mode, model_arg, imgsz, kv):
                       **route_kwargs(kv, trainer.__init__,
                                      _TaskTrainer.__init__))
         LOGGER.info(f"{task} training done: {out}")
+        return 0
+    if mode == "tune":
+        from mo_yolo_tpu.train.task_trainers import _TaskTrainer
+        out = m.tune(kv.pop("data"),
+                     **route_kwargs(kv, m.tune, _TaskTrainer.__init__))
+        LOGGER.info(f"tune best fitness {out['best_fitness']:.4g} "
+                    f"(trial {out['best_trial']}): {out['best_hyp']}")
         return 0
     if mode == "val":
         metrics = m.val(kv.pop("data"))

@@ -49,8 +49,13 @@ class NASModel(nn.Module):
         score 0. Matches `DetectionModel.predict_step`'s contract so the
         standalone `DetectionValidator` drives either family."""
         boxes, cls_p = self(images, train=False)     # xyxy px, [B,S,nc]
+        return self._nms_norm(boxes, cls_p,
+                              (images.shape[1], images.shape[2]))
+
+    def _nms_norm(self, boxes, cls_p, img_hw):
+        H, W = img_hw
         # per-axis normalization (rect inputs have H != W)
-        sz = jnp.asarray([images.shape[2], images.shape[1]], boxes.dtype)
+        sz = jnp.asarray([W, H], boxes.dtype)
 
         def one(b, c):
             bb, ss, cc, valid = nms_fixed(b, c.max(-1), jnp.argmax(c, -1),
@@ -64,6 +69,45 @@ class NASModel(nn.Module):
                     cc.astype(jnp.int32))
 
         return jax.vmap(one)(boxes, cls_p)
+
+    def predict_step_tta(self, images):
+        """Test-time augmentation (reference
+        `DetectionModel._predict_augment`, `nn/tasks.py:258-295`):
+        forwards at scales 1 / 0.83 / 0.67 with an lr-flip on the middle
+        scale, predictions de-flipped and de-scaled back to input pixels,
+        the full-scale pass's P5 tail and the smallest pass's P3 head
+        dropped (`_clip_augmented`), then ONE fixed-slot NMS over the
+        union. TPU-native: every scale is a static stride-32 shape, the
+        whole sweep compiles into one jitted step. Output contract equals
+        `predict_step`."""
+        B, H, W, _ = images.shape
+        scales = (1.0, 0.83, 0.67)
+        flips = (False, True, False)
+        all_b, all_c = [], []
+        for idx, (si, fl) in enumerate(zip(scales, flips)):
+            hi = max(int(round(H * si / 32)) * 32, 32)
+            wi = max(int(round(W * si / 32)) * 32, 32)
+            xi = images if si == 1.0 else jax.image.resize(
+                images, (B, hi, wi, images.shape[-1]), "bilinear")
+            if fl:
+                xi = xi[:, :, ::-1]
+            b, c = self(xi, train=False)             # xyxy in scaled px
+            if fl:                                   # de-flip lr
+                b = jnp.stack([wi - b[..., 2], b[..., 1],
+                               wi - b[..., 0], b[..., 3]], -1)
+            # de-scale per axis (stride rounding makes sx != sy)
+            b = b * jnp.asarray([W / wi, H / hi, W / wi, H / hi], b.dtype)
+            # anchors are level-ordered P3|P4|P5 (YoloDetectHead concat)
+            counts = [(hi // s) * (wi // s) for s in self.spec.out_strides]
+            if idx == 0:                 # full scale: drop coarsest tail
+                keep = sum(counts[:-1])
+                b, c = b[:, :keep], c[:, :keep]
+            if idx == len(scales) - 1:   # smallest: drop finest head
+                b, c = b[:, counts[0]:], c[:, counts[0]:]
+            all_b.append(b)
+            all_c.append(c)
+        return self._nms_norm(jnp.concatenate(all_b, 1),
+                              jnp.concatenate(all_c, 1), (H, W))
 
 
 class NAS:
@@ -86,15 +130,24 @@ class NAS:
             jax.random.PRNGKey(seed), jnp.zeros((1, imgsz, imgsz, 3)))
         self._step = jax.jit(lambda v, x: self.model.apply(
             v, x, method=self.model.predict_step))
+        self._step_tta = None
 
-    def predict(self, source, conf: float = 0.25):
+    def predict(self, source, conf: float = 0.25, augment: bool = False):
+        """augment=True runs the 3-scale + flip TTA sweep (reference
+        `predict(augment=True)` -> `_predict_augment`)."""
         from mo_yolo_tpu.data.letterbox import boxes_to_original, preprocess
         from mo_yolo_tpu.data.loaders import make_source
         from mo_yolo_tpu.engine.results import TrackResults
 
+        step = self._step
+        if augment:
+            if self._step_tta is None:
+                self._step_tta = jax.jit(lambda v, x: self.model.apply(
+                    v, x, method=self.model.predict_step_tta))
+            step = self._step_tta
         for path, img in make_source(source):
             x, meta = preprocess(img, self.imgsz, scale_fill=True)
-            boxes, scores, cls = self._step(self.variables, jnp.asarray(x))
+            boxes, scores, cls = step(self.variables, jnp.asarray(x))
             b = np.asarray(boxes[0], np.float32)
             s = np.asarray(scores[0], np.float32)
             c = np.asarray(cls[0])

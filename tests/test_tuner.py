@@ -128,6 +128,29 @@ def test_cli_has_tune_mode():
     assert "tune" in MODES
 
 
+def test_task_model_tune_classify(tmp_path):
+    """tune() on the task facade (classify): 2 trials x 1 epoch over a
+    2-class color tree, artifacts + finite fitness."""
+    from PIL import Image
+
+    from mo_yolo_tpu.api import _TaskModel
+
+    for ci, color in enumerate([(255, 0, 0), (0, 0, 255)]):
+        (tmp_path / "tree" / f"c{ci}").mkdir(parents=True)
+        for i in range(4):
+            img = np.zeros((64, 64, 3), np.uint8)
+            img[...] = color
+            Image.fromarray(img).save(
+                tmp_path / "tree" / f"c{ci}" / f"{i}.jpg")
+    m = _TaskModel("classify", "tests/tiny_track.yaml", nc=2, imgsz=64)
+    out = m.tune(str(tmp_path / "tree"), epochs=1, max_samples=2, seed=0,
+                 space={"lr": (1e-4, 1e-2, "log")}, batch=4,
+                 save_dir=str(tmp_path / "tune"))
+    assert math.isfinite(out["best_fitness"])
+    assert (tmp_path / "tune" / "tune_results.csv").exists()
+    assert (tmp_path / "tune" / "trial_1").is_dir()
+
+
 def _tiny_track_dataset(root):
     from PIL import Image
     (root / "images/seq01").mkdir(parents=True)
