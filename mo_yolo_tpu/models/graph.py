@@ -23,10 +23,10 @@ import jax.numpy as jnp
 import yaml
 from flax import linen as nn
 
-from mo_yolo_tpu.models.layers import (AIFI, C2f, C3, ConvBnAct,
-                                       ConvTranspose, DWConv, Focus,
-                                       GhostConv, HGBlock, HGStem, RepC3,
-                                       RepConv, SPPF, concat, upsample2x)
+from mo_yolo_tpu.models.layers import (AIFI, SPP, SPPF, Bottleneck, C2f, C3,
+                                       ConvBnAct, ConvTranspose, DWConv,
+                                       Focus, GhostConv, HGBlock, HGStem,
+                                       RepC3, RepConv, concat, upsample2x)
 
 HEAD_MODULES = {"MOTRTrack", "RTDETRDecoder", "MYDecoder", "Detect", "Segment",
                 "Pose", "Classify"}
@@ -86,7 +86,10 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
         # resolve relative from-indices to absolute node indices; -1 at row 0
         # stays -1 = the model input
         frm_t = tuple(f if f >= 0 else i + f for f in frm_t)
-        args = [nc if a == "nc" else a for a in (args or [])]
+        # yaml `None` parses as the STRING "None" (the reference evals row
+        # args through `eval`, `tasks.py:895-899`; rt-detr Conv rows use it)
+        args = [None if a == "None" else (nc if a == "nc" else a)
+                for a in (args or [])]
         n_rep = max(round(n * depth), 1) if n > 1 else n
 
         if mod in HEAD_MODULES:
@@ -104,9 +107,12 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
             k = args[1] if len(args) > 1 else 1
             s = args[2] if len(args) > 2 else 1
             # extended reference signature (c2, k, s, p, g, d, act) — the
-            # rt-detr graphs use act=False 1x1 input-proj convs
+            # rt-detr graphs use act=False 1x1 input-proj convs; the v5
+            # graphs pass an explicit p (k=6 stem, autopad would be 3)
+            p = args[3] if len(args) > 3 and args[3] is not None else None
             act = args[6] if len(args) > 6 else True
-            nodes.append(NodeSpec(i, frm_t, "Conv", 1, (c2, k, s, act), c2))
+            nodes.append(NodeSpec(i, frm_t, "Conv", 1, (c2, k, s, act, p),
+                                  c2))
             st = (in_stride(frm_t[0]) if node_stride else 1) * s
         elif mod == "ConvTranspose":
             c2 = make_divisible(min(args[0], max_channels) * width)
@@ -172,6 +178,46 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
             k = args[1] if len(args) > 1 else 5
             nodes.append(NodeSpec(i, frm_t, "SPPF", 1, (c2, k), c2))
             st = in_stride(frm_t[0])
+        elif mod == "Bottleneck":
+            # bare Bottleneck rows (v3 graphs): n sequential blocks, the
+            # reference wraps them in nn.Sequential (`tasks.py:940-942`)
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            shortcut = bool(args[1]) if len(args) > 1 else True
+            nodes.append(NodeSpec(i, frm_t, "Bottleneck", n_rep,
+                                  (c2, shortcut), c2))
+            st = in_stride(frm_t[0])
+        elif mod == "SPP":
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            ks = tuple(args[1]) if len(args) > 1 else (5, 9, 13)
+            nodes.append(NodeSpec(i, frm_t, "SPP", 1, (c2, ks), c2))
+            st = in_stride(frm_t[0])
+        elif mod == "nn.MaxPool2d":
+            # raw torch layer rows (v3-tiny): (kernel, stride, padding)
+            k = args[0] if args else 2
+            s = args[1] if len(args) > 1 else k
+            p = args[2] if len(args) > 2 else 0
+            c2 = in_ch(frm_t[0])
+            nodes.append(NodeSpec(i, frm_t, "MaxPool2d", 1, (k, s, p), c2))
+            st = in_stride(frm_t[0]) * s
+        elif mod == "nn.ZeroPad2d":
+            pad = args[0] if args else 0  # (left, right, top, bottom)|int
+            pad = tuple(pad) if isinstance(pad, (list, tuple)) else (pad,) * 4
+            c2 = in_ch(frm_t[0])
+            nodes.append(NodeSpec(i, frm_t, "ZeroPad2d", 1, (pad,), c2))
+            st = in_stride(frm_t[0])
+        elif mod == "nn.ConvTranspose2d":
+            # raw (bias, no BN/act) transposed conv (v6 head); c2 is
+            # width-scaled like any conv (`tasks.py:905-918`)
+            c2 = make_divisible(min(args[0], max_channels) * width)
+            k = args[1] if len(args) > 1 else 2
+            s = args[2] if len(args) > 2 else 2
+            p = args[3] if len(args) > 3 else 0
+            if p != 0:
+                raise ValueError("nn.ConvTranspose2d: only padding=0 is "
+                                 "supported (all shipped graphs use 0)")
+            nodes.append(NodeSpec(i, frm_t, "ConvTranspose2dRaw", 1,
+                                  (c2, k, s), c2))
+            st = max(in_stride(frm_t[0]) // s, 1)
         elif mod in ("nn.Upsample", "Upsample"):
             c2 = in_ch(frm_t[0])
             nodes.append(NodeSpec(i, frm_t, "Upsample", 1, (), c2))
@@ -226,8 +272,10 @@ class BackboneNeck(nn.Module):
         for node in self.spec.nodes:
             ins = [prev if f == -1 else outputs[f] for f in node.frm]
             if node.module == "Conv":
-                c2, k, s, act = node.args
-                y = ConvBnAct(c2, k, s, act=act, dtype=self.dtype,
+                c2, k, s, act, p = (node.args if len(node.args) == 5
+                                    else (*node.args, None))
+                y = ConvBnAct(c2, k, s, act=act, padding=p,
+                              dtype=self.dtype,
                               name=f"n{node.index}")(ins[0], train)
             elif node.module == "ConvTranspose":
                 c2, k, s = node.args
@@ -277,6 +325,29 @@ class BackboneNeck(nn.Module):
             elif node.module == "SPPF":
                 c2, k = node.args
                 y = SPPF(c2, k, dtype=self.dtype, name=f"n{node.index}")(ins[0], train)
+            elif node.module == "Bottleneck":
+                y = ins[0]
+                for r in range(node.repeats):
+                    y = Bottleneck(node.args[0], node.args[1],
+                                   dtype=self.dtype,
+                                   name=f"n{node.index}_{r}")(y, train)
+            elif node.module == "SPP":
+                c2, ks = node.args
+                y = SPP(c2, ks, dtype=self.dtype,
+                        name=f"n{node.index}")(ins[0], train)
+            elif node.module == "MaxPool2d":
+                k, s, p = node.args
+                y = nn.max_pool(ins[0], (k, k), strides=(s, s),
+                                padding=((p, p), (p, p)))
+            elif node.module == "ZeroPad2d":
+                left, right, top, bottom = node.args[0]
+                y = jnp.pad(ins[0], ((0, 0), (top, bottom),
+                                     (left, right), (0, 0)))
+            elif node.module == "ConvTranspose2dRaw":
+                c2, k, s = node.args
+                y = nn.ConvTranspose(c2, (k, k), strides=(s, s),
+                                     padding="VALID", dtype=self.dtype,
+                                     name=f"n{node.index}")(ins[0])
             elif node.module == "Upsample":
                 y = upsample2x(ins[0])
             elif node.module == "Concat":

@@ -126,6 +126,25 @@ class SPPF(nn.Module):
         return ConvBnAct(self.filters, 1, dtype=self.dtype, name="cv2")(y, train)
 
 
+class SPP(nn.Module):
+    """Spatial pyramid pooling, parallel variant (reference `block.py:SPP`;
+    used by the shipped `v3/yolov3-spp.yaml` graph)."""
+
+    filters: int
+    kernels: Tuple[int, ...] = (5, 9, 13)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = ConvBnAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
+        outs = [y] + [nn.max_pool(y, (k, k), strides=(1, 1),
+                                  padding=((k // 2, k // 2),) * 2)
+                      for k in self.kernels]
+        return ConvBnAct(self.filters, 1, dtype=self.dtype,
+                         name="cv2")(jnp.concatenate(outs, -1), train)
+
+
 class DWConv(nn.Module):
     """Depthwise Conv+BN+act (reference `conv.py:DWConv`)."""
 

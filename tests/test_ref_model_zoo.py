@@ -1,0 +1,73 @@
+"""Every model yaml shipped in the reference tree loads and forwards.
+
+The reference's `parse_model` accepts its whole zoo (v3/v5/v6/rt-detr/v8
+graphs, `ultralytics/cfg/models/`); ours must too. v8 + track + rt-detr
+variants are exercised throughout the suite; this covers the remaining
+eras: bare Bottleneck rows and SPP (v3), raw nn.MaxPool2d/nn.ZeroPad2d
+rows (v3-tiny), nn.ConvTranspose2d head rows (v6), and the P6 4-tap
+Detect (v5-p6).
+"""
+
+import numpy as np
+import pytest
+import yaml
+
+REF = "/root/reference/ultralytics/cfg/models"
+
+
+def _load(path):
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    if cfg.get("scales"):
+        # narrowest scale keeps CPU forwards fast (reference picks the
+        # scale from the filename suffix; bare names default differently
+        # per family, any valid key is fine here)
+        cfg["scale"] = min(cfg["scales"], key=lambda k: cfg["scales"][k][1])
+    return cfg
+
+
+@pytest.mark.parametrize("name", [
+    "v3/yolov3-tiny.yaml", "v3/yolov3-spp.yaml", "v3/yolov3.yaml",
+    "v5/yolov5.yaml", "v5/yolov5-p6.yaml", "v6/yolov6.yaml",
+])
+def test_detect_era_yamls_forward(name):
+    import jax
+    import jax.numpy as jnp
+
+    from mo_yolo_tpu.models.graph import parse_model_yaml
+    from mo_yolo_tpu.models.nas import NASModel
+
+    cfg = _load(f"{REF}/{name}")
+    cfg["nc"] = 4
+    spec = parse_model_yaml(cfg)
+    assert spec.head_module == "Detect"
+    m = NASModel(spec=spec, max_det=8)
+    img = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), img)
+    boxes, cls_p = jax.jit(lambda x: m.apply(v, x))(img)
+    S = sum((64 // s) * (64 // s) for s in spec.out_strides)
+    assert boxes.shape == (1, S, 4)
+    assert cls_p.shape == (1, S, 4)
+    assert np.isfinite(np.asarray(boxes)).all()
+    if "p6" in name:            # 4-tap head reaches stride 64
+        assert spec.out_strides == (8, 16, 32, 64)
+
+
+@pytest.mark.parametrize("name", ["rt-detr/rtdetr-l.yaml",
+                                  "rt-detr/rtdetr-x.yaml"])
+def test_rtdetr_yamls_backbone(name):
+    import jax
+    import jax.numpy as jnp
+
+    from mo_yolo_tpu.models.graph import BackboneNeck, parse_model_yaml
+
+    cfg = _load(f"{REF}/{name}")
+    spec = parse_model_yaml(cfg)
+    assert spec.head_module == "RTDETRDecoder"
+    bb = BackboneNeck(spec)
+    img = jnp.zeros((1, 64, 64, 3))
+    v = bb.init(jax.random.PRNGKey(0), img)
+    taps = jax.jit(lambda x: bb.apply(v, x))(img)
+    assert len(taps) == len(spec.out_indices)
+    for t, c, s in zip(taps, spec.out_channels, spec.out_strides):
+        assert t.shape == (1, 64 // s, 64 // s, c)
