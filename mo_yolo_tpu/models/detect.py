@@ -80,7 +80,8 @@ class YoloDetectHead(nn.Module):
     nc: int
     strides: Tuple[int, ...] = (8, 16, 32)
     reg_max: int = 16
-    dtype: Any = jnp.float32
+    act: Any = True      # yaml activation override reaches the head's
+    dtype: Any = jnp.float32  # convs too (reference Conv.default_act)
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], raw: bool = False):
@@ -94,12 +95,16 @@ class YoloDetectHead(nn.Module):
         c3 = max(feats[0].shape[-1], min(self.nc, 100))
         all_box, all_cls, all_anchor, all_stride = [], [], [], []
         for i, f in enumerate(feats):
-            b = ConvBnAct(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(f)
-            b = ConvBnAct(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b)
+            b = ConvBnAct(c2, 3, act=self.act, dtype=self.dtype,
+                          name=f"cv2_{i}_0")(f)
+            b = ConvBnAct(c2, 3, act=self.act, dtype=self.dtype,
+                          name=f"cv2_{i}_1")(b)
             b = nn.Conv(4 * self.reg_max, (1, 1), dtype=self.dtype,
                         name=f"cv2_{i}_2")(b)
-            c = ConvBnAct(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(f)
-            c = ConvBnAct(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(c)
+            c = ConvBnAct(c3, 3, act=self.act, dtype=self.dtype,
+                          name=f"cv3_{i}_0")(f)
+            c = ConvBnAct(c3, 3, act=self.act, dtype=self.dtype,
+                          name=f"cv3_{i}_1")(c)
             c = nn.Conv(self.nc, (1, 1), dtype=self.dtype,
                         name=f"cv3_{i}_2")(c)
             h, w = f.shape[1:3]

@@ -55,6 +55,10 @@ class GraphSpec:
     nc: int
     head_module: str
     head_args: Tuple[Any, ...]
+    # yaml `activation:` override (v6 graphs set nn.ReLU(); the reference
+    # rebinds Conv.default_act globally, `tasks.py:887-899`) — threaded to
+    # every ConvBnAct this graph and its Detect head construct
+    act: Any = True
 
 
 def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSpec:
@@ -67,6 +71,11 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
         with open(cfg) as f:
             cfg = yaml.safe_load(f)
     nc = nc if nc is not None else int(cfg.get("nc", 80))
+    act_map = {None: True, "nn.SiLU()": True, "nn.ReLU()": "relu"}
+    if cfg.get("activation") not in act_map:
+        raise ValueError(f"unsupported yaml activation override: "
+                         f"{cfg.get('activation')!r}")
+    default_act = act_map[cfg.get("activation")]
     depth = float(cfg.get("depth_multiple", 1.0))
     width = float(cfg.get("width_multiple", 1.0))
     max_channels = float("inf")
@@ -110,10 +119,13 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
             # rt-detr graphs use act=False 1x1 input-proj convs; the v5
             # graphs pass an explicit p (k=6 stem, autopad would be 3)
             p = args[3] if len(args) > 3 and args[3] is not None else None
-            act = args[6] if len(args) > 6 else True
-            nodes.append(NodeSpec(i, frm_t, "Conv", 1, (c2, k, s, act, p),
-                                  c2))
-            st = (in_stride(frm_t[0]) if node_stride else 1) * s
+            act = args[6] if len(args) > 6 else default_act
+            # n>1 Conv rows (v6 graphs) are sequential repeats — the
+            # reference wraps non-C-blocks in nn.Sequential
+            # (`tasks.py:940-942`); stride compounds per repeat
+            nodes.append(NodeSpec(i, frm_t, "Conv", n_rep,
+                                  (c2, k, s, act, p), c2))
+            st = (in_stride(frm_t[0]) if node_stride else 1) * (s ** n_rep)
         elif mod == "ConvTranspose":
             c2 = make_divisible(min(args[0], max_channels) * width)
             k = args[1] if len(args) > 1 else 2
@@ -242,7 +254,8 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
     out_idx = tuple(frm_t)
     out_ch = tuple(ch[f + 1] for f in out_idx)
     out_st = tuple(node_stride[f] for f in out_idx)
-    return GraphSpec(tuple(nodes), out_idx, out_ch, out_st, nc, head_mod, head_args)
+    return GraphSpec(tuple(nodes), out_idx, out_ch, out_st, nc, head_mod,
+                     head_args, act=default_act)
 
 
 class BackboneNeck(nn.Module):
@@ -274,9 +287,12 @@ class BackboneNeck(nn.Module):
             if node.module == "Conv":
                 c2, k, s, act, p = (node.args if len(node.args) == 5
                                     else (*node.args, None))
-                y = ConvBnAct(c2, k, s, act=act, padding=p,
-                              dtype=self.dtype,
-                              name=f"n{node.index}")(ins[0], train)
+                y = ins[0]
+                for r in range(node.repeats):
+                    nm = (f"n{node.index}" if node.repeats == 1
+                          else f"n{node.index}_{r}")
+                    y = ConvBnAct(c2, k, s, act=act, padding=p,
+                                  dtype=self.dtype, name=nm)(y, train)
             elif node.module == "ConvTranspose":
                 c2, k, s = node.args
                 y = ConvTranspose(c2, k, s, dtype=self.dtype,
@@ -324,13 +340,17 @@ class BackboneNeck(nn.Module):
                          name=f"n{node.index}")(ins[0], train)
             elif node.module == "SPPF":
                 c2, k = node.args
-                y = SPPF(c2, k, dtype=self.dtype, name=f"n{node.index}")(ins[0], train)
+                y = SPPF(c2, k, act=self.spec.act, dtype=self.dtype,
+                         name=f"n{node.index}")(ins[0], train)
             elif node.module == "Bottleneck":
+                # torch naming: bare module at n==1, nn.Sequential of
+                # repeats otherwise — mirror it so imports map 1:1
                 y = ins[0]
                 for r in range(node.repeats):
+                    nm = (f"n{node.index}" if node.repeats == 1
+                          else f"n{node.index}_{r}")
                     y = Bottleneck(node.args[0], node.args[1],
-                                   dtype=self.dtype,
-                                   name=f"n{node.index}_{r}")(y, train)
+                                   dtype=self.dtype, name=nm)(y, train)
             elif node.module == "SPP":
                 c2, ks = node.args
                 y = SPP(c2, ks, dtype=self.dtype,

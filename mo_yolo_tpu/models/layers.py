@@ -110,12 +110,14 @@ class SPPF(nn.Module):
 
     filters: int
     kernel: int = 5
+    act: Any = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        y = ConvBnAct(c_, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBnAct(c_, 1, act=self.act, dtype=self.dtype,
+                      name="cv1")(x, train)
         k = self.kernel
         pad = k // 2
         outs = [y]
@@ -123,7 +125,8 @@ class SPPF(nn.Module):
             outs.append(nn.max_pool(outs[-1], (k, k), strides=(1, 1),
                                     padding=((pad, pad), (pad, pad))))
         y = jnp.concatenate(outs, axis=-1)
-        return ConvBnAct(self.filters, 1, dtype=self.dtype, name="cv2")(y, train)
+        return ConvBnAct(self.filters, 1, act=self.act, dtype=self.dtype,
+                         name="cv2")(y, train)
 
 
 class SPP(nn.Module):

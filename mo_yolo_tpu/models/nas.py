@@ -37,7 +37,7 @@ class NASModel(nn.Module):
     def setup(self):
         self.backbone = BackboneNeck(self.spec, dtype=self.dtype)
         self.head = YoloDetectHead(self.spec.nc, self.spec.out_strides,
-                                   dtype=self.dtype)
+                                   act=self.spec.act, dtype=self.dtype)
 
     def __call__(self, images, train: bool = False, raw: bool = False):
         feats = self.backbone(images, train=train)

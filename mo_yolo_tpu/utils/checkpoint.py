@@ -286,7 +286,19 @@ def _expand_backbone_entry(idx: str, rest, tv):
     if rest[0] in ("norm1", "norm2") and len(rest) == 2:
         return _linear_or_norm(f"params/backbone/n{idx}/{rest[0]}", False,
                                rest[1], tv)
-    out = ["params", "backbone", f"n{idx}"]
+    node = f"n{idx}"
+    if rest[0].isdigit():
+        # row-level nn.Sequential (bare Bottleneck repeats in the v3
+        # graphs, `tasks.py:940-942`): model.{i}.{r}.* -> n{i}_{r}/*
+        node = f"n{idx}_{rest[0]}"
+        rest = rest[1:]
+    if len(rest) == 1 and rest[0] in ("weight", "bias"):
+        # raw parameterized layer directly under model.{i}: the only one
+        # the graphs ship is nn.ConvTranspose2d (v6 head rows)
+        if rest[0] == "weight":
+            return [(f"params/backbone/{node}/kernel", tv, "convT")]
+        return [(f"params/backbone/{node}/bias", tv, "none")]
+    out = ["params", "backbone", node]
     for p in rest[:-1]:
         if p == "m":
             continue                  # ModuleList wrapper: m.0 -> m0
@@ -487,7 +499,15 @@ def _inverse_map(key: str, arr, head_idx: int, pend_qkv):
         return np.transpose(a, (3, 2, 0, 1))
 
     if top == "backbone":
-        idx = parts[2][1:]             # n{i}
+        idx = parts[2][1:]             # n{i} (or n{i}_{r} sequential slot)
+        if "_" in idx:
+            i0, r = idx.split("_", 1)
+            idx = f"{i0}.{r}"
+        if len(parts) == 4 and parts[3] == "kernel" and arr.ndim == 4:
+            # raw nn.ConvTranspose2d kernel (no conv/bn child): invert
+            # the convT import transform (flip + HWIO -> [in,out,kH,kW])
+            return (f"model.{idx}.weight",
+                    np.transpose(arr[::-1, ::-1], (2, 3, 0, 1)))
         if len(parts) > 3 and parts[3] == "ma":        # AIFI attention
             proj, leaf = parts[4], parts[5]
             if proj == "out_proj":

@@ -177,3 +177,41 @@ def test_classify_forward_parity(ref):
         tprob = cm(timg).numpy()
     oprob = np.asarray(jax.nn.softmax(m.apply(v2, jnp.asarray(img)), -1))
     np.testing.assert_allclose(oprob, tprob, atol=1e-5)
+
+
+@pytest.mark.parametrize("tname,ours,scale", [
+    ("yolov3-tiny.yaml", "v3/yolov3-tiny.yaml", None),
+    ("yolov5n.yaml", "v5/yolov5.yaml", "n"),
+    ("yolov6n.yaml", "v6/yolov6.yaml", "n"),
+])
+def test_era_graph_import_parity(ref, tname, ours, scale):
+    """The non-v8 eras the reference also ships (v3-tiny: raw
+    MaxPool/ZeroPad rows; v5: explicit-padding stem + C3; v6: global
+    nn.ReLU() activation override + raw ConvTranspose2d rows): build the
+    REAL reference DetectionModel, import its state_dict strictly, and
+    require identical eval forwards."""
+    from mo_yolo_tpu.models.graph import parse_model_yaml
+    from mo_yolo_tpu.models.nas import NASModel
+    from mo_yolo_tpu.utils.checkpoint import apply_torch_state_dict
+
+    dm = _build_ref(ref.tasks.DetectionModel, tname, nc=5)
+    with open(f"/root/reference/ultralytics/cfg/models/{ours}") as f:
+        cfg = yaml.safe_load(f)
+    cfg["nc"] = 5
+    if scale:
+        cfg["scale"] = scale
+    m = NASModel(spec=parse_model_yaml(cfg))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 160, 160, 3)))
+    v2, rep = apply_torch_state_dict(_state_dict(dm), v, strict=True)
+    assert not rep["untouched"], rep["untouched"][:10]
+
+    img = _image()
+    timg = torch.from_numpy(np.ascontiguousarray(img.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        ty = dm(timg)
+        ty = (ty[0] if isinstance(ty, (list, tuple)) else ty).numpy()
+    bx, cp = m.apply(v2, jnp.asarray(img))
+    np.testing.assert_allclose(_cxcywh(np.asarray(bx)),
+                               ty[:, :4].transpose(0, 2, 1), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(cp),
+                               ty[:, 4:].transpose(0, 2, 1), atol=1e-6)
