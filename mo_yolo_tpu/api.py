@@ -50,6 +50,10 @@ class _TuneMixin:
 
     _tune_resume = False
     _tune_save_dir = "runs/tune"
+    # trainers that take augment=... get it forced on during tuning so the
+    # sampled augmentation dimensions actually affect fitness (the
+    # reference tunes with its default augmentation active)
+    _tune_train_augment = False
 
     def _tune_space(self, space):
         from mo_yolo_tpu.utils.tuner import DEFAULT_SPACE
@@ -71,6 +75,8 @@ class _TuneMixin:
                                 max_samples=max_samples, data=data,
                                 epochs=epochs, **train_args)
         space = self._tune_space(space)
+        if self._tune_train_augment:
+            train_args.setdefault("augment", True)
 
         def train_fn(hyp, n_epochs, tdir, resume):
             # stable per-trial init seed (trial_N dir suffix), so a rung
@@ -228,6 +234,7 @@ class MOTRTrack(_TuneMixin):
     _TUNE_TOP = ("lr", "lrf", "momentum", "warmup_epochs", "warmup_momentum")
     _tune_resume = True           # TrackTrainer continues rungs via resume
     _tune_save_dir = "runs/track/tune"
+    _tune_train_augment = True
 
     def _tune_space(self, space):
         if space is not None:
@@ -660,6 +667,7 @@ class Detector(_TuneMixin):
 
     _tune_save_dir = "runs/detect/tune"   # DetectTrainer has no resume:
                                           # rungs retrain from scratch
+    _tune_train_augment = True
 
     def _fresh_for_tune(self, seed: int = 0) -> "Detector":
         return type(self)(seed=seed, **self._ctor)
@@ -868,8 +876,25 @@ class _TaskModel(_TuneMixin):
     def _fresh_for_tune(self, seed: int = 0) -> "_TaskModel":
         return type(self)(seed=seed, **self._ctor)
 
+    def _tune_space(self, space):
+        if space is not None:
+            return dict(space)
+        # ONLY keys the task trainers honor: lr plus their loss gains
+        # (`train/task_trainers.py` reads hyp for box/cls/dfl and, per
+        # task, pose/kobj or label_smoothing) — sampling the full detect
+        # space would add inert noise dimensions
+        sp = {"lr": (1e-5, 1e-1, "log"), "box": (2.0, 20.0),
+              "cls": (0.2, 4.0), "dfl": (0.5, 3.0)}
+        if self.task == "pose":
+            sp.update(pose=(2.0, 30.0), kobj=(0.5, 2.0))
+        if self.task == "classify":
+            sp = {"lr": (1e-5, 1e-1, "log"),
+                  "label_smoothing": (0.0, 0.1)}
+        return sp
+
     def _route_tune_hyp(self, hyp: Dict[str, Any]) -> Dict[str, Any]:
-        # task trainers read everything but `lr` from their hyp dict
+        # the task trainers take `lr` as a kwarg and read the loss gains
+        # from their hyp dict
         top = {"lr": hyp["lr"]} if "lr" in hyp else {}
         rest = {k: v for k, v in hyp.items() if k != "lr"}
         if rest:

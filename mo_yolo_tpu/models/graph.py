@@ -243,6 +243,20 @@ def parse_model_yaml(cfg: Union[str, Dict], nc: Optional[int] = None) -> GraphSp
         ch.append(c2)
         node_stride.append(st)
 
+    if default_act is not True:
+        # the override is threaded through Conv rows, SPPF, and the
+        # Detect head (all the shipped v6 graphs need); refuse silently
+        # mixed-activation networks for anything else
+        ok = {"Conv", "SPPF", "MaxPool2d", "ZeroPad2d",
+              "ConvTranspose2dRaw", "Upsample", "Concat"}
+        bad = sorted({n.module for n in nodes} - ok)
+        head_m = head_row[1] if head_row else None
+        if bad or head_m != "Detect":
+            raise ValueError(
+                f"activation override {cfg.get('activation')!r} is only "
+                f"supported for Conv/SPPF graphs with a Detect head "
+                f"(unsupported: {bad or head_m}) — the reference rebinds "
+                f"Conv.default_act globally, tasks.py:887-899")
     if head_row is None:
         raise ValueError("model yaml has no head row (Detect/MOTRTrack/...)")
     frm_t, head_mod, head_args = head_row

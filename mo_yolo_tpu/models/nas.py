@@ -85,20 +85,28 @@ class NASModel(nn.Module):
         flips = (False, True, False)
         all_b, all_c = [], []
         for idx, (si, fl) in enumerate(zip(scales, flips)):
-            hi = max(int(round(H * si / 32)) * 32, 32)
-            wi = max(int(round(W * si / 32)) * 32, 32)
-            xi = images if si == 1.0 else jax.image.resize(
-                images, (B, hi, wi, images.shape[-1]), "bilinear")
+            if si == 1.0:                # full scale: exact input dims
+                hi, wi, xi = H, W, images
+            else:
+                hi = max(int(round(H * si / 32)) * 32, 32)
+                wi = max(int(round(W * si / 32)) * 32, 32)
+                xi = jax.image.resize(
+                    images, (B, hi, wi, images.shape[-1]), "bilinear")
             if fl:
                 xi = xi[:, :, ::-1]
             b, c = self(xi, train=False)             # xyxy in scaled px
             if fl:                                   # de-flip lr
                 b = jnp.stack([wi - b[..., 2], b[..., 1],
                                wi - b[..., 0], b[..., 3]], -1)
-            # de-scale per axis (stride rounding makes sx != sy)
-            b = b * jnp.asarray([W / wi, H / hi, W / wi, H / hi], b.dtype)
-            # anchors are level-ordered P3|P4|P5 (YoloDetectHead concat)
-            counts = [(hi // s) * (wi // s) for s in self.spec.out_strides]
+            if (hi, wi) != (H, W):
+                # de-scale per axis (stride rounding makes sx != sy)
+                b = b * jnp.asarray([W / wi, H / hi, W / wi, H / hi],
+                                    b.dtype)
+            # anchors are level-ordered P3|P4|P5 (YoloDetectHead concat);
+            # SAME-padded stride-2 chains give ceil(h/s) grids, so use
+            # ceil division for inputs that aren't stride multiples
+            counts = [(-(-hi // s)) * (-(-wi // s))
+                      for s in self.spec.out_strides]
             if idx == 0:                 # full scale: drop coarsest tail
                 keep = sum(counts[:-1])
                 b, c = b[:, :keep], c[:, :keep]

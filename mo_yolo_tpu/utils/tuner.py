@@ -104,6 +104,8 @@ class Tuner:
                  max_samples: int = 10, grace_period: int = 0,
                  reduction: int = 2, seed: int = 0,
                  save_dir: str = "runs/tune"):
+        if int(max_samples) < 1:
+            raise ValueError(f"max_samples must be >= 1, got {max_samples}")
         self.train_fn = train_fn
         self.space = dict(space or DEFAULT_SPACE)
         self.max_samples = int(max_samples)
@@ -129,6 +131,8 @@ class Tuner:
                   for i in range(self.max_samples)]
         rungs = self._rungs(int(epochs))
         alive = list(trials)
+        first_err: Optional[Exception] = None
+        any_ok = False
         for r, budget in enumerate(rungs):
             for t in alive:
                 tdir = self.save_dir / f"trial_{t['trial']}"
@@ -137,13 +141,21 @@ class Tuner:
                 try:
                     m = self.train_fn(dict(t["hyp"]), budget, str(tdir),
                                       t["epochs_run"] > 0)
+                    any_ok = True
                 except Exception as e:          # a diverged trial is a
                     LOGGER.warning("tune: trial %d failed: %s",
                                    t["trial"], e)
+                    first_err = first_err or e
                     m = {}                      # worst-fitness data point
                 t["metrics"] = m
                 t["fitness"] = fitness_of(m)
                 t["epochs_run"] = budget
+            if not any_ok:
+                # EVERY first-rung trial failed: that's a configuration
+                # error, not divergence — surface the real exception
+                raise RuntimeError(
+                    f"tune: all {len(alive)} trials failed; first error: "
+                    f"{first_err}") from first_err
             alive.sort(key=lambda t: t["fitness"], reverse=True)
             if budget < rungs[-1]:
                 keep = max(len(alive) // self.reduction, 1)
@@ -201,15 +213,29 @@ def run_ray_tune(model, space: Optional[dict] = None,
     data = train_args.pop("data")
     epochs = int(train_args.pop("epochs", 10))
 
+    def _report(payload: dict):
+        try:                      # ray>=2: function trainables report via
+            from ray.air import session  # the session API
+            session.report(payload)
+        except ImportError:       # legacy ray 1.x
+            tune.report(**payload)
+
     def _trainable(config):
         m = model._fresh_for_tune(seed=0)
         metrics = m.train(data=data, epochs=epochs,
                           **model._route_tune_hyp(config), **train_args)
-        tune.report(**{"fitness": fitness_of(metrics)})
+        _report({"fitness": fitness_of(metrics)})
 
-    sp = {k: (tune.loguniform(*v[:2]) if isinstance(v, tuple) and
-              len(v) == 3 else tune.uniform(*v))
-          for k, v in (space or DEFAULT_SPACE).items()}
+    def _dim(v):
+        if isinstance(v, tuple) and len(v) == 3 and v[2] == "log":
+            return tune.loguniform(v[0], v[1])
+        if isinstance(v, tuple) and len(v) == 2:
+            return tune.uniform(v[0], v[1])
+        if isinstance(v, (list, set)):
+            return tune.choice(sorted(v) if isinstance(v, set) else list(v))
+        return v                  # fixed value
+
+    sp = {k: _dim(v) for k, v in (space or DEFAULT_SPACE).items()}
     tuner = tune.Tuner(
         _trainable, param_space=sp,
         tune_config=tune.TuneConfig(

@@ -66,13 +66,16 @@ def test_nas_resolves_from_cfg_dir(tmp_path):
     assert os.path.isfile(p)
 
 
-def test_tta_geometry_and_merge(tmp_path):
+@pytest.mark.parametrize("hw", [(64, 96), (72, 100)])
+def test_tta_geometry_and_merge(tmp_path, hw):
     """predict_step_tta (reference `_predict_augment`, tasks.py:258-295):
     a deterministic fake head returns shape-relative boxes regardless of
     content, isolating the TTA geometry — resize, de-flip, de-scale,
     tail clipping, union NMS. A symmetric box must merge to ONE
     detection across all passes; an x-asymmetric box must additionally
-    appear mirrored from the flipped pass."""
+    appear mirrored from the flipped pass. The (72, 100) case covers
+    inputs that are NOT stride-32 multiples (ceil-grid anchor counts,
+    exact full-scale pass)."""
     import jax
     import jax.numpy as jnp
     import yaml
@@ -86,7 +89,9 @@ def test_tta_geometry_and_merge(tmp_path):
 
         def __call__(self, images, train=False, raw=False):
             B, hi, wi, _ = images.shape
-            S = sum((hi // s) * (wi // s) for s in self.spec.out_strides)
+            # SAME-padded stride chains give ceil(h/s) grids
+            S = sum((-(-hi // s)) * (-(-wi // s))
+                    for s in self.spec.out_strides)
             boxes = jnp.zeros((B, S, 4))
             cls = jnp.full((B, S, self.spec.nc), 1e-6)
             sym = jnp.asarray([0.25 * wi, 0.25 * hi, 0.75 * wi, 0.75 * hi])
@@ -98,7 +103,7 @@ def test_tta_geometry_and_merge(tmp_path):
     cfg = tmp_path / "tiny_nas.yaml"
     cfg.write_text(yaml.safe_dump(TINY_NAS))
     m = FakeDet(spec=parse_model_yaml(str(cfg)), max_det=8, conf=0.1)
-    img = jnp.zeros((1, 64, 96, 3))
+    img = jnp.zeros((1, hw[0], hw[1], 3))
     v = m.init(jax.random.PRNGKey(0), img, method=m.predict_step_tta)
     boxes, scores, cls = jax.jit(
         lambda x: m.apply(v, x, method=m.predict_step_tta))(img)

@@ -71,3 +71,24 @@ def test_rtdetr_yamls_backbone(name):
     assert len(taps) == len(spec.out_indices)
     for t, c, s in zip(taps, spec.out_channels, spec.out_strides):
         assert t.shape == (1, 64 // s, 64 // s, c)
+
+
+def test_activation_override_guard():
+    """yaml `activation:` must either thread exactly (Conv/SPPF/Detect
+    graphs) or refuse — never silently build a mixed-activation net."""
+    from mo_yolo_tpu.models.graph import parse_model_yaml
+
+    base = {"nc": 2, "activation": "nn.ReLU()",
+            "backbone": [[-1, 1, "Conv", [16, 3, 2]],
+                         [-1, 1, "C2f", [16]]],
+            "head": [[[1], 1, "Detect", ["nc"]]]}
+    with pytest.raises(ValueError, match="activation override"):
+        parse_model_yaml(dict(base))
+    with pytest.raises(ValueError, match="activation"):
+        parse_model_yaml({**base, "activation": "nn.LeakyReLU(0.1)",
+                          "backbone": [[-1, 1, "Conv", [16, 3, 2]]]})
+    ok = {**base, "backbone": [[-1, 1, "Conv", [16, 3, 2]],
+                               [-1, 1, "SPPF", [16, 5]]]}
+    spec = parse_model_yaml(ok)
+    assert spec.act == "relu"
+    assert spec.nodes[0].args[3] == "relu"   # Conv act arg

@@ -103,6 +103,41 @@ def test_tuner_survives_failing_trial(tmp_path):
     assert out["best_hyp"]["x"] <= 0.5
 
 
+def test_tuner_raises_when_all_trials_fail(tmp_path):
+    """A configuration error (every trial fails identically) must
+    surface the real exception, not return best_fitness=-inf."""
+    def train_fn(hyp, epochs, save_dir, resume):
+        raise ValueError("tune() needs a yaml-built model")
+
+    t = Tuner(train_fn, space={"x": (0.0, 1.0)}, max_samples=3, seed=0,
+              save_dir=str(tmp_path))
+    with pytest.raises(RuntimeError, match="yaml-built model"):
+        t(epochs=1)
+
+
+def test_tuner_rejects_bad_max_samples(tmp_path):
+    with pytest.raises(ValueError, match="max_samples"):
+        Tuner(lambda *a: {}, max_samples=0, save_dir=str(tmp_path))
+
+
+def test_tune_spaces_match_honored_keys():
+    """Facade default spaces only sample dimensions their trainers
+    honor; track/detect tuning trains with augmentation ON so the
+    sampled augment dims affect fitness."""
+    from mo_yolo_tpu.api import MOTRTrack, _TaskModel
+
+    assert MOTRTrack._tune_train_augment is True
+    seg = object.__new__(_TaskModel)
+    seg.task = "segment"
+    assert set(seg._tune_space(None)) == {"lr", "box", "cls", "dfl"}
+    pose = object.__new__(_TaskModel)
+    pose.task = "pose"
+    assert {"pose", "kobj"} < set(pose._tune_space(None))
+    clf = object.__new__(_TaskModel)
+    clf.task = "classify"
+    assert set(clf._tune_space(None)) == {"lr", "label_smoothing"}
+
+
 def test_route_tune_hyp_facades():
     """Key routing: TrackTrainer ctor keys stay top-level, the rest nest
     under hyp; Detector routes everything but lr into hyp."""
