@@ -205,3 +205,45 @@ def feature_visualization(feats: Sequence[np.ndarray], save_dir: str,
         Image.fromarray(canvas).save(p)
         paths.append(str(p))
     return paths
+
+
+def plot_tune_results(trials: List[Dict], out_png: str) -> Optional[str]:
+    """Fitness-vs-hyperparameter scatter grid from Tuner trial dicts
+    (reference tune artifact `tune_scatter_plots.png`, and the fitness
+    panel of `ray`'s result plots). Best trial marked. Returns None when
+    matplotlib is unavailable (plots are best-effort everywhere)."""
+    try:
+        plt = _plt()
+    except Exception:
+        return None
+    done = [t for t in trials if np.isfinite(t.get("fitness", -np.inf))]
+    if not done:
+        return None
+    keys = sorted({k for t in done for k in t["hyp"]
+                   if isinstance(t["hyp"][k], (int, float))})
+    if not keys:
+        return None
+    fit = np.array([t["fitness"] for t in done])
+    best = int(np.argmax(fit))
+    n = len(keys)
+    cols = min(n, 4)
+    rows = -(-n // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(3.2 * cols, 2.8 * rows),
+                             squeeze=False)
+    for i, k in enumerate(keys):
+        ax = axes[i // cols][i % cols]
+        x = np.array([float(t["hyp"][k]) for t in done])
+        ax.scatter(x, fit, s=14, alpha=0.7)
+        ax.scatter([x[best]], [fit[best]], s=60, marker="*", color="red")
+        ax.set_title(k, fontsize=9)
+        ax.grid(alpha=0.3)
+        if x.min() > 0 and x.max() / max(x.min(), 1e-12) > 50:
+            ax.set_xscale("log")
+    for j in range(n, rows * cols):
+        axes[j // cols][j % cols].axis("off")
+    fig.suptitle("fitness vs hyperparameter (red star = best)", fontsize=10)
+    fig.tight_layout()
+    Path(out_png).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return out_png

@@ -192,6 +192,12 @@ class Tuner:
         with open(self.save_dir / "tune_results.json", "w") as f:
             json.dump([{k: v for k, v in t.items() if k != "metrics"}
                        for t in trials], f, indent=1)
+        try:     # fitness-vs-dimension scatter grid (best-effort)
+            from mo_yolo_tpu.utils.plotting import plot_tune_results
+            plot_tune_results(trials,
+                              str(self.save_dir / "tune_scatter_plots.png"))
+        except Exception as e:
+            LOGGER.warning(f"tune plot skipped: {e}")
 
 
 def run_ray_tune(model, space: Optional[dict] = None,

@@ -60,6 +60,8 @@ def test_tuner_picks_best_and_writes_artifacts(tmp_path):
     assert "lr:" in txt
     rows = json.loads((tmp_path / "tune_results.json").read_text())
     assert len(rows) == 8 and not any(r["stopped"] for r in rows)
+    # scatter artifact (reference tune_scatter_plots.png)
+    assert (tmp_path / "tune_scatter_plots.png").exists()
 
 
 def test_tuner_successive_halving_schedule(tmp_path):
