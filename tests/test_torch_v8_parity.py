@@ -37,12 +37,12 @@ def ref():
         pytest.skip(f"reference tree not importable: {e}")
 
 
-def _build_ref(cls, cfgname, **kw):
+def _build_ref(cls, cfgname, sz=160, **kw):
     torch.manual_seed(0)
     m = cls(cfg=cfgname, verbose=False, **kw).float()
     m.train()
     with torch.no_grad():
-        m(torch.rand(2, 3, 160, 160,
+        m(torch.rand(2, 3, sz, sz,
                      generator=torch.Generator().manual_seed(1)))
     m.eval()
     return m
@@ -182,6 +182,7 @@ def test_classify_forward_parity(ref):
 @pytest.mark.parametrize("tname,ours,scale", [
     ("yolov3-tiny.yaml", "v3/yolov3-tiny.yaml", None),
     ("yolov5n.yaml", "v5/yolov5.yaml", "n"),
+    ("yolov5n6.yaml", "v5/yolov5-p6.yaml", "n"),   # 4-tap P3..P6 head
     ("yolov6n.yaml", "v6/yolov6.yaml", "n"),
 ])
 def test_era_graph_import_parity(ref, tname, ours, scale):
@@ -194,18 +195,21 @@ def test_era_graph_import_parity(ref, tname, ours, scale):
     from mo_yolo_tpu.models.nas import NASModel
     from mo_yolo_tpu.utils.checkpoint import apply_torch_state_dict
 
-    dm = _build_ref(ref.tasks.DetectionModel, tname, nc=5)
+    sz = 192 if "p6" in ours else 160   # P6 needs /64-divisible inputs
+    dm = _build_ref(ref.tasks.DetectionModel, tname, nc=5, sz=sz)
     with open(f"/root/reference/ultralytics/cfg/models/{ours}") as f:
         cfg = yaml.safe_load(f)
     cfg["nc"] = 5
     if scale:
         cfg["scale"] = scale
     m = NASModel(spec=parse_model_yaml(cfg))
-    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 160, 160, 3)))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, sz, sz, 3)))
     v2, rep = apply_torch_state_dict(_state_dict(dm), v, strict=True)
     assert not rep["untouched"], rep["untouched"][:10]
 
-    img = _image()
+    yy, xx = np.mgrid[0:sz, 0:sz].astype(np.float32) / sz
+    img = np.stack([xx, yy, xx * yy], -1)[None].astype(np.float32)
+    img[0, sz // 4:sz // 2, 30:70, 0] = 1.0
     timg = torch.from_numpy(np.ascontiguousarray(img.transpose(0, 3, 1, 2)))
     with torch.no_grad():
         ty = dm(timg)
