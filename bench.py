@@ -156,8 +156,10 @@ def main():
 
     explicit = None
     if "--imgsz" in sys.argv:
-        spec = sys.argv[sys.argv.index("--imgsz") + 1]
-        if "x" in spec:
+        spec = sys.argv[sys.argv.index("--imgsz") + 1].strip()
+        if spec[:1] in "[(":        # "[h, w]" list form (default.yaml rect)
+            h, w = (int(float(v)) for v in spec.strip("[]()").split(","))
+        elif "x" in spec:           # "WxH" bench convention
             w, h = (int(v) for v in spec.split("x"))
         else:
             w = h = int(spec)

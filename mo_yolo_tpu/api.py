@@ -27,6 +27,19 @@ def _rect_from_first(files, imgsz):
     return rect_hw(h0, w0, imgsz)
 
 
+def _split_files(d, split, data):
+    """Image list for a requested dataset-yaml split. Raises instead of
+    silently falling back to val when the split is missing/empty, so
+    `val(split='test')` can never mislabel a val-set evaluation."""
+    files = d.get(split) or []
+    if not files:
+        have = [k for k in ("train", "val", "test") if d.get(k)]
+        raise ValueError(
+            f"dataset '{data}' has no images for split='{split}' "
+            f"(populated splits: {have or 'none'})")
+    return files
+
+
 def _resolve_model_cfg(name: str) -> str:
     p = Path(name)
     if p.is_file():
@@ -73,7 +86,8 @@ class _TuneMixin:
             return run_ray_tune(self, space=space,
                                 grace_period=grace_period,
                                 max_samples=max_samples, data=data,
-                                epochs=epochs, **train_args)
+                                epochs=epochs, reduction=reduction,
+                                seed=seed, save_dir=save_dir, **train_args)
         space = self._tune_space(space)
         if self._tune_train_augment:
             train_args.setdefault("augment", True)
@@ -201,7 +215,7 @@ class MOTRTrack(_TuneMixin):
         if isinstance(data, str):
             from mo_yolo_tpu.data.dataset import load_dataset_yaml
             d = load_dataset_yaml(data)
-            files = d.get(split) or d["val"]
+            files = _split_files(d, split, data)
             self.names = self.names or d["names"]
         else:
             files = list(data)
@@ -322,11 +336,13 @@ class MOTRTrack(_TuneMixin):
         return out
 
     # ------------------------------------------------------------------ #
-    def save(self, path: str):
+    def save(self, path: str, variables=None):
         """Persist weights + EVERYTHING needed to rebuild the exact model:
         nc, dtype, impl, the full TrackerConfig, and scalar model_kw — so
         `load()` reconstructs non-default models (n_slots, nq, ...) with
-        matching shapes."""
+        matching shapes. `variables` overrides the saved tree (used by
+        export(half=True) to write a downcast copy without mutating the
+        live model)."""
         import dataclasses
         from mo_yolo_tpu.utils.checkpoint import save_params
         kw = {k: v for k, v in self._model_kw.items()
@@ -335,7 +351,7 @@ class MOTRTrack(_TuneMixin):
                 "names": self.names, "model_kw": kw,
                 "nc": self._nc, "dtype": self._dtype_str, "impl": self._impl,
                 "tracker": dataclasses.asdict(self.model.tracker)}
-        save_params(path, self.variables)
+        save_params(path, self.variables if variables is None else variables)
         import json
         with open(str(Path(path).resolve()) + ".meta.json", "w") as f:
             json.dump(meta, f, default=str)
@@ -416,15 +432,18 @@ class MOTRTrack(_TuneMixin):
             if flag:
                 LOGGER.warning(f"export arg {why} has no effect in the "
                                "TPU stack; ignored")
+        ex_vars = self.variables
         if half:
-            # bake half-precision weights into the artifact (TPU half =
-            # bfloat16; tflite additionally narrows the flatbuffer below)
-            self.variables = jax.tree.map(
+            # bake half-precision weights into the ARTIFACT only (TPU
+            # half = bfloat16; tflite additionally narrows the flatbuffer
+            # below). The live model's variables are left untouched — the
+            # reference exporter likewise deep-copies before halving.
+            ex_vars = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                 self.variables)
         if fmt == "params":
-            self.save(path)
+            self.save(path, variables=ex_vars)
             return path
         if keras and fmt == "saved_model":
             fmt = "keras"
@@ -441,7 +460,7 @@ class MOTRTrack(_TuneMixin):
             def fn(state_leaves, f):
                 st = TrackState(*state_leaves)
                 new_st, out = self.model.apply(
-                    self.variables, st, f, method=self.model.stream_step)
+                    ex_vars, st, f, method=self.model.stream_step)
                 return tuple(new_st), out
 
             poly = None
@@ -526,7 +545,7 @@ class MOTRTrack(_TuneMixin):
                                      self.model.hd)
             frames = jnp.zeros((1, self.in_h, self.in_w, 3))
             from mo_yolo_tpu.models.tracker import TrackState
-            variables = self.variables
+            variables = ex_vars
 
             def fn(state_leaves, f):
                 # plain-tuple state: jax.export cannot serialize custom
@@ -552,7 +571,7 @@ class MOTRTrack(_TuneMixin):
             lowered = jax.jit(
                 lambda v, s, f: self.model.apply(v, s, f,
                                                  method=self.model.stream_step)
-            ).lower(self.variables, state, frames)
+            ).lower(ex_vars, state, frames)
             txt = lowered.as_text()
             out = Path(path).with_suffix(".stablehlo.txt")
             out.parent.mkdir(parents=True, exist_ok=True)
@@ -698,7 +717,7 @@ class Detector(_TuneMixin):
         if isinstance(data, str):
             from mo_yolo_tpu.data.dataset import load_dataset_yaml
             d = load_dataset_yaml(data)
-            files = d.get(split) or d["val"]
+            files = _split_files(d, split, data)
             self.names = self.names or d["names"]
         else:
             files = list(data)

@@ -232,7 +232,10 @@ def main(argv=None):
         import subprocess
         cmd = [sys.executable, "bench.py"]
         if imgsz_given:     # else bench's default dual-shape headline mode
-            cmd += ["--imgsz", str(imgsz)]
+            if isinstance(imgsz, (list, tuple)):   # [h, w] -> "WxH"
+                cmd += ["--imgsz", f"{int(imgsz[1])}x{int(imgsz[0])}"]
+            else:
+                cmd += ["--imgsz", str(imgsz)]
         if "streams" in kv:
             cmd += ["--streams", str(kv.pop("streams"))]
         return subprocess.call(cmd)

@@ -249,6 +249,9 @@ class ClipAugmenter:
     sampled once per clip and reused on every frame (ids stay coherent)."""
 
     hsv: bool = True
+    hsv_h: float = 0.015   # gain magnitudes (reference hsv_h/hsv_s/hsv_v)
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
     fliplr_p: float = 0.5
     flipud_p: float = 0.0
     degrees: float = 0.0
@@ -267,8 +270,9 @@ class ClipAugmenter:
 
     def __call__(self, img: np.ndarray, lab: np.ndarray):
         rng = np.random.default_rng(self._hsv_rng_state)
-        if self.hsv:
-            img = random_hsv(img, rng)
+        if self.hsv and (self.hsv_h or self.hsv_s or self.hsv_v):
+            img = random_hsv(img, rng, hgain=self.hsv_h,
+                             sgain=self.hsv_s, vgain=self.hsv_v)
         if self._flip:
             img, lab = random_flip_lr(img, lab)
         if self._flipud:

@@ -23,7 +23,7 @@ import dataclasses
 import os
 import random
 from pathlib import Path
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 import yaml
@@ -95,6 +95,11 @@ class TrackSample:
     track_id: np.ndarray   # [G] int32
     mask: np.ndarray       # [G] bool
     path: str = ""
+    # letterbox meta for mapping predictions back to ORIGINAL image
+    # pixels (reference scale_boxes before pred_to_json)
+    orig_hw: Tuple[int, int] = (0, 0)
+    gain: float = 1.0
+    pad: Tuple[float, float] = (0.0, 0.0)
 
 
 class TrackDataset:
@@ -185,14 +190,19 @@ class TrackDataset:
             lab[:, 0] = 0
         return lab
 
-    def load_frame(self, i: int, augment: bool = False) -> TrackSample:
+    def load_frame(self, i: int, augment: bool = False,
+                   aug_index: Optional[int] = None) -> TrackSample:
         img = self._image(i)
         lab = self._label(i)
         if augment and (self.mosaic_p > 0 or self.mixup_p > 0
                         or self.copy_paste_p > 0):
             from mo_yolo_tpu.data.augment import copy_paste, mixup, mosaic4
+            # aug_index varies per epoch (trainer passes epoch*len+i) so
+            # mosaic partners / mixup draws differ between epochs; a bare
+            # frame index would freeze the composite across the whole run
             rng = np.random.default_rng(
-                (self.aug_seed * 1_000_003 + i) % (2 ** 31))
+                (self.aug_seed * 1_000_003
+                 + (i if aug_index is None else aug_index)) % (2 ** 31))
             if rng.random() < self.mosaic_p and len(self.files) >= 4:
                 js = rng.integers(0, len(self.files), 3)
                 imgs = [img] + [self._image(int(j)) for j in js]
@@ -229,7 +239,8 @@ class TrackDataset:
             tid[:n] = l[:, 5].astype(np.int32)
             mask[:n] = True
         return TrackSample(out.astype(np.float32) / 255.0, cls, boxes, tid,
-                           mask, self.files[i])
+                           mask, self.files[i], orig_hw=(h0, w0), gain=gain,
+                           pad=(px, py))
 
     def load_clip(self, clip: List[int],
                   clip_index: int = -1) -> Dict[str, np.ndarray]:

@@ -121,6 +121,7 @@ class TrackPredictor:
             Path(save_mot).parent.mkdir(parents=True, exist_ok=True)
             mot_fh = open(save_mot, "w")
         n = 0
+        vis_i = 0      # frames visualized (n lags one frame behind)
         t1 = time.perf_counter()
         pending = None  # (path, meta, img, device outputs) one step behind
         try:
@@ -134,8 +135,12 @@ class TrackPredictor:
                     from mo_yolo_tpu.utils.plotting import (
                         feature_visualization)
                     feats = self._feat_step(self.variables, jnp.asarray(x))
+                    # per-frame subdir (reference saves per-image under
+                    # save_dir/<stem>/) so later frames don't overwrite
                     feature_visualization(
-                        [np.asarray(f, np.float32) for f in feats], save_dir)
+                        [np.asarray(f, np.float32) for f in feats],
+                        str(Path(save_dir) / f"{Path(path).stem}_{vis_i}"))
+                    vis_i += 1
                 if pending is not None:
                     yield self._emit(pending, mot_fh, n, save, save_crop,
                                      save_dir, line_width, show_labels,

@@ -297,12 +297,21 @@ class DetectionValidator:
                        _xywhn2xyxy(s.boxes[s.mask]), s.cls[s.mask])
             if self.save_json:
                 # reference `pred_to_json` (`models/yolo/detect/val.py`):
-                # COCO records, bbox = top-left xywh in model-input pixels
+                # COCO records, bbox = top-left xywh in ORIGINAL-image
+                # pixels (the reference runs scale_boxes first) — undo the
+                # letterbox gain+pad so the artifact evals against the
+                # source annotations
                 from pathlib import Path as _P
                 stem = _P(ds.files[i]).stem if i < len(ds.files) else str(i)
                 image_id = int(stem) if stem.isnumeric() else stem
                 xyxy = _xywhn2xyxy(b[keep]) * np.array(
                     [self.in_w, self.in_h, self.in_w, self.in_h], float)
+                px, py = s.pad
+                xyxy = (xyxy - np.array([px, py, px, py], float)) \
+                    / max(s.gain, 1e-9)
+                h0, w0 = s.orig_hw
+                xyxy[:, [0, 2]] = xyxy[:, [0, 2]].clip(0, w0)
+                xyxy[:, [1, 3]] = xyxy[:, [1, 3]].clip(0, h0)
                 ck, sck = c[keep], sc[keep]
                 for j in range(len(xyxy)):
                     x1, y1, x2, y2 = (float(v) for v in xyxy[j])

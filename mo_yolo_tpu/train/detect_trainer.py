@@ -112,7 +112,9 @@ class DetectTrainer:
             from mo_yolo_tpu.data.augment import ClipAugmenter
             h = self.hyp
             augmenter = ClipAugmenter(
-                hsv=bool(h.get("hsv_v", 0.4)),
+                hsv_h=float(h.get("hsv_h", 0.015)),
+                hsv_s=float(h.get("hsv_s", 0.7)),
+                hsv_v=float(h.get("hsv_v", 0.4)),
                 fliplr_p=float(h.get("fliplr", 0.5)),
                 flipud_p=float(h.get("flipud", 0.0)),
                 degrees=float(h.get("degrees", 0.0)),
@@ -183,7 +185,9 @@ class DetectTrainer:
                         # single-image task: fresh geometric params per
                         # frame (clip freezing is for video training)
                         augmenter.begin_clip(epoch * len(ds) + j)
-                    frames.append(ds.load_frame(j, augment=self.augment))
+                    frames.append(ds.load_frame(
+                        j, augment=self.augment,
+                        aug_index=epoch * len(ds) + j))
                 batch = {
                     "images": jnp.asarray(
                         np.stack([f.image for f in frames])),

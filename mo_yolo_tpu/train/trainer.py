@@ -141,7 +141,9 @@ class TrackTrainer:
             # geometry defaults follow the reference's track configs
             # (mosaic/perspective off for track; HSV+flip+mild affine on)
             augmenter = ClipAugmenter(
-                hsv=bool(hyp.get("hsv_v", 0.4)),
+                hsv_h=float(hyp.get("hsv_h", 0.015)),
+                hsv_s=float(hyp.get("hsv_s", 0.7)),
+                hsv_v=float(hyp.get("hsv_v", 0.4)),
                 fliplr_p=float(hyp.get("fliplr", 0.5)),
                 flipud_p=float(hyp.get("flipud", 0.0)),
                 degrees=float(hyp.get("degrees", 0.0)),

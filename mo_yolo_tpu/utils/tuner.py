@@ -146,16 +146,25 @@ class Tuner:
                     LOGGER.warning("tune: trial %d failed: %s",
                                    t["trial"], e)
                     first_err = first_err or e
+                    if t["epochs_run"] > 0:
+                        # a transient failure at a LATER rung must not
+                        # erase the fitness the trial already earned —
+                        # keep the prior result, just stop advancing it
+                        t["stopped"] = True
+                        continue
                     m = {}                      # worst-fitness data point
                 t["metrics"] = m
                 t["fitness"] = fitness_of(m)
                 t["epochs_run"] = budget
+            alive = [t for t in alive if not t["stopped"]]
             if not any_ok:
                 # EVERY first-rung trial failed: that's a configuration
                 # error, not divergence — surface the real exception
                 raise RuntimeError(
                     f"tune: all {len(alive)} trials failed; first error: "
                     f"{first_err}") from first_err
+            if not alive:
+                break               # every survivor failed mid-bracket
             alive.sort(key=lambda t: t["fitness"], reverse=True)
             if budget < rungs[-1]:
                 keep = max(len(alive) // self.reduction, 1)
@@ -202,16 +211,20 @@ class Tuner:
 
 def run_ray_tune(model, space: Optional[dict] = None,
                  grace_period: int = 10, gpu_per_trial=None,
-                 max_samples: int = 10, **train_args):
+                 max_samples: int = 10, reduction: int = 2, seed: int = 0,
+                 save_dir: Optional[str] = None, **train_args):
     """Reference-shaped entrypoint (`utils/tuner.py:6-14`): delegate to Ray
-    Tune when installed, else run the native Tuner through `model.tune`."""
+    Tune when installed, else run the native Tuner through `model.tune`.
+    reduction/seed/save_dir carry the caller's tune settings through both
+    paths (the fallback must not silently revert them to defaults)."""
     try:
         from ray import tune  # noqa: F401
         from ray.tune.schedulers import ASHAScheduler  # noqa: F401
     except ImportError:
         LOGGER.info("ray[tune] not installed; using the native tuner")
         return model.tune(space=space, grace_period=grace_period,
-                          max_samples=max_samples, **train_args)
+                          max_samples=max_samples, reduction=reduction,
+                          seed=seed, save_dir=save_dir, **train_args)
     # Ray path (untestable in this offline image, mirrors the reference):
     from ray import tune
     from ray.tune.schedulers import ASHAScheduler
@@ -227,7 +240,7 @@ def run_ray_tune(model, space: Optional[dict] = None,
             tune.report(**payload)
 
     def _trainable(config):
-        m = model._fresh_for_tune(seed=0)
+        m = model._fresh_for_tune(seed=seed)
         metrics = m.train(data=data, epochs=epochs,
                           **model._route_tune_hyp(config), **train_args)
         _report({"fitness": fitness_of(metrics)})
@@ -242,10 +255,19 @@ def run_ray_tune(model, space: Optional[dict] = None,
         return v                  # fixed value
 
     sp = {k: _dim(v) for k, v in (space or DEFAULT_SPACE).items()}
+    kw = {}
+    if save_dir:
+        try:                       # honor the caller's artifact dir
+            from ray.air import RunConfig
+            kw["run_config"] = RunConfig(
+                storage_path=str(Path(save_dir).resolve()))
+        except ImportError:
+            pass
     tuner = tune.Tuner(
         _trainable, param_space=sp,
         tune_config=tune.TuneConfig(
             scheduler=ASHAScheduler(metric="fitness", mode="max",
-                                    grace_period=grace_period),
-            num_samples=max_samples))
+                                    grace_period=grace_period,
+                                    reduction_factor=max(int(reduction), 2)),
+            num_samples=max_samples), **kw)
     return tuner.fit()

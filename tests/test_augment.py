@@ -214,3 +214,57 @@ def test_affine_perspective_moves_boxes_consistently():
                                   params=params)
     np.testing.assert_array_equal(out, out2)
     np.testing.assert_allclose(lab2, lab3, atol=1e-7)
+
+
+def test_hsv_gains_scale_jitter():
+    """hsv_h/hsv_s/hsv_v are continuous magnitudes (regression: hsv_v was
+    consumed as a bool, so the tuner's sampled value had no effect)."""
+    from mo_yolo_tpu.data.augment import ClipAugmenter
+
+    img = _img(48, 48, seed=4)
+    lab = _lab()
+    base = ClipAugmenter(hsv_h=0.0, hsv_s=0.0, hsv_v=0.0, fliplr_p=0.0,
+                         flipud_p=0.0, degrees=0.0, translate=0.0,
+                         scale=0.0, seed=0)
+    big = ClipAugmenter(hsv_h=0.0, hsv_s=0.0, hsv_v=0.9, fliplr_p=0.0,
+                        flipud_p=0.0, degrees=0.0, translate=0.0,
+                        scale=0.0, seed=0)
+    small = ClipAugmenter(hsv_h=0.0, hsv_s=0.0, hsv_v=0.05, fliplr_p=0.0,
+                          flipud_p=0.0, degrees=0.0, translate=0.0,
+                          scale=0.0, seed=0)
+    for a in (base, big, small):
+        a.begin_clip(7)
+    o0, _ = base(img.copy(), lab.copy())
+    ob, _ = big(img.copy(), lab.copy())
+    os_, _ = small(img.copy(), lab.copy())
+    np.testing.assert_array_equal(o0, img)   # zero gains: no-op
+    d_big = np.abs(ob.astype(int) - img.astype(int)).mean()
+    d_small = np.abs(os_.astype(int) - img.astype(int)).mean()
+    assert d_big > d_small, (d_big, d_small)  # magnitude actually matters
+
+
+def test_mosaic_varies_across_epochs(tmp_path):
+    """aug_index (epoch*len+i) varies the mosaic/mixup draws per epoch
+    (regression: seeding by frame index alone froze the composite for the
+    whole run)."""
+    from PIL import Image
+    from mo_yolo_tpu.data.dataset import TrackDataset
+
+    img_dir = tmp_path / "images" / "s"
+    lab_dir = tmp_path / "labels" / "s"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    files = []
+    for t in range(6):
+        p = img_dir / f"{t:06d}.png"
+        Image.fromarray(_img(64, 64, seed=t)).save(p)
+        (lab_dir / f"{t:06d}.txt").write_text(
+            "0 0.500 0.500 0.300 0.300 1\n")
+        files.append(str(p))
+    ds = TrackDataset(files, imgsz=64, max_gt=8, clip_len=1,
+                      mosaic_p=1.0, aug_seed=0)
+    e0 = ds.load_frame(0, augment=True, aug_index=0 * len(ds) + 0)
+    e1 = ds.load_frame(0, augment=True, aug_index=1 * len(ds) + 0)
+    e0b = ds.load_frame(0, augment=True, aug_index=0 * len(ds) + 0)
+    np.testing.assert_array_equal(e0.image, e0b.image)  # deterministic
+    assert not np.array_equal(e0.image, e1.image)       # varies per epoch

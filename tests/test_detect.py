@@ -178,3 +178,27 @@ def test_detector_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(live[0]), np.asarray(boxes),
                                atol=1e-5)
     assert m.export("params", path=str(tmp_path / "w"))
+
+
+def test_val_missing_split_raises(tmp_path):
+    """val(split='test') on a yaml without a test split must raise, not
+    silently evaluate val and mislabel the result."""
+    import pytest
+    from PIL import Image
+    from mo_yolo_tpu.api import Detector
+
+    img_dir = tmp_path / "images" / "s"
+    lab_dir = tmp_path / "labels" / "s"
+    img_dir.mkdir(parents=True)
+    lab_dir.mkdir(parents=True)
+    p = img_dir / "000000.png"
+    Image.fromarray(np.full((64, 64, 3), 90, np.uint8)).save(p)
+    (lab_dir / "000000.txt").write_text("0 0.5 0.5 0.25 0.25 0\n")
+    (tmp_path / "train.txt").write_text(str(p))
+    (tmp_path / "data.yaml").write_text(
+        f"path: {tmp_path}\ntrain: train.txt\nval: train.txt\n"
+        "nc: 1\nnames:\n  0: a\n")
+
+    det = Detector("tests/tiny_track.yaml", nc=1, imgsz=64, dtype="float32")
+    with pytest.raises(ValueError, match="split='test'"):
+        det.val(str(tmp_path / "data.yaml"), split="test")

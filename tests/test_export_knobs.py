@@ -15,11 +15,17 @@ def _tiny():
 
 def test_half_bakes_bf16_params(tmp_path):
     import jax.numpy as jnp
+    from mo_yolo_tpu.utils.checkpoint import load_params
     m = _tiny()
     m.export("params", str(tmp_path / "w"), half=True)
-    leaves = jax.tree.leaves(m.variables)
-    assert all(x.dtype != jnp.float32 for x in leaves if hasattr(x, "dtype")
+    # the ARTIFACT carries bf16 weights...
+    saved = jax.tree.leaves(load_params(str(tmp_path / "w")))
+    assert all(x.dtype != jnp.float32 for x in saved if hasattr(x, "dtype")
                and jnp.issubdtype(x.dtype, jnp.floating))
+    # ...but the LIVE model keeps its float32 weights (regression: export
+    # used to reassign self.variables to the downcast tree)
+    live = jax.tree.leaves(m.variables)
+    assert any(hasattr(x, "dtype") and x.dtype == jnp.float32 for x in live)
 
 
 def test_tflite_half_smaller_than_f32(tmp_path):

@@ -105,7 +105,10 @@ def test_detector_rect_val(tmp_path):
     recs = json.loads((tmp_path / "vj" / "predictions.json").read_text())
     for r in recs:
         x, y, w, h = r["bbox"]
-        assert 0 <= x <= 96 and 0 <= y <= 64   # pixel frame is (w=96, h=64)
+        # save_json maps boxes back to ORIGINAL-image pixels (w=128, h=64),
+        # not the (96, 64) model-input frame
+        assert 0 <= x <= 128 and 0 <= y <= 64
+        assert x + w <= 128 + 1e-6 and y + h <= 64 + 1e-6
 
 
 def test_rect_hw_derivation():

@@ -105,6 +105,24 @@ def test_tuner_survives_failing_trial(tmp_path):
     assert out["best_hyp"]["x"] <= 0.5
 
 
+def test_tuner_late_rung_failure_keeps_earned_fitness(tmp_path):
+    """A trial that fails at a LATER rung keeps the fitness it earned at
+    the earlier rung (regression: it was overwritten with -inf, ranking a
+    good-but-transiently-failing trial below never-promoted ones)."""
+    def train_fn(hyp, epochs, save_dir, resume):
+        if resume:                      # second rung: transient failure
+            raise RuntimeError("OOM")
+        return {"fitness": hyp["x"]}
+
+    t = Tuner(train_fn, space={"x": (0.0, 1.0)}, max_samples=4,
+              grace_period=1, reduction=2, seed=3, save_dir=str(tmp_path))
+    out = t(epochs=4)
+    fits = [r["fitness"] for r in out["results"]]
+    assert all(math.isfinite(f) for f in fits), fits
+    # best is still the top rung-0 scorer, with its rung-0 fitness intact
+    assert out["best_fitness"] == max(fits)
+
+
 def test_tuner_raises_when_all_trials_fail(tmp_path):
     """A configuration error (every trial fails identically) must
     surface the real exception, not return best_fitness=-inf."""

@@ -28,15 +28,22 @@ def test_predict_visualize_writes_stages(tmp_path):
 
     img = np.full((64, 64, 3), 60, np.uint8)
     img[20:44, 20:44, 2] = 255
-    p = tmp_path / "000000.png"
-    Image.fromarray(img).save(p)
+    paths = []
+    for t in range(2):
+        p = tmp_path / f"{t:06d}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
 
     m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
                   nq=8, ndl=1, d_ffn=32, hd=32, num_denoising=0)
-    list(m.predict([str(p)], conf=0.0, visualize=True,
+    list(m.predict(paths, conf=0.0, visualize=True,
                    save_dir=str(tmp_path / "viz")))
-    stages = sorted((tmp_path / "viz").glob("stage*_features.png"))
+    stages = sorted((tmp_path / "viz").glob("**/stage*_features.png"))
     assert stages, "visualize=True wrote no feature grids"
+    # one subdir per FRAME (regression: every frame used to overwrite the
+    # same stage{N}_features.png paths)
+    frame_dirs = {s.parent for s in stages}
+    assert len(frame_dirs) == 2, frame_dirs
 
 
 def test_val_save_hybrid_labels(tmp_path):
