@@ -227,7 +227,7 @@ class MOTRTrack(_TuneMixin):
     def train(self, data: str, epochs: int = 1, batch: int = 1,
               clip_len: int = 5, lr: float = 1e-4, max_gt: int = 64,
               save_dir: str = "runs/track", seed: int = 0,
-              val_every: int = 0, log_every: int = 10,
+              val_every: int = -1, log_every: int = 10,
               resume: bool = False, accumulate: int = 1,
               augment: bool = False, **kw) -> Dict[str, float]:
         """Train on a dataset yaml (see mo_yolo_tpu/train/trainer.py).
@@ -951,8 +951,18 @@ class _TaskModel(_TuneMixin):
         from mo_yolo_tpu.data.loaders import IMG_EXTS
 
         root = Path(root)
+        # reference split layout: a train/ + test|val/ tree evaluates on
+        # the held-out subtree (`models/yolo/classify/val.py` data split)
+        if (root / "train").is_dir():
+            for s in ("test", "val"):
+                if (root / s).is_dir():
+                    root = root / s
+                    break
+            else:
+                root = root / "train"
         classes = sorted(p.name for p in root.iterdir() if p.is_dir())
-        step = jax.jit(lambda v, x: self.model.apply(v, x))
+        from mo_yolo_tpu.utils.jit_cache import jitted_method
+        step = jitted_method(self.model, "__call__")
         top1 = top5 = n = 0
         for ci, c in enumerate(classes):
             for f in glob.glob(str(root / c / "*")):

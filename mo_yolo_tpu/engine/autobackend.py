@@ -93,8 +93,8 @@ class AutoBackend:
             raise ValueError(f"unsupported weights source: {weights!r}")
         self.imgsz = imgsz
         if self.model is not None:
-            self._step = jax.jit(lambda v, s, f: self.model.apply(
-                v, s, f, method=self.model.stream_step))
+            from mo_yolo_tpu.utils.jit_cache import jitted_method
+            self._step = jitted_method(self.model, "stream_step")
 
     # ------------------------------------------------------------------ #
     def _infer_dims(self, state_shapes):

@@ -49,14 +49,16 @@ class TrackPredictor:
         # reference `classes` filter: restrict predictions to these ids
         self.classes = None if classes is None else \
             np.asarray(sorted({int(c) for c in np.atleast_1d(classes)}))
-        self._step = jax.jit(
-            lambda v, s, f: model.apply(v, s, f, method=model.stream_step))
+        from mo_yolo_tpu.utils.jit_cache import jitted_method
+        self._step = jitted_method(model, "stream_step")
         # reference `visualize`: dump per-stage feature-map grids under
         # save_dir (extra traced forward — debug mode only)
         self.visualize = visualize
-        self._feat_step = jax.jit(
-            lambda v, f: model.apply(v, f, method=model.frame_forward)[1]
-        ) if visualize else None
+        if visualize:
+            _ff = jitted_method(model, "frame_forward")
+            self._feat_step = lambda v, f: _ff(v, f)[1]
+        else:
+            self._feat_step = None
         self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
 
     def reset_state(self):

@@ -63,16 +63,14 @@ class TrackValidator:
     def __init__(self, model, variables, imgsz: int = 640,
                  conf: float = 0.5, nc: Optional[int] = None,
                  det_conf: float = 0.001):
-        import jax
-
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
         self.conf = conf
         self.det_conf = det_conf
         self.nc = nc or model.spec.nc
-        self._step = jax.jit(
-            lambda v, s, f: model.apply(v, s, f, method=model.stream_step))
+        from mo_yolo_tpu.utils.jit_cache import jitted_method
+        self._step = jitted_method(model, "stream_step")
 
     def __call__(self, img_files: List[str], max_gt: int = 64) -> Dict[str, float]:
         from mo_yolo_tpu.models.tracker import init_track_state
@@ -259,8 +257,6 @@ class DetectionValidator:
                  save_json: bool = False,
                  save_dir: str = "runs/detect/val",
                  save_hybrid: bool = False):
-        import jax
-
         from mo_yolo_tpu.data.letterbox import to_hw
 
         self.model = model
@@ -273,8 +269,8 @@ class DetectionValidator:
         self.save_dir = save_dir        # predictions.json for external eval
         self.save_hybrid = save_hybrid  # reference: GT+pred label txts
                                         # for auto-labelling
-        self._step = jax.jit(
-            lambda v, x: model.apply(v, x, method=model.predict_step))
+        from mo_yolo_tpu.utils.jit_cache import jitted_method
+        self._step = jitted_method(model, "predict_step")
 
     def __call__(self, img_files: List[str], max_gt: int = 64
                  ) -> Dict[str, float]:
@@ -359,14 +355,12 @@ class SegmentationValidator:
 
     def __init__(self, model, variables, imgsz: int = 256,
                  mask_size: int = 0):
-        import jax
-
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
         self.mask_size = mask_size or imgsz // 4   # proto resolution
-        self._step = jax.jit(
-            lambda v, x: model.apply(v, x, method=model.predict_step))
+        from mo_yolo_tpu.utils.jit_cache import jitted_method
+        self._step = jitted_method(model, "predict_step")
 
     def __call__(self, img_files: List[str]) -> Dict[str, float]:
         import jax.numpy as jnp
@@ -409,13 +403,11 @@ class PoseValidator:
     """Keypoint OKS + box mAP loop (reference `models/yolo/pose/val.py`)."""
 
     def __init__(self, model, variables, imgsz: int = 256):
-        import jax
-
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
-        self._step = jax.jit(
-            lambda v, x: model.apply(v, x, method=model.predict_step))
+        from mo_yolo_tpu.utils.jit_cache import jitted_method
+        self._step = jitted_method(model, "predict_step")
 
     def __call__(self, img_files: List[str]) -> Dict[str, float]:
         import jax.numpy as jnp

@@ -66,9 +66,10 @@ class DetectTrainer:
     def __init__(self, api_model, data: str, epochs: int = 1, batch: int = 8,
                  lr: float = 1e-4, max_gt: int = 64,
                  save_dir: str = "runs/detect", seed: int = 0,
-                 log_every: int = 10, val_every: int = 0,
+                 log_every: int = 10, val_every: int = -1,
                  augment: bool = False, hyp=None, close_mosaic: int = 0,
-                 fraction: float = 1.0, val: bool = True, pretrained=None):
+                 fraction: float = 1.0, val: bool = True, pretrained=None,
+                 patience: int = 50):
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -78,7 +79,10 @@ class DetectTrainer:
         self.save_dir = save_dir
         self.seed = seed
         self.log_every = log_every
+        # -1 = auto: validate every epoch when the dataset has a val split
+        # (reference default); 0 = off; N = every N epochs
         self.val_every = val_every
+        self.patience = patience
         self.augment = augment
         self.hyp = dict(hyp or {})
         self.close_mosaic = close_mosaic
@@ -101,6 +105,8 @@ class DetectTrainer:
         from mo_yolo_tpu.utils.logging import LOGGER
 
         d = load_dataset_yaml(self.data)
+        if self.val_every < 0:      # auto: reference validates every epoch
+            self.val_every = 1 if d.get("val") else 0
         if self.fraction < 1.0:
             keep = max(int(round(len(d["train"]) * self.fraction)), 1)
             LOGGER.info(f"fraction={self.fraction}: {keep}/"
@@ -164,6 +170,10 @@ class DetectTrainer:
         save_dir = Path(self.save_dir)
         save_dir.mkdir(parents=True, exist_ok=True)
         losses = []
+        from mo_yolo_tpu.train.trainer import EarlyStopping
+        stopper = EarlyStopping(self.patience)
+        best_fitness = -float("inf")
+        metrics = {}
         for epoch in range(self.epochs):
             if self.close_mosaic and \
                     epoch >= self.epochs - self.close_mosaic and \
@@ -175,6 +185,7 @@ class DetectTrainer:
             order = list(range(len(ds)))
             random.Random(self.seed + epoch).shuffle(order)
             t_ep = time.time()
+            ep_loss_dev = []
             for i in range(steps_per_epoch):
                 idxs = order[i * self.batch:(i + 1) * self.batch]
                 if len(idxs) < self.batch:
@@ -199,6 +210,7 @@ class DetectTrainer:
                 }
                 key, k = jax.random.split(key)
                 ts, m = step_fn(ts, batch, k)
+                ep_loss_dev.append(m["loss"])   # device scalar, no sync
                 if i % self.log_every == 0:
                     loss = float(m["loss"])
                     losses.append(loss)
@@ -207,9 +219,38 @@ class DetectTrainer:
             self.api.variables = {"params": ts.ema_params,
                                   "batch_stats": ts.batch_stats}
             save_params(str(save_dir / "last"), self.api.variables)
+            # best-checkpoint fitness: val mAP when validating (reference
+            # fitness = 0.1*mAP50 + 0.9*mAP50-95, `utils/metrics.py:89`),
+            # else -mean(epoch loss) as the loss-only fallback
+            fitness = -float(jnp.stack(ep_loss_dev).mean()) \
+                if ep_loss_dev else 0.0
+            if self.val_every and (epoch + 1) % self.val_every == 0 \
+                    and d.get("val"):
+                metrics = self.api.val(d["val"])
+                fitness = 0.1 * metrics.get("mAP50", 0.0) \
+                    + 0.9 * metrics.get("mAP50-95", 0.0)
+                LOGGER.info(f"detect epoch {epoch} val: {metrics}")
+            if fitness > best_fitness:
+                best_fitness = fitness
+                save_params(str(save_dir / "best"), self.api.variables)
             LOGGER.info(f"detect epoch {epoch} done in "
                         f"{time.time() - t_ep:.1f}s")
-        return {"final_loss": losses[-1] if losses else float("nan")}
+            if stopper(epoch, fitness):
+                LOGGER.info(f"early stopping at epoch {epoch} "
+                            f"(best epoch {stopper.best_epoch})")
+                break
+        # final eval of BEST (reference `BaseTrainer.final_eval`): report
+        # best's metrics and leave the live model on the best weights
+        best_dir = save_dir / "best"
+        if self.val_every and d.get("val") and best_dir.exists():
+            from mo_yolo_tpu.utils.checkpoint import load_params
+            self.api.variables = load_params(str(best_dir),
+                                             target=self.api.variables)
+            metrics = self.api.val(d["val"])
+            LOGGER.info(f"detect final eval (best): {metrics}")
+        out = dict(metrics)
+        out["final_loss"] = losses[-1] if losses else float("nan")
+        return out
 
 
 def make_detect_train_step(model, lcfg: LossConfig, tcfg: TrainConfig,

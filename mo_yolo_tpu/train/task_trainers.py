@@ -134,9 +134,14 @@ class _TaskTrainer:
                  batch: int = 4, lr: float = 1e-4, max_gt: int = 16,
                  imgsz: int = 256, save_dir: str = "", seed: int = 0,
                  log_every: int = 10, hyp=None, fraction: float = 1.0,
-                 pretrained=None):
+                 pretrained=None, val_every: int = -1, val: bool = True,
+                 patience: int = 50):
         self.model = model
         self.variables = variables
+        # -1 = auto: validate every epoch when the dataset has a val split
+        # (the reference's default); 0 = off; N = every N epochs
+        self.val_every = val_every if val else 0
+        self.patience = patience
         # reference `fraction` / `pretrained` (same semantics as the
         # track/detect trainers)
         self.fraction = min(max(float(fraction), 0.0), 1.0) or 1.0
@@ -173,12 +178,31 @@ class _TaskTrainer:
     def batch_from(self, samples) -> Dict[str, jnp.ndarray]:
         raise NotImplementedError
 
+    def validate(self, files) -> Dict[str, float]:
+        """Task validator pass over the val split (subclass hook)."""
+        raise NotImplementedError
+
+    @staticmethod
+    def fitness_of(metrics: Dict[str, float]) -> float:
+        """Reference fitness: 0.1*mAP50 + 0.9*mAP50-95, summed over the
+        task's metric suffixes ((B)+(M) for segment, (B)+(P) for pose,
+        `utils/metrics.py fitness`)."""
+        f = 0.0
+        for k, v in metrics.items():
+            if k.startswith("mAP50-95"):
+                f += 0.9 * v
+            elif k.startswith("mAP50"):
+                f += 0.1 * v
+        return f
+
     # ------------------------------------------------------------------ #
     def run(self) -> Dict[str, float]:
         from mo_yolo_tpu.data.dataset import load_dataset_yaml
         from mo_yolo_tpu.utils.checkpoint import save_params
 
         d = load_dataset_yaml(self.data)
+        if self.val_every < 0:      # auto: reference validates every epoch
+            self.val_every = 1 if d.get("val") else 0
         if self.fraction < 1.0:
             keep = max(int(round(len(d["train"]) * self.fraction)), 1)
             d["train"] = d["train"][:keep]
@@ -211,16 +235,22 @@ class _TaskTrainer:
 
         self.save_dir.mkdir(parents=True, exist_ok=True)
         losses = []
+        from mo_yolo_tpu.train.trainer import EarlyStopping
+        stopper = EarlyStopping(self.patience)
+        best_fitness = -float("inf")
+        metrics: Dict[str, float] = {}
         for epoch in range(self.epochs):
             order = list(range(len(ds)))
             random.Random(self.seed + epoch).shuffle(order)
             t0 = time.time()
+            ep_loss_dev = []
             for i in range(steps):
                 idx = order[i * self.batch:(i + 1) * self.batch]
                 if len(idx) < self.batch:
                     break
                 ts, m = step_fn(ts, self.batch_from(
                     [ds.load(j) for j in idx]))
+                ep_loss_dev.append(m["loss"])   # device scalar, no sync
                 if i % self.log_every == 0:
                     loss = float(m["loss"])
                     losses.append(loss)
@@ -229,9 +259,32 @@ class _TaskTrainer:
             self.variables = {"params": ts.ema_params,
                               "batch_stats": ts.batch_stats}
             save_params(str(self.save_dir / "last"), self.variables)
+            fitness = -float(jnp.stack(ep_loss_dev).mean()) \
+                if ep_loss_dev else 0.0
+            if self.val_every and (epoch + 1) % self.val_every == 0 \
+                    and d.get("val"):
+                metrics = self.validate(d["val"])
+                fitness = self.fitness_of(metrics)
+                LOGGER.info(f"{self.task} epoch {epoch} val: {metrics}")
+            if fitness > best_fitness:
+                best_fitness = fitness
+                save_params(str(self.save_dir / "best"), self.variables)
             LOGGER.info(f"{self.task} epoch {epoch} done in "
                         f"{time.time()-t0:.1f}s")
-        return {"final_loss": losses[-1] if losses else float("nan")}
+            if stopper(epoch, fitness):
+                LOGGER.info(f"{self.task} early stopping at epoch {epoch}")
+                break
+        # final eval of BEST (reference `BaseTrainer.final_eval`)
+        best_dir = self.save_dir / "best"
+        if self.val_every and d.get("val") and best_dir.exists():
+            from mo_yolo_tpu.utils.checkpoint import load_params
+            self.variables = load_params(str(best_dir),
+                                         target=self.variables)
+            metrics = self.validate(d["val"])
+            LOGGER.info(f"{self.task} final eval (best): {metrics}")
+        out = dict(metrics)
+        out["final_loss"] = losses[-1] if losses else float("nan")
+        return out
 
 
 class SegTrainer(_TaskTrainer):
@@ -247,6 +300,11 @@ class SegTrainer(_TaskTrainer):
         return SegDataset(files, self.imgsz, self.max_gt,
                           mask_ratio=self.mask_ratio,
                           overlap_mask=self.overlap_mask)
+
+    def validate(self, files):
+        from mo_yolo_tpu.engine.validator import SegmentationValidator
+        return SegmentationValidator(self.model, self.variables,
+                                     imgsz=self.imgsz)(files)
 
     def batch_from(self, samples):
         img, cls, box, m, masks = (np.stack(z) for z in zip(*samples))
@@ -280,6 +338,11 @@ class PoseTrainer(_TaskTrainer):
     def make_dataset(self, files):
         return PoseDataset(files, self.imgsz, self.model.kpt_shape[0],
                            self.max_gt)
+
+    def validate(self, files):
+        from mo_yolo_tpu.engine.validator import PoseValidator
+        return PoseValidator(self.model, self.variables,
+                             imgsz=self.imgsz)(files)
 
     def batch_from(self, samples):
         img, cls, box, m, kpts = (np.stack(z) for z in zip(*samples))
@@ -315,15 +378,28 @@ class ClassifyTrainer(_TaskTrainer):
         self.names = names
 
     def run(self):
-        # classification datasets are class-subdir trees, not yamls
+        # classification datasets are class-subdir trees, not yamls.
+        # Reference layout (`models/yolo/classify/train.py`): an optional
+        # train/ + test|val/ split pair of subtrees; a bare class-dir tree
+        # trains on everything with no val split.
         import glob
         import os
 
         root = Path(self.data)
-        classes = sorted(p.name for p in root.iterdir() if p.is_dir())
+        train_root, val_root = root, None
+        if (root / "train").is_dir():
+            train_root = root / "train"
+            for s in ("test", "val"):       # reference prefers test
+                if (root / s).is_dir():
+                    val_root = root / s
+                    break
+        if self.val_every < 0:
+            self.val_every = 1 if val_root is not None else 0
+        classes = sorted(p.name for p in train_root.iterdir()
+                         if p.is_dir())
         files, labels = [], []
         for ci, c in enumerate(classes):
-            for f in glob.glob(str(root / c / "*")):
+            for f in glob.glob(str(train_root / c / "*")):
                 files.append(f)
                 labels.append(ci)
         if not files:
@@ -374,9 +450,14 @@ class ClassifyTrainer(_TaskTrainer):
         steps = max(len(files) // self.batch, 1)
         self.save_dir.mkdir(parents=True, exist_ok=True)
         losses = []
+        from mo_yolo_tpu.train.trainer import EarlyStopping
+        stopper = EarlyStopping(self.patience)
+        best_fitness = -float("inf")
+        metrics: Dict[str, float] = {}
         for epoch in range(self.epochs):
             order = list(range(len(files)))
             random.Random(self.seed + epoch).shuffle(order)
+            ep_loss_dev = []
             for i in range(steps):
                 idx = order[i * self.batch:(i + 1) * self.batch]
                 if len(idx) < self.batch:
@@ -389,6 +470,7 @@ class ClassifyTrainer(_TaskTrainer):
                                    jax.random.fold_in(
                                        jax.random.PRNGKey(self.seed),
                                        epoch * steps + i))
+                ep_loss_dev.append(loss)        # device scalar, no sync
                 if i % self.log_every == 0:
                     losses.append(float(loss))
                     LOGGER.info(f"classify epoch {epoch} step {i}/{steps} "
@@ -396,4 +478,54 @@ class ClassifyTrainer(_TaskTrainer):
             self.variables = {"params": ts.ema_params,
                               "batch_stats": ts.batch_stats}
             save_params(str(self.save_dir / "last"), self.variables)
-        return {"final_loss": losses[-1] if losses else float("nan")}
+            fitness = -float(jnp.stack(ep_loss_dev).mean()) \
+                if ep_loss_dev else 0.0
+            if self.val_every and (epoch + 1) % self.val_every == 0 \
+                    and val_root is not None:
+                metrics = self._accuracy(val_root, classes)
+                # reference ClassifyMetrics.fitness = (top1 + top5) / 2
+                fitness = (metrics["accuracy_top1"]
+                           + metrics["accuracy_top5"]) / 2
+                LOGGER.info(f"classify epoch {epoch} val: {metrics}")
+            if fitness > best_fitness:
+                best_fitness = fitness
+                save_params(str(self.save_dir / "best"), self.variables)
+            if stopper(epoch, fitness):
+                LOGGER.info(f"classify early stopping at epoch {epoch}")
+                break
+        best_dir = self.save_dir / "best"
+        if self.val_every and val_root is not None and best_dir.exists():
+            from mo_yolo_tpu.utils.checkpoint import load_params
+            self.variables = load_params(str(best_dir),
+                                         target=self.variables)
+            metrics = self._accuracy(val_root, classes)
+            LOGGER.info(f"classify final eval (best): {metrics}")
+        out = dict(metrics)
+        out["final_loss"] = losses[-1] if losses else float("nan")
+        return out
+
+    def _accuracy(self, root, classes) -> Dict[str, float]:
+        """Top-1/top-5 over a class-subdir tree (reference
+        ClassificationValidator, `models/yolo/classify/val.py`)."""
+        import glob
+
+        from mo_yolo_tpu.data.letterbox import preprocess
+        from mo_yolo_tpu.data.loaders import IMG_EXTS, load_image
+        from mo_yolo_tpu.utils.jit_cache import jitted_method
+
+        step = jitted_method(self.model, "__call__")
+        top1 = top5 = n = 0
+        for ci, c in enumerate(classes):
+            for f in glob.glob(str(Path(root) / c / "*")):
+                if Path(f).suffix.lower() not in IMG_EXTS:
+                    continue
+                x, _ = preprocess(load_image(f), self.imgsz,
+                                  scale_fill=True)
+                logits = np.asarray(step(self.variables,
+                                         jnp.asarray(x))[0])
+                order = np.argsort(-logits)
+                top1 += int(order[0] == ci)
+                top5 += int(ci in order[:5])
+                n += 1
+        return {"accuracy_top1": 100.0 * top1 / max(n, 1),
+                "accuracy_top5": 100.0 * top5 / max(n, 1), "n": n}

@@ -45,7 +45,7 @@ class TrackTrainer:
     def __init__(self, api_model, data: str, epochs: int = 1, batch: int = 1,
                  clip_len=5, lr: float = 1e-4, max_gt: int = 64,
                  save_dir: str = "runs/track", seed: int = 0,
-                 val_every: int = 0, log_every: int = 10,
+                 val_every: int = -1, log_every: int = 10,
                  patience: int = 50, callbacks=None,
                  resume: bool = False, accumulate: int = 1,
                  augment: bool = False, hyp=None, clip_stages=None,
@@ -81,6 +81,10 @@ class TrackTrainer:
         self.max_gt = max_gt
         self.save_dir = Path(save_dir)
         self.seed = seed
+        # -1 = auto: validate every epoch when the dataset has a val split
+        # (the reference's default — BaseTrainer validates each epoch and
+        # selects `best` by val fitness, `engine/trainer.py:386-400`);
+        # 0 = off, N = every N epochs. Resolved in run() once `data` loads.
         self.val_every = val_every
         self.log_every = log_every
         self.stopper = EarlyStopping(patience)
@@ -129,6 +133,8 @@ class TrackTrainer:
 
         self.callbacks.fire("on_train_start", trainer=self)
         d = load_dataset_yaml(self.data)
+        if self.val_every < 0:      # auto: reference validates every epoch
+            self.val_every = 1 if d.get("val") else 0
         if self.fraction < 1.0:
             keep = max(int(round(len(d["train"]) * self.fraction)), 1)
             LOGGER.info(f"fraction={self.fraction}: {keep}/"
@@ -343,6 +349,17 @@ class TrackTrainer:
                 plot_results(str(csv_path))
             except Exception as e:  # never fail a run on plotting
                 LOGGER.warning(f"plot_results failed: {e}")
+        # final eval of the BEST checkpoint (reference
+        # `BaseTrainer.final_eval`, `engine/trainer.py:602-616`): the
+        # returned metrics describe `best`, and the live model keeps the
+        # best weights — not whatever the last (possibly worse) epoch left
+        best_dir = self.save_dir / "best"
+        if self.val_every and d.get("val") and best_dir.exists():
+            from mo_yolo_tpu.utils.checkpoint import load_params
+            self.api.variables = load_params(str(best_dir),
+                                             target=self.api.variables)
+            metrics = self.api.val(d["val"][:200])
+            LOGGER.info(f"final eval (best): {metrics}")
         self.callbacks.fire("on_train_end", trainer=self, metrics=metrics)
         metrics["final_loss"] = -best_fitness if not metrics else \
             metrics.get("final_loss", -best_fitness)

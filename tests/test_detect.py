@@ -137,6 +137,12 @@ def test_detect_trainer_and_standalone_validator(tmp_path):
     r = det.train(str(tmp_path / "data.yaml"), epochs=2, batch=4, lr=1e-3,
                   max_gt=4, save_dir=str(tmp_path / "runs"), log_every=1)
     assert np.isfinite(r["final_loss"])
+    # val_every default = auto: the dataset has a val split, so training
+    # validates each epoch, selects `best` by 0.1*mAP50 + 0.9*mAP50-95
+    # (reference fitness), and final-evals the best checkpoint — the
+    # returned metrics are val metrics, not just a loss
+    assert "mAP50" in r and np.isfinite(r["mAP50"]), r
+    assert (tmp_path / "runs" / "best").exists()
     # augment=True exercises the per-frame begin_clip path (regression:
     # single-image training crashed on the clip-frozen augmenter) plus the
     # copy_paste / perspective / warmup_epochs hyp keys

@@ -47,6 +47,11 @@ def test_seg_trainer_one_epoch(tmp_path):
     out = t.run()
     assert np.isfinite(out["final_loss"])
     assert (tmp_path / "run" / "last").exists()
+    # val_every default = auto: with a val split present, training
+    # validates per epoch, selects `best` by box+mask fitness, and
+    # final-evals the best checkpoint (reference behavior)
+    assert "mAP50(M)" in out, out
+    assert (tmp_path / "run" / "best").exists()
 
 
 def test_pose_trainer_one_epoch(tmp_path):
@@ -63,6 +68,8 @@ def test_pose_trainer_one_epoch(tmp_path):
                     save_dir=str(tmp_path / "run"), log_every=1)
     out = t.run()
     assert np.isfinite(out["final_loss"])
+    assert "mAP50(P)" in out, out         # auto in-train val (see seg test)
+    assert (tmp_path / "run" / "best").exists()
 
 
 def test_classify_trainer_converges(tmp_path):
@@ -134,3 +141,37 @@ def test_dataset_yaml_test_split(tmp_path):
     d = load_dataset_yaml(str(tmp_path / "d.yaml"))
     assert len(d["train"]) == 1 and len(d["val"]) == 1
     assert len(d["test"]) == 1 and d["test"][0].endswith("c.png")
+
+
+def test_classify_split_tree_trains_and_validates(tmp_path):
+    """Reference classify layout: root/train + root/test class trees ->
+    train on train/, validate top1/top5 on test/ each epoch, select best
+    by (top1+top5)/2, and final-eval the best checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from mo_yolo_tpu.models.heads_extra import ClassifyModel
+    from mo_yolo_tpu.train.task_trainers import ClassifyTrainer
+
+    for split in ("train", "test"):
+        for ci, color in enumerate([(255, 0, 0), (0, 0, 255)]):
+            d = tmp_path / "tree" / split / f"c{ci}"
+            d.mkdir(parents=True)
+            for i in range(3):
+                img = np.zeros((64, 64, 3), np.uint8)
+                img[...] = color
+                Image.fromarray(img).save(d / f"{i}.jpg")
+    model = ClassifyModel(spec=tiny_spec_v(), nc=2, c_=64)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    t = ClassifyTrainer(model, v, str(tmp_path / "tree"), epochs=2,
+                        batch=3, imgsz=64, lr=1e-3,
+                        save_dir=str(tmp_path / "run"), log_every=1)
+    out = t.run()
+    assert "accuracy_top1" in out and out["n"] == 6, out
+    assert (tmp_path / "run" / "best").exists()
+    # the facade validator understands the split tree too (evaluates the
+    # held-out test/ subtree, not the split dirs as classes)
+    from mo_yolo_tpu.api import _TaskModel
+    m = _TaskModel("classify", "tests/tiny_track.yaml", nc=2, imgsz=64)
+    vm = m.val(str(tmp_path / "tree"))
+    assert vm["n"] == 6, vm
