@@ -72,6 +72,23 @@ class _TuneMixin:
         from mo_yolo_tpu.utils.tuner import DEFAULT_SPACE
         return dict(space) if space is not None else dict(DEFAULT_SPACE)
 
+    def fuse(self, verbose: bool = True):
+        """Conv+BN fusion (reference `BaseModel.fuse`, `nn/tasks.py:122-147`).
+
+        Intentionally a no-op here: inference-mode BatchNorm is a
+        per-channel affine that XLA fuses into the convolution's epilogue
+        during compilation, so the jitted step already runs the fused
+        form — there is no separate BN pass to eliminate and no weight
+        rewrite needed (see `models/layers.py:ConvBnAct`). Kept so
+        reference user code (`model.fuse().predict(...)`) works verbatim.
+        Returns self."""
+        if verbose:
+            from mo_yolo_tpu.utils.logging import LOGGER
+            LOGGER.info(
+                "fuse(): conv+BN fusion is performed by XLA at jit "
+                "compile time; model unchanged.")
+        return self
+
     def tune(self, data: str, epochs: int = 10,
              space: Optional[Dict[str, Any]] = None, max_samples: int = 10,
              grace_period: int = 0, reduction: int = 2, seed: int = 0,

@@ -117,3 +117,22 @@ def test_predictor_save_pipeline(tmp_path):
     assert len(out) == 2
     saved = list(tmp_path.glob("*.jpg"))
     assert len(saved) == 2, saved
+
+
+def test_fuse_is_identity_surface():
+    """`model.fuse()` (reference `BaseModel.fuse`, nn/tasks.py:122-147)
+    returns self on every facade without touching weights — under XLA
+    conv+BN fusion happens at jit compile time, so reference user code
+    `model.fuse().predict(...)` must work verbatim."""
+    import jax
+    from mo_yolo_tpu.api import MOTRTrack, YOLO
+
+    m = MOTRTrack("tests/tiny_track.yaml", imgsz=64, dtype="float32",
+                  nq=8, ndl=1, d_ffn=32, hd=32, num_denoising=0)
+    before = jax.tree.leaves(m.variables)
+    assert m.fuse() is m
+    after = jax.tree.leaves(m.variables)
+    assert all(np.array_equal(a, b) for a, b in zip(before, after))
+    det = YOLO("tests/tiny_track.yaml", task="detect", imgsz=64,
+               dtype="float32")
+    assert det.fuse(verbose=False) is det
