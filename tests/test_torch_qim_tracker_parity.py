@@ -1,0 +1,333 @@
+"""Numeric/behavioral parity for the track-state machinery vs the
+vendored MOTR reference — the last parity surface never compared
+numerically (round-2 VERDICT listed QIM/RuntimeTracker as oracle-tested
+only).
+
+1. QIM: the reference's live eval path (`head.py:496` ->
+   `qim.py:303-340`) never calls the attention/FFN refresh (dead code);
+   the INTENDED semantics are `_update_track_embedding`
+   (`MOTR/models/qim.py:251-301`). Our flax QIM implements its main
+   branch (self_attn -> norm1 -> FFN -> norm2 [+ pos branch]); the
+   `linear_feat*` tail is deliberately unmapped (see
+   `utils/checkpoint.py:79-81`). These tests pin the shared computation:
+   with the reference module's weights copied in, our embedding output
+   must equal the reference's internal `tgt` after norm2 (captured via a
+   forward hook), and the pos branch must equal its `norm_pos` output.
+
+2. RuntimeTrackerBase: ID lifecycle parity on well-formed score
+   sequences (new-ID at score>=0.4, expiry after `miss_tolerance`
+   consecutive frames below 0.5, duplicate suppression) between the
+   reference's Python-loop `update` (`head.py:1202-1283`) and our
+   vectorized `runtime_update`. Sequences avoid the reference's
+   known-buggy corners (its disappear_time never resets on score
+   recovery; ours implements the intended reset), which are documented
+   rather than replicated.
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+from tests.test_torch_parity import _dense, _mha_params, _norm  # noqa: E402
+from tests.torch_ref import load_reference  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref():
+    try:
+        return load_reference()
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"reference tree not importable: {e}")
+
+
+def _build_ref_qim(update_query_pos: bool, seed: int):
+    from MOTR.models.qim import QueryInteractionModule
+
+    args = types.SimpleNamespace(merger_dropout=0.0,
+                                 update_query_pos=update_query_pos,
+                                 random_drop=0.0, fp_ratio=0.0)
+    torch.manual_seed(seed)
+    # the reference head builds QIM with hidden_dim == d_model
+    # (head.py:117 passes decoder.hidden_dim; qim.py:87)
+    return QueryInteractionModule(args, dim_in=256, hidden_dim=256,
+                                  dim_out=512).eval()
+
+
+def _qim_params(tm, update_query_pos: bool):
+    p = {
+        "self_attn": _mha_params(tm.self_attn, 256),
+        "norm1": _norm(tm.norm1),
+        "linear1": _dense(tm.linear1.weight, tm.linear1.bias),
+        "linear2": _dense(tm.linear2.weight, tm.linear2.bias),
+        "norm2": _norm(tm.norm2),
+    }
+    if update_query_pos:
+        p.update({
+            "pos_linear1": _dense(tm.linear_pos1.weight, tm.linear_pos1.bias),
+            "pos_linear2": _dense(tm.linear_pos2.weight, tm.linear_pos2.bias),
+            "pos_norm": _norm(tm.norm_pos),
+        })
+    return p
+
+
+def _ref_instances(fields):
+    from MOTR.models.structures import Instances
+
+    inst = Instances((1, 1))
+    for k, v in fields.items():
+        inst.set(k, v)
+    return inst
+
+
+@pytest.mark.parametrize("update_query_pos", [False, True])
+def test_qim_refresh_parity(ref, update_query_pos):
+    from mo_yolo_tpu.models.tracker import QIM
+    from mo_yolo_tpu.ops.embed import pos2posemb
+
+    tm = _build_ref_qim(update_query_pos, seed=3)
+    K = 5
+    rng = np.random.default_rng(4)
+    ref_pts = rng.normal(0, 1.5, (K, 4)).astype(np.float32)  # logit space
+    out_embed = rng.standard_normal((K, 256)).astype(np.float32)
+    query_feat = rng.standard_normal((K, 256)).astype(np.float32)
+    pred_boxes = rng.uniform(0.2, 0.8, (K, 4)).astype(np.float32)
+
+    inst = _ref_instances({
+        "ref_pts": torch.from_numpy(ref_pts),
+        "output_embedding": torch.from_numpy(out_embed),
+        "query_pos": torch.from_numpy(query_feat.copy()),
+        "pred_boxes": torch.from_numpy(pred_boxes),
+    })
+    captured = {}
+
+    def _grab(name):
+        def hook(m, i, o):
+            captured[name] = o.detach().numpy().copy()
+        return hook
+
+    tm.norm2.register_forward_hook(_grab("tgt"))
+    if update_query_pos:
+        tm.norm_pos.register_forward_hook(_grab("pos"))
+    with torch.no_grad():
+        try:
+            tm._update_track_embedding(inst)
+        except RuntimeError:
+            # The reference's update_query_pos branch is broken as shipped:
+            # it writes the 256-wide norm_pos output into a 128-wide slice
+            # (`qim.py:287`, `query_pos[:, :dim // 2] = query_pos`), so the
+            # branch cannot complete on any input. norm_pos itself runs
+            # first and is captured by the hook — the comparison below is
+            # against the last value its math produces before the crash.
+            assert update_query_pos and "pos" in captured
+    assert "tgt" in captured
+
+    om = QIM(d_model=256, d_ffn=256, update_query_pos=update_query_pos)
+    variables = {"params": _qim_params(tm, update_query_pos)}
+    qpos = pos2posemb(jnp.asarray(ref_pts)[None], 64)
+    new_embed, new_pos = om.apply(
+        variables, jnp.asarray(out_embed)[None], qpos,
+        jnp.ones((1, K), bool))
+    np.testing.assert_allclose(np.asarray(new_embed)[0], captured["tgt"],
+                               atol=2e-5)
+    if update_query_pos:
+        np.testing.assert_allclose(np.asarray(new_pos)[0], captured["pos"],
+                                   atol=2e-5)
+
+
+def test_qim_inactive_slots_untouched(ref):
+    """Masked slots must pass through unchanged AND not influence active
+    rows — equivalent to the reference's gather-to-active-subset."""
+    from mo_yolo_tpu.models.tracker import QIM
+    from mo_yolo_tpu.ops.embed import pos2posemb
+
+    tm = _build_ref_qim(False, seed=5)
+    K, Kpad = 4, 7
+    rng = np.random.default_rng(6)
+    ref_pts = rng.normal(0, 1.5, (Kpad, 4)).astype(np.float32)
+    out_embed = rng.standard_normal((Kpad, 256)).astype(np.float32)
+
+    inst = _ref_instances({
+        "ref_pts": torch.from_numpy(ref_pts[:K]),
+        "output_embedding": torch.from_numpy(out_embed[:K]),
+        "query_pos": torch.from_numpy(out_embed[:K].copy()),
+        "pred_boxes": torch.from_numpy(
+            rng.uniform(0.2, 0.8, (K, 4)).astype(np.float32)),
+    })
+    captured = {}
+
+    def hook(m, i, o):
+        captured["tgt"] = o.detach().numpy().copy()
+
+    tm.norm2.register_forward_hook(hook)
+    with torch.no_grad():
+        tm._update_track_embedding(inst)
+
+    om = QIM(d_model=256, d_ffn=256)
+    variables = {"params": _qim_params(tm, False)}
+    mask = jnp.array([[True] * K + [False] * (Kpad - K)])
+    new_embed, _ = om.apply(
+        variables, jnp.asarray(out_embed)[None],
+        pos2posemb(jnp.asarray(ref_pts)[None], 64), mask)
+    np.testing.assert_allclose(np.asarray(new_embed)[0, :K],
+                               captured["tgt"], atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(new_embed)[0, K:],
+                                  out_embed[K:])
+
+
+# ---------------------------------------------------------------------------
+# RuntimeTrackerBase lifecycle parity
+# ---------------------------------------------------------------------------
+
+MISS = 3
+
+
+class _RefTrackerHarness:
+    """Drives the reference RuntimeTrackerBase the way the head does:
+    carried actives + fresh candidates per frame (`head.py:493-497`)."""
+
+    def __init__(self, ref):
+        self.tracker = ref.head.RuntimeTrackerBase(
+            score_thresh=0.4, filter_score_thresh=0.5, miss_tolerance=MISS)
+        self.carried = None  # Instances of active tracks
+
+    def step(self, carried_scores, new_boxes, new_scores):
+        """carried_scores: {obj_id: score} this frame for carried tracks;
+        new_*: arrays of fresh candidates (obj=-1). Returns {obj_id: score}
+        of the active set after update."""
+        parts = []
+        if self.carried is not None and len(self.carried) > 0:
+            sc = torch.tensor([carried_scores[int(i)] for i in
+                               self.carried.obj_idxes.reshape(-1)],
+                              dtype=torch.float32)
+            self.carried.scores = sc
+            parts.append(self.carried)
+        if len(new_scores):
+            parts.append(_ref_instances({
+                "pred_boxes": torch.from_numpy(new_boxes),
+                "scores": torch.from_numpy(new_scores),
+                "obj_idxes": torch.full((len(new_scores), 1), -1,
+                                        dtype=torch.long),
+                "disappear_time": torch.zeros(len(new_scores),
+                                              dtype=torch.long),
+            }))
+        from MOTR.models.structures import Instances
+
+        inst = parts[0] if len(parts) == 1 else Instances.cat(parts)
+        out = self.tracker.update(inst)
+        active = out[out.obj_idxes.reshape(-1) >= 0] \
+            if len(out) and (out.obj_idxes >= 0).any() else out[:0]
+        self.carried = active
+        return {int(i): float(s) for i, s in
+                zip(active.obj_idxes.reshape(-1), active.scores)}
+
+
+class _OurTrackerHarness:
+    def __init__(self, n_slots=6, hd=8):
+        from mo_yolo_tpu.models.tracker import TrackerConfig, init_track_state
+
+        self.cfg = TrackerConfig(n_slots=n_slots, score_thresh=0.4,
+                                 filter_score_thresh=0.5,
+                                 miss_tolerance=MISS)
+        self.state = init_track_state(1, n_slots, hd)
+        # strip the batch dim: runtime_update is single-stream
+        self.state = jax.tree.map(lambda x: x[0], self.state)
+        self.n_slots, self.hd = n_slots, hd
+
+    def step(self, carried_scores, new_boxes, new_scores):
+        from mo_yolo_tpu.models.tracker import runtime_update
+
+        N, hd = self.n_slots, self.hd
+        obj = np.asarray(self.state.obj_id)
+        tr_score = np.zeros(N, np.float32)
+        for i, o in enumerate(obj):
+            if o >= 0:
+                tr_score[i] = carried_scores[int(o)]
+        track_out = {"box": self.state.pred_box,
+                     "score": jnp.asarray(tr_score),
+                     "cls": jnp.zeros(N, jnp.int32),
+                     "embed": jnp.zeros((N, hd)),
+                     "query_pos": jnp.zeros((N, hd))}
+        Nd = max(len(new_scores), 1)
+        db = np.full((Nd, 4), 0.001, np.float32)
+        ds = np.zeros(Nd, np.float32)
+        if len(new_scores):
+            db[:len(new_scores)] = new_boxes
+            ds[:len(new_scores)] = new_scores
+        det_out = {"box": jnp.asarray(db), "score": jnp.asarray(ds),
+                   "cls": jnp.zeros(Nd, jnp.int32),
+                   "embed": jnp.zeros((Nd, hd)),
+                   "query_pos": jnp.zeros((Nd, hd))}
+        self.state, out = runtime_update(self.state, self.cfg, track_out,
+                                         det_out)
+        ids = np.asarray(out["obj_id"])
+        valid = np.asarray(out["valid"])
+        scores = np.asarray(out["score"])
+        return {int(i): float(s) for i, s, v in zip(ids, scores, valid)
+                if v and i >= 0}
+
+
+def _box(cx, cy):
+    return np.array([cx, cy, 0.08, 0.08], np.float32)
+
+
+def test_runtime_tracker_lifecycle_parity(ref):
+    """A persists; B expires after MISS consecutive low-score frames; C is
+    born mid-sequence; D never crosses the newborn threshold. Both
+    trackers must agree on every frame's active {id: score} set."""
+    theirs = _RefTrackerHarness(ref)
+    ours = _OurTrackerHarness()
+
+    # frame 0: A (0.9) and B (0.45) are newborn candidates; D is too weak
+    frames = [
+        dict(carried={}, new=[(_box(0.2, 0.2), 0.9),
+                              (_box(0.7, 0.7), 0.45),
+                              (_box(0.5, 0.2), 0.30)]),
+        # frames 1-3: A strong; B below filter threshold (expires at 3)
+        dict(carried={0: 0.9, 1: 0.45}, new=[]),
+        dict(carried={0: 0.9, 1: 0.45},
+             new=[(_box(0.4, 0.8), 0.8)]),          # C born -> id 2
+        dict(carried={0: 0.9, 1: 0.45, 2: 0.8}, new=[]),  # B expires here
+        dict(carried={0: 0.9, 2: 0.8}, new=[]),
+        dict(carried={0: 0.9, 2: 0.8},
+             new=[(_box(0.85, 0.3), 0.55)]),        # E born -> id 3
+    ]
+    for t, fr in enumerate(frames):
+        nb = np.stack([b for b, _ in fr["new"]]) if fr["new"] else \
+            np.zeros((0, 4), np.float32)
+        ns = np.array([s for _, s in fr["new"]], np.float32)
+        got_ref = theirs.step(fr["carried"], nb, ns)
+        got_ours = ours.step(fr["carried"], nb, ns)
+        assert got_ref == pytest.approx(got_ours), \
+            f"frame {t}: ref={got_ref} ours={got_ours}"
+    # full lifecycle exercised: 4 IDs allocated in the same order
+    assert set(got_ref) == {0, 2, 3}
+
+
+def test_runtime_tracker_duplicate_suppression_parity(ref):
+    """Two candidates on the same spot (IoU > 0.8): both sides keep the
+    first and suppress the second; the suppressed one never gets an ID."""
+    theirs = _RefTrackerHarness(ref)
+    ours = _OurTrackerHarness()
+
+    dup = [(_box(0.3, 0.3), 0.9), (_box(0.302, 0.3), 0.85),
+           (_box(0.8, 0.8), 0.7)]
+    nb = np.stack([b for b, _ in dup])
+    ns = np.array([s for _, s in dup], np.float32)
+    got_ref = theirs.step({}, nb, ns)
+    got_ours = ours.step({}, nb, ns)
+    assert got_ref == pytest.approx(got_ours)
+    assert len(got_ref) == 2            # duplicate suppressed on both sides
+    # next frame: survivors carried, same IDs persist
+    carried = {i: s for i, s in got_ref.items()}
+    got_ref2 = theirs.step(carried, np.zeros((0, 4), np.float32),
+                           np.zeros(0, np.float32))
+    got_ours2 = ours.step(carried, np.zeros((0, 4), np.float32),
+                          np.zeros(0, np.float32))
+    assert got_ref2 == pytest.approx(got_ours2)
+    assert got_ref2 == pytest.approx(carried)
