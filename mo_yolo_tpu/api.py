@@ -426,8 +426,10 @@ class MOTRTrack(_TuneMixin):
         """Export the jitted stream step. Formats: 'stablehlo' (text IR),
         'jaxexport' (serialized AOT artifact), 'params' (orbax weights),
         'saved_model' (TF SavedModel via jax2tf), 'tflite', 'pb' (frozen
-        GraphDef), 'onnx' (via tf2onnx when installed) — the TPU-relevant
-        subset of the reference's 12 formats (`engine/exporter.py:76-93`).
+        GraphDef), 'onnx' (via tf2onnx when installed), 'pt' (reference-
+        format torch checkpoint, the inverse of `load_torch`) — the
+        TPU-relevant subset of the reference's 12 formats
+        (`engine/exporter.py:76-93`).
 
         Reference export knobs (`cfg/default.yaml:71-79`):
         `half` bakes bfloat16 weights (TPU's half type; f16 output for
@@ -462,6 +464,16 @@ class MOTRTrack(_TuneMixin):
         if fmt == "params":
             self.save(path, variables=ex_vars)
             return path
+        if fmt == "pt":
+            # outbound torch interop (inverse of `load_torch`): a
+            # reference-format checkpoint the torch stack can consume —
+            # reference trainer ckpt layout, `engine/trainer.py:424-488`
+            from mo_yolo_tpu.utils.torch_export import export_reference_pt
+            return export_reference_pt(
+                ex_vars, path,
+                train_args={"model": self.cfg_path, "task": "track",
+                            "imgsz": self.imgsz, "names": self.names},
+                task="track", half=half)
         if keras and fmt == "saved_model":
             fmt = "keras"
         if fmt in ("saved_model", "tflite", "pb", "keras"):
@@ -621,7 +633,7 @@ class MOTRTrack(_TuneMixin):
             return out
         raise ValueError(f"unsupported export format {fmt!r} (supported: "
                          "'stablehlo', 'jaxexport', 'params', 'saved_model',"
-                         " 'keras', 'tflite', 'pb', 'onnx')")
+                         " 'keras', 'tflite', 'pb', 'onnx', 'pt')")
 
 
 class Detector(_TuneMixin):

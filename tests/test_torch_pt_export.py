@@ -1,0 +1,89 @@
+"""Outbound `.pt` export: reference-format torch checkpoint
+(`api.export(fmt='pt')` -> `utils/torch_export.py`), the inverse of
+`load_torch`. A user trains on TPU and hands the weights back to the
+reference torch stack (reference ckpt layout, `engine/trainer.py:424-488`).
+
+Function-parity of the exported tensors is already covered by the
+composition of the strict round-trip test (export ∘ apply == identity,
+tests/test_checkpoint.py) and the full-model forward-parity test
+(tests/test_torch_parity.py); these tests pin the artifact itself: file
+layout, strict landing of every exported tensor in the real reference
+module, and that the pickled module is live (loads + runs eval forward).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+torch = pytest.importorskip("torch")
+
+from tests.torch_ref import (_install_motr_dataset_stubs,  # noqa: E402
+                             load_reference)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    try:
+        ns = load_reference()
+        _install_motr_dataset_stubs()
+        return ns
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"reference tree not importable: {e}")
+
+
+def test_pt_export_reference_checkpoint(ref, tmp_path):
+    from mo_yolo_tpu.api import MOTRTrack
+
+    m = MOTRTrack("yolo_track.yaml", imgsz=160, dtype="float32")
+    p = m.export("pt", str(tmp_path / "best"))
+    assert p.endswith(".pt")
+
+    ck = torch.load(p, map_location="cpu", weights_only=False)
+    assert {"epoch", "best_fitness", "model", "state_dict", "train_args",
+            "date", "version"} <= set(ck)
+    assert ck["train_args"]["task"] == "track"
+
+    # every exported tensor landed in the real reference module
+    # (export_reference_pt raises on unexpected keys; double-check from
+    # the artifact side against a fresh reference model)
+    tm = ck["model"]
+    assert tm is not None, "reference module should build in shimmed env"
+    sd = tm.state_dict()
+    n_hit = 0
+    for k, v in ck["state_dict"].items():
+        assert k in sd, f"exported key {k} missing from reference module"
+        np.testing.assert_array_equal(sd[k].float().numpy(), v.numpy())
+        n_hit += 1
+    assert n_hit > 400  # full backbone+decoder+QIM surface, not a stub
+
+    # the pickled module is live: eval forward on the checkpointed model
+    img = torch.rand(1, 3, 160, 160, generator=torch.Generator()
+                     .manual_seed(0))
+    with torch.no_grad():
+        (_, x), _ti = tm.predict(img, is_first=True)
+    boxes = x[0].squeeze(0)[0]
+    assert torch.isfinite(boxes).all()
+    assert boxes.shape[-1] == 4
+
+
+def test_pt_export_state_dict_fallback(ref, tmp_path, monkeypatch):
+    """When the reference package cannot build the module (the common
+    case outside a patched env — its head is unbuildable as shipped),
+    the checkpoint still carries the loadable state_dict."""
+    import mo_yolo_tpu.utils.torch_export as te
+    from mo_yolo_tpu.api import MOTRTrack
+
+    monkeypatch.setattr(te, "build_reference_module",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            ImportError("no ultralytics")))
+    m = MOTRTrack("yolo_track.yaml", imgsz=160, dtype="float32")
+    p = m.export("pt", str(tmp_path / "sd_only"))
+    ck = torch.load(p, map_location="cpu", weights_only=False)
+    assert ck["model"] is None
+    # state_dict loads into a reference module built out-of-band
+    from tests.torch_ref import build_tracking_model
+    rm = build_tracking_model(
+        "/root/reference/ultralytics/cfg/models/v8/yolo_track.yaml")
+    missing, unexpected = rm.load_state_dict(ck["state_dict"], strict=False)
+    assert not unexpected
