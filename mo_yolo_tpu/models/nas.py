@@ -129,7 +129,8 @@ class NAS:
                  max_det: int = 300):
         jdt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
         from mo_yolo_tpu.api import _resolve_model_cfg
-        spec = parse_model_yaml(_resolve_model_cfg(str(model)), nc=nc)
+        self._cfg = _resolve_model_cfg(str(model))
+        spec = parse_model_yaml(self._cfg, nc=nc)
         self.model = NASModel(spec=spec, dtype=jdt, max_det=max_det)
         self.imgsz = imgsz
         self.names = names or {}
@@ -191,3 +192,54 @@ class NAS:
         n = sum(x.size for x in jax.tree.leaves(self.variables))
         return {"params": int(n), "nc": self.model.spec.nc,
                 "strides": tuple(self.model.spec.out_strides)}
+
+    def export(self, fmt: str = "jaxexport", path: str = "nas_export",
+               half: bool = False, optimize: bool = False):
+        """Export the jitted predict step — 'params' / 'jaxexport' /
+        'stablehlo' (TPU serving), plus the torch-interop formats for the
+        v8 Detect family: 'pt' (reference-format checkpoint, inverse of
+        the torch import) and 'torchscript' (traced reference module,
+        the reference Exporter's first-listed format)."""
+        from pathlib import Path
+
+        if fmt == "params":
+            from mo_yolo_tpu.utils.checkpoint import save_params
+            save_params(path, self.variables)
+            return path
+        head_idx = len(self.model.spec.nodes)
+        if fmt == "pt":
+            from mo_yolo_tpu.utils.torch_export import export_reference_pt
+            return export_reference_pt(
+                self.variables, path,
+                train_args={"model": self._cfg, "task": "detect",
+                            "imgsz": self.imgsz, "names": self.names},
+                head_idx=head_idx, task="detect", half=half)
+        if fmt == "torchscript":
+            from mo_yolo_tpu.utils.torch_export import export_torchscript
+            return export_torchscript(
+                self.variables, path, self._cfg, head_idx=head_idx,
+                imgsz=self.imgsz, task="detect", names=self.names,
+                half=half, optimize=optimize)
+        frames = jnp.zeros((1, self.imgsz, self.imgsz, 3))
+        variables = self.variables
+
+        def fn(f):
+            return self.model.apply(variables, f,
+                                    method=self.model.predict_step)
+
+        if fmt == "jaxexport":
+            from jax import export as jexport
+            exp = jexport.export(jax.jit(fn))(frames)
+            out = Path(path).with_suffix(".jaxexport")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_bytes(exp.serialize())
+            return str(out)
+        if fmt == "stablehlo":
+            txt = jax.jit(fn).lower(frames).as_text()
+            out = Path(path).with_suffix(".stablehlo.txt")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(txt)
+            return str(out)
+        raise ValueError(
+            f"unsupported NAS export format {fmt!r} (supported: 'params',"
+            " 'jaxexport', 'stablehlo', 'pt', 'torchscript')")

@@ -456,6 +456,60 @@ def _convert(tv, ours, tag: str):
 # --------------------------------------------------------------------- #
 # inverse: our variables -> torch-style state_dict
 # --------------------------------------------------------------------- #
+def _inverse_v8_head(parts, arr, H, dense, conv):
+    """Inverse of `_expand_v8_head_entry`: our `{params|batch_stats}/head/...`
+    leaves back to reference v8 task-head tensor names
+    (Detect/Segment/Pose cv2/cv3/cv4 + Proto, Classify conv+linear —
+    `nn/modules/head.py:27-599`, `block.py:Proto`). The DFL conv is
+    analytic on our side; the reference initializes it to the same fixed
+    arange, so leaving it at init preserves function parity."""
+    import numpy as np
+
+    def convT(a):
+        # invert the 'convT' import transform: flip + HWIO -> [in,out,kH,kW]
+        return np.transpose(a[::-1, ::-1], (2, 3, 0, 1))
+
+    def bn_name(leaf):
+        return {"scale": "weight", "bias": "bias", "mean": "running_mean",
+                "var": "running_var"}[leaf]
+
+    rest = parts[2:]
+    if rest[0] == "detect":          # Segment/Pose nest the Detect branch
+        rest = rest[1:]
+    name = rest[0]
+    if name.split("_")[0] in ("cv2", "cv3", "cv4") and name.count("_") == 2:
+        cv, i, j = name.split("_")
+        base = f"{H}.{cv}.{i}.{j}"
+        if j == "2":                 # plain nn.Conv2d output projection
+            leaf = rest[1]
+            if leaf == "kernel":
+                return f"{base}.weight", conv(arr)
+            return f"{base}.bias", arr
+        sub, leaf = rest[1], rest[2]
+        if sub == "conv":
+            return f"{base}.conv.weight", conv(arr)
+        return f"{base}.bn.{bn_name(leaf)}", arr
+    if name == "proto":
+        sub, tail = rest[1], rest[2:]
+        if sub == "upsample":
+            if tail[0] == "kernel":
+                return f"{H}.proto.upsample.weight", convT(arr)
+            return f"{H}.proto.upsample.bias", arr
+        if tail[0] == "conv":
+            return f"{H}.proto.{sub}.conv.weight", conv(arr)
+        return f"{H}.proto.{sub}.bn.{bn_name(tail[1])}", arr
+    if name == "conv" and len(rest) >= 3:    # Classify stem Conv
+        sub, leaf = rest[1], rest[2]
+        if sub == "conv":
+            return f"{H}.conv.conv.weight", conv(arr)
+        return f"{H}.conv.bn.{bn_name(leaf)}", arr
+    if name == "linear":             # Classify output projection
+        leaf = rest[1]
+        return (f"{H}.linear.{'weight' if leaf == 'kernel' else 'bias'}",
+                dense(arr) if leaf == "kernel" else arr)
+    return None, None
+
+
 def export_torch_state_dict(variables: Dict[str, Any],
                             head_idx: int = 22) -> Dict[str, Any]:
     """Render our variable tree as a reference-layout numpy state_dict
@@ -537,6 +591,9 @@ def _inverse_map(key: str, arr, head_idx: int, pend_qkv):
                  "mean": "running_mean", "var": "running_var"}[leaf]
         val = conv(arr) if leaf == "kernel" else arr
         return ".".join([f"model.{idx}"] + mids + [tname]), val
+
+    if top == "head":
+        return _inverse_v8_head(parts, arr, H, dense, conv)
 
     if top == "qim" or (top == "decoder" and len(parts) > 2):
         if top == "qim":

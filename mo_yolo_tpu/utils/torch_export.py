@@ -53,6 +53,76 @@ def build_reference_module(cfg_path: str, task: str = "track"):
     return module.eval().float()
 
 
+def export_torchscript(variables: Dict[str, Any], path: str,
+                       cfg_path: str, head_idx: int,
+                       imgsz, task: str = "detect",
+                       names: Optional[Dict[int, str]] = None,
+                       half: bool = False, optimize: bool = False) -> str:
+    """TorchScript export (the reference's first-listed format,
+    `engine/exporter.py:export_torchscript`): build the reference torch
+    module for `cfg_path`, land our weights in it strictly, trace, and
+    save with the reference's `config.txt` metadata sidecar.
+
+    Requires the reference `ultralytics` package importable and a
+    reference-parseable model yaml; raises a clear error otherwise (the
+    TPU-side serving formats — jaxexport/saved_model/tflite — need
+    neither)."""
+    import json
+
+    import numpy as np
+    import torch
+
+    from mo_yolo_tpu.data.letterbox import to_hw
+    from mo_yolo_tpu.utils.checkpoint import export_torch_state_dict
+
+    try:
+        module = build_reference_module(cfg_path, task=task)
+    except Exception as e:
+        raise RuntimeError(
+            "torchscript export needs the reference ultralytics package "
+            f"and a reference-parseable yaml ({cfg_path!r}): "
+            f"{type(e).__name__}: {e}") from e
+    sd = export_torch_state_dict(variables, head_idx=head_idx)
+    tsd = {k: torch.from_numpy(np.array(v, copy=True))
+           for k, v in sd.items()}
+    missing, unexpected = module.load_state_dict(tsd, strict=False)
+    if unexpected:
+        raise RuntimeError(
+            f"{len(unexpected)} exported tensors have no home in the "
+            f"reference module (first: {unexpected[:3]})")
+    not_dfl = [k for k in missing if ".dfl." not in k]
+    if not_dfl:
+        raise RuntimeError(
+            f"torch module tensors not covered by the export (first: "
+            f"{not_dfl[:3]}) — torchscript would ship random weights")
+    if half:
+        module = module.half()
+    h, w = to_hw(imgsz)
+    example = torch.zeros(1, 3, h, w,
+                          dtype=torch.half if half else torch.float32)
+    with torch.no_grad():
+        # warm-up: the Detect head lazily caches anchors on first call
+        # (`head.py:56`), so trace and its sanity re-run must both see
+        # the cached path (the reference exporter dry-runs before
+        # tracing for the same reason, `exporter.py:146-150`)
+        for _ in range(2):
+            module(example)
+        ts = torch.jit.trace(module, example, strict=False)
+    out = Path(path).with_suffix(".torchscript")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    # reference metadata sidecar (`exporter.py`: config.txt in the zip)
+    meta = {"imgsz": [h, w], "names": names or {}, "task": task,
+            "stride": 32, "half": bool(half)}
+    extra = {"config.txt": json.dumps(meta)}
+    if optimize:  # reference `optimize=True`: mobile-optimized artifact
+        from torch.utils.mobile_optimizer import optimize_for_mobile
+        optimize_for_mobile(ts)._save_for_lite_interpreter(
+            str(out), _extra_files=extra)
+    else:
+        ts.save(str(out), _extra_files=extra)
+    return str(out)
+
+
 def export_reference_pt(variables: Dict[str, Any], path: str,
                         train_args: Dict[str, Any],
                         head_idx: int = 22, task: str = "track",

@@ -1,0 +1,120 @@
+"""TorchScript + reference-`.pt` export for the v8 Detect family
+(`NAS.export(fmt='torchscript'|'pt')` -> `utils/torch_export.py`, using
+the new v8-head inverse mapping in `utils/checkpoint.py`).
+
+The traced artifact must be a LIVE torch program computing the same
+function as the JAX model: the test loads the .torchscript file fresh
+and compares its dense boxes/probs against our forward on the same
+image. BN batch_stats are randomized before export so a transposed
+kernel or swapped stat cannot hide behind identity normalization.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+from tests.torch_ref import load_reference  # noqa: E402
+
+V8_YAML = "/root/reference/ultralytics/cfg/models/v8/yolov8.yaml"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    try:
+        return load_reference()
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"reference tree not importable: {e}")
+
+
+@pytest.fixture(scope="module")
+def nas(ref, tmp_path_factory):
+    from mo_yolo_tpu.models.nas import NAS
+
+    d = tmp_path_factory.mktemp("cfg")
+    # scale-n yaml both sides agree on: our parser reads the explicit
+    # `scale:` key; the reference guesses 'n' from the file NAME
+    # (`tasks.py:972` guess_model_scale) and overwrites the key with the
+    # same value
+    cfg = d / "yolov8n.yaml"
+    cfg.write_text(open(V8_YAML).read() + "\nscale: n\n")
+    m = NAS(model=str(cfg), imgsz=160)
+
+    # randomize BN stats so eval normalization is non-identity
+    rng = np.random.default_rng(3)
+
+    def rand_stats(path, x):
+        leaf = str(path[-1].key)
+        if leaf == "mean":
+            return jnp.asarray(rng.normal(0, 0.05, x.shape), x.dtype)
+        if leaf == "var":
+            return jnp.asarray(rng.uniform(0.5, 1.5, x.shape), x.dtype)
+        return x
+
+    bs = jax.tree_util.tree_map_with_path(rand_stats,
+                                          m.variables["batch_stats"])
+    m.variables = dict(m.variables, batch_stats=bs)
+    return m
+
+
+def _image():
+    yy, xx = np.mgrid[0:160, 0:160].astype(np.float32) / 160.0
+    img = np.stack([xx, yy, xx * yy], -1)[None].astype(np.float32)
+    img[0, 40:80, 30:70, 0] = 1.0
+    img[0, 90:140, 80:150, 1] = 0.0
+    return img
+
+
+def test_torchscript_export_runs_same_function(nas, tmp_path):
+    p = nas.export("torchscript", str(tmp_path / "m"))
+    assert p.endswith(".torchscript")
+
+    extra = {"config.txt": ""}
+    ts = torch.jit.load(p, map_location="cpu", _extra_files=extra)
+    import json
+    meta = json.loads(extra["config.txt"])
+    assert meta["imgsz"] == [160, 160] and meta["task"] == "detect"
+
+    img = _image()
+    timg = torch.from_numpy(np.ascontiguousarray(img.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        ty = ts(timg)
+        ty = (ty[0] if isinstance(ty, (list, tuple)) else ty).numpy()
+
+    bx, cp = nas.model.apply(nas.variables, jnp.asarray(img))
+    ours_cxcywh = np.concatenate(
+        [(np.asarray(bx)[..., :2] + np.asarray(bx)[..., 2:]) / 2,
+         np.asarray(bx)[..., 2:] - np.asarray(bx)[..., :2]], -1)
+    np.testing.assert_allclose(ours_cxcywh, ty[:, :4].transpose(0, 2, 1),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(cp), ty[:, 4:].transpose(0, 2, 1),
+                               atol=1e-5)
+
+
+def test_nas_pt_export(nas, tmp_path):
+    p = nas.export("pt", str(tmp_path / "best"))
+    ck = torch.load(p, map_location="cpu", weights_only=False)
+    assert ck["train_args"]["task"] == "detect"
+    assert ck["model"] is not None
+    sd = ck["model"].state_dict()
+    for k, v in ck["state_dict"].items():
+        np.testing.assert_array_equal(sd[k].float().numpy(), v.numpy())
+    # bn stats rode along (batch_stats inverse path)
+    rm = [k for k in ck["state_dict"] if k.endswith("running_mean")]
+    assert len(rm) > 40
+    assert any(abs(ck["state_dict"][k].numpy()).max() > 1e-3 for k in rm)
+
+
+def test_torchscript_requires_reference_yaml(nas, tmp_path):
+    from mo_yolo_tpu.models.nas import NAS
+
+    shutil.copy("mo_yolo_tpu/cfg/models/yolo_nas_s.yaml",
+                tmp_path / "yolo_nas_s.yaml")
+    m = NAS(model=str(tmp_path / "yolo_nas_s.yaml"), imgsz=160)
+    with pytest.raises(RuntimeError, match="torchscript export needs"):
+        m.export("torchscript", str(tmp_path / "x"))
