@@ -909,6 +909,62 @@ class _TaskModel(_TuneMixin):
         self.variables = self.model.init(
             jax.random.PRNGKey(seed), jnp.zeros((1, imgsz, imgsz, 3)))
 
+    def export(self, fmt: str = "jaxexport", path: Optional[str] = None,
+               half: bool = False, optimize: bool = False):
+        """Export the task model: 'params' / 'jaxexport' / 'stablehlo'
+        (TPU serving) plus torch interop 'pt' / 'torchscript' via the
+        reference SegmentationModel/PoseModel/ClassificationModel
+        (requires a reference-parseable yaml; same contract as
+        `NAS.export`)."""
+        import jax
+        import jax.numpy as jnp
+
+        path = path or f"{self.task}_export"
+        cfg = _resolve_model_cfg(str(self._ctor["model"]))
+        if fmt == "params":
+            from mo_yolo_tpu.utils.checkpoint import save_params
+            save_params(path, self.variables)
+            return path
+        head_idx = len(self.model.spec.nodes)
+        if fmt == "pt":
+            from mo_yolo_tpu.utils.torch_export import export_reference_pt
+            return export_reference_pt(
+                self.variables, path,
+                train_args={"model": cfg, "task": self.task,
+                            "imgsz": self.imgsz},
+                head_idx=head_idx, task=self.task, half=half)
+        if fmt == "torchscript":
+            from mo_yolo_tpu.utils.torch_export import export_torchscript
+            return export_torchscript(
+                self.variables, path, cfg, head_idx=head_idx,
+                imgsz=self.imgsz, task=self.task, half=half,
+                optimize=optimize)
+        frames = jnp.zeros((1, self.imgsz, self.imgsz, 3))
+        variables = self.variables
+        method = getattr(self.model, "predict_step", None)
+
+        def fn(f):
+            if method is not None:
+                return self.model.apply(variables, f, method=method)
+            return self.model.apply(variables, f)   # classify logits
+
+        if fmt == "jaxexport":
+            from jax import export as jexport
+            exp = jexport.export(jax.jit(fn))(frames)
+            out = Path(path).with_suffix(".jaxexport")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_bytes(exp.serialize())
+            return str(out)
+        if fmt == "stablehlo":
+            txt = jax.jit(fn).lower(frames).as_text()
+            out = Path(path).with_suffix(".stablehlo.txt")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(txt)
+            return str(out)
+        raise ValueError(
+            f"unsupported {self.task} export format {fmt!r} (supported: "
+            "'params', 'jaxexport', 'stablehlo', 'pt', 'torchscript')")
+
     def train(self, data: str, **kw):
         from mo_yolo_tpu.train.task_trainers import (ClassifyTrainer,
                                                      PoseTrainer,

@@ -48,6 +48,12 @@ def build_reference_module(cfg_path: str, task: str = "track"):
             sys.argv = argv
     elif task == "detect":
         module = tasks.DetectionModel(cfg=cfg_path, verbose=False)
+    elif task == "segment":
+        module = tasks.SegmentationModel(cfg=cfg_path, verbose=False)
+    elif task == "pose":
+        module = tasks.PoseModel(cfg=cfg_path, verbose=False)
+    elif task == "classify":
+        module = tasks.ClassificationModel(cfg=cfg_path, verbose=False)
     else:
         raise ValueError(f"unsupported task for torch export: {task!r}")
     return module.eval().float()

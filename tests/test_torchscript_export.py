@@ -110,6 +110,44 @@ def test_nas_pt_export(nas, tmp_path):
     assert any(abs(ck["state_dict"][k].numpy()).max() > 1e-3 for k in rm)
 
 
+@pytest.mark.parametrize("task,base", [
+    ("segment", "yolov8-seg.yaml"),
+    ("pose", "yolov8-pose.yaml"),
+    ("classify", "yolov8-cls.yaml"),
+])
+def test_task_pt_export_roundtrip(ref, tmp_path, task, base):
+    """cv4 / Proto / Classify inverse mapping is exact: export our
+    weights into the reference task module, re-import its state_dict,
+    and require bit-identical variables. The import direction is proven
+    by the forward-parity suite, so a wrong inverse transform (missed
+    transpose/flip) cannot cancel out."""
+    import jax
+
+    from mo_yolo_tpu.api import YOLO
+    from mo_yolo_tpu.utils.checkpoint import apply_torch_state_dict
+
+    name = base.replace("yolov8", "yolov8n")
+    cfg = tmp_path / name
+    cfg.write_text(
+        open(f"/root/reference/ultralytics/cfg/models/v8/{base}").read()
+        + "\nscale: n\n")
+    m = YOLO(model=str(cfg), task=task, imgsz=160)
+    p = m.export("pt", str(tmp_path / f"{task}_best"))
+    ck = torch.load(p, map_location="cpu", weights_only=False)
+    assert ck["model"] is not None, f"{task} reference module should build"
+    sd = {k: v.float().numpy() for k, v in ck["model"].state_dict().items()}
+
+    fresh = YOLO(model=str(cfg), task=task, imgsz=160, seed=1).variables
+    v2, rep = apply_torch_state_dict(sd, fresh, strict=True)
+    assert not rep["untouched"], rep["untouched"][:10]
+    mism = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                  - np.asarray(b, np.float32)).max()),
+        m.variables, v2)
+    worst = max(jax.tree.leaves(mism))
+    assert worst < 1e-6, f"round-trip diverged by {worst}"
+
+
 def test_torchscript_requires_reference_yaml(nas, tmp_path):
     from mo_yolo_tpu.models.nas import NAS
 
