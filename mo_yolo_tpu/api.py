@@ -51,6 +51,38 @@ def _resolve_model_cfg(name: str) -> str:
                             f"(searched {_MODEL_DIR})")
 
 
+class _CallbackMixin:
+    """Reference `Model` callback surface (`engine/model.py:660-697`
+    add_callback/clear_callback/reset_callbacks): callbacks added on the
+    facade are merged into every trainer/predictor/validator the facade
+    spawns, and `export` fires on_export_start/on_export_end around the
+    subclass `_export_impl`."""
+
+    @property
+    def callbacks(self):
+        from mo_yolo_tpu.utils.callbacks import CallbackBus
+        if not hasattr(self, "_callbacks"):
+            self._callbacks = CallbackBus()
+        return self._callbacks
+
+    def add_callback(self, event: str, fn):
+        self.callbacks.add(event, fn)
+
+    def clear_callback(self, event: str):
+        self.callbacks.clear(event)
+
+    def reset_callbacks(self):
+        self.callbacks.clear()
+
+    def export(self, *args, **kwargs):
+        fmt = kwargs.get("fmt", args[0] if args else None)
+        self.callbacks.fire("on_export_start", model=self, fmt=fmt)
+        out = self._export_impl(*args, **kwargs)
+        self.callbacks.fire("on_export_end", model=self, fmt=fmt,
+                            path=out)
+        return out
+
+
 class _TuneMixin:
     """Shared `tune()` (reference `Model.tune`, `engine/model.py:396-408`
     -> `utils/tuner.py:run_ray_tune`): native random search + ASHA-style
@@ -129,7 +161,7 @@ class _TuneMixin:
                      save_dir=save_dir or self._tune_save_dir)(epochs=epochs)
 
 
-class MOTRTrack(_TuneMixin):
+class MOTRTrack(_CallbackMixin, _TuneMixin):
     """End-to-end multi-object tracker (DecoderTracker) on TPU."""
 
     def __init__(self, model: str = "yolo_track.yaml", nc: Optional[int] = None,
@@ -211,7 +243,7 @@ class MOTRTrack(_TuneMixin):
         pred = TrackPredictor(self.model, self.variables, imgsz=imgsz,
                               conf=conf, names=self.names, classes=classes,
                               vid_stride=vid_stride, visualize=visualize,
-                              workers=workers)
+                              workers=workers, callbacks=self.callbacks)
         gen = pred.stream(source, save_mot=save_mot, save=save,
                           save_crop=save_crop, save_dir=save_dir,
                           line_width=line_width, show_labels=show_labels,
@@ -238,7 +270,7 @@ class MOTRTrack(_TuneMixin):
             files = list(data)
         imgsz = _rect_from_first(files, self.imgsz) if rect else self.imgsz
         v = TrackValidator(self.model, self.variables, imgsz=imgsz,
-                           conf=conf)
+                           conf=conf, callbacks=self.callbacks)
         return v(files, max_gt=max_gt)
 
     def train(self, data: str, epochs: int = 1, batch: int = 1,
@@ -258,6 +290,9 @@ class MOTRTrack(_TuneMixin):
                                val_every=val_every, log_every=log_every,
                                resume=resume, accumulate=accumulate,
                                augment=augment, **kw)
+        # facade-added callbacks ride along (reference Model.train merges
+        # self.callbacks into the trainer, engine/model.py:660-676)
+        trainer.callbacks.merge(self.callbacks)
         return trainer.run()
 
     # keys the TrackTrainer takes as constructor kwargs; every other
@@ -417,8 +452,9 @@ class MOTRTrack(_TuneMixin):
                                               strict=strict)
         return self
 
-    def export(self, fmt: str = "stablehlo", path: str = "model_export",
-               half: bool = False, int8: bool = False,
+    def _export_impl(self, fmt: str = "stablehlo",
+                     path: str = "model_export",
+                     half: bool = False, int8: bool = False,
                dynamic: bool = False, keras: bool = False,
                opset: Optional[int] = None, simplify: bool = False,
                nms: bool = False, workspace: int = 4,
@@ -621,7 +657,7 @@ class MOTRTrack(_TuneMixin):
                     "network egress. Use fmt='saved_model' and run "
                     "`python -m tf2onnx.convert --saved-model <dir>` "
                     "where tf2onnx is available.") from e
-            sm_dir = self.export("saved_model", path)
+            sm_dir = self._export_impl("saved_model", path)
             import subprocess
             import sys as _sys
             out = str(Path(path).with_suffix(".onnx"))
@@ -636,7 +672,7 @@ class MOTRTrack(_TuneMixin):
                          " 'keras', 'tflite', 'pb', 'onnx', 'pt')")
 
 
-class Detector(_TuneMixin):
+class Detector(_CallbackMixin, _TuneMixin):
     """Detection-task facade (RT-DETR-style set prediction) with classic
     tracker attachment — the reference's `model.track()` path
     (`trackers/track.py:16-62`: detect + BYTETracker/BOTSORT)."""
@@ -680,24 +716,33 @@ class Detector(_TuneMixin):
                            "RT-DETR head; use the NAS (v8 Detect) family. "
                            "Running the plain forward.")
 
-        for path, img in make_source(source):
-            x, meta = preprocess(img, self.imgsz, scale_fill=True)
-            boxes, scores, cls = self._step(self.variables, jnp.asarray(x))
-            b = np.asarray(boxes[0])
-            s = np.asarray(scores[0])
-            c = np.asarray(cls[0])
-            keep = s >= conf
-            ih, iw = self.in_h, self.in_w
-            xyxy = np.stack([(b[:, 0] - b[:, 2] / 2) * iw,
-                             (b[:, 1] - b[:, 3] / 2) * ih,
-                             (b[:, 0] + b[:, 2] / 2) * iw,
-                             (b[:, 1] + b[:, 3] / 2) * ih], 1)[keep]
-            xyxy = boxes_to_original(xyxy, meta)
-            yield TrackResults(boxes_xyxy=xyxy, conf=s[keep],
-                               cls=c[keep].astype(int),
-                               track_id=np.full(int(keep.sum()), -1),
-                               orig_shape=meta["orig_shape"], path=path,
-                               names=self.names, orig_img=img)
+        self.callbacks.fire("on_predict_start", model=self)
+        try:
+            n = 0
+            for path, img in make_source(source):
+                x, meta = preprocess(img, self.imgsz, scale_fill=True)
+                boxes, scores, cls = self._step(self.variables,
+                                                jnp.asarray(x))
+                b = np.asarray(boxes[0])
+                s = np.asarray(scores[0])
+                c = np.asarray(cls[0])
+                keep = s >= conf
+                ih, iw = self.in_h, self.in_w
+                xyxy = np.stack([(b[:, 0] - b[:, 2] / 2) * iw,
+                                 (b[:, 1] - b[:, 3] / 2) * ih,
+                                 (b[:, 0] + b[:, 2] / 2) * iw,
+                                 (b[:, 1] + b[:, 3] / 2) * ih], 1)[keep]
+                xyxy = boxes_to_original(xyxy, meta)
+                yield TrackResults(boxes_xyxy=xyxy, conf=s[keep],
+                                   cls=c[keep].astype(int),
+                                   track_id=np.full(int(keep.sum()), -1),
+                                   orig_shape=meta["orig_shape"], path=path,
+                                   names=self.names, orig_img=img)
+                self.callbacks.fire("on_predict_batch_end", model=self,
+                                    step=n)
+                n += 1
+        finally:
+            self.callbacks.fire("on_predict_end", model=self)
 
     def train(self, data: str, epochs: int = 1, batch: int = 8,
               lr: float = 1e-4, max_gt: int = 64,
@@ -708,10 +753,12 @@ class Detector(_TuneMixin):
         val_every, ...) forward to DetectTrainer."""
         from mo_yolo_tpu.train.detect_trainer import DetectTrainer
 
-        return DetectTrainer(self, data=data, epochs=epochs, batch=batch,
-                             lr=lr, max_gt=max_gt, save_dir=save_dir,
-                             seed=seed, log_every=log_every,
-                             augment=augment, **kw).run()
+        t = DetectTrainer(self, data=data, epochs=epochs, batch=batch,
+                          lr=lr, max_gt=max_gt, save_dir=save_dir,
+                          seed=seed, log_every=log_every,
+                          augment=augment, **kw)
+        t.callbacks.merge(self.callbacks)
+        return t.run()
 
     _tune_save_dir = "runs/detect/tune"   # DetectTrainer has no resume:
                                           # rungs retrain from scratch
@@ -753,7 +800,8 @@ class Detector(_TuneMixin):
         imgsz = _rect_from_first(files, self.imgsz) if rect else self.imgsz
         v = DetectionValidator(self.model, self.variables, imgsz=imgsz,
                                conf=conf, save_json=save_json,
-                               save_dir=save_dir, save_hybrid=save_hybrid)
+                               save_dir=save_dir, save_hybrid=save_hybrid,
+                               callbacks=self.callbacks)
         return v(files, max_gt=max_gt)
 
     def info(self, detailed: bool = False, verbose: bool = True,
@@ -823,7 +871,8 @@ class Detector(_TuneMixin):
                 orig_shape=r.orig_shape, path=r.path, names=self.names,
                 orig_img=r.orig_img)
 
-    def export(self, fmt: str = "jaxexport", path: str = "detect_export"):
+    def _export_impl(self, fmt: str = "jaxexport",
+                     path: str = "detect_export"):
         """Export the jitted detect predict step (reference Exporter on
         detect models): 'params' (orbax weights), 'jaxexport' (serialized
         AOT artifact, weights baked in), 'stablehlo' (text IR)."""
@@ -867,7 +916,7 @@ class RTDETR(Detector):
         super().__init__(model, **kw)
 
 
-class _TaskModel(_TuneMixin):
+class _TaskModel(_CallbackMixin, _TuneMixin):
     """Shared facade for segment / pose / classify (reference task models,
     `models/yolo/{segment,pose,classify}/`): train via the task trainers,
     val via the task validators."""
@@ -909,8 +958,9 @@ class _TaskModel(_TuneMixin):
         self.variables = self.model.init(
             jax.random.PRNGKey(seed), jnp.zeros((1, imgsz, imgsz, 3)))
 
-    def export(self, fmt: str = "jaxexport", path: Optional[str] = None,
-               half: bool = False, optimize: bool = False):
+    def _export_impl(self, fmt: str = "jaxexport",
+                     path: Optional[str] = None,
+                     half: bool = False, optimize: bool = False):
         """Export the task model: 'params' / 'jaxexport' / 'stablehlo'
         (TPU serving) plus torch interop 'pt' / 'torchscript' via the
         reference SegmentationModel/PoseModel/ClassificationModel
@@ -973,6 +1023,7 @@ class _TaskModel(_TuneMixin):
         cls = {"segment": SegTrainer, "pose": PoseTrainer,
                "classify": ClassifyTrainer}[self.task]
         t = cls(self.model, self.variables, data, imgsz=self.imgsz, **kw)
+        t.callbacks.merge(self.callbacks)
         out = t.run()
         self.variables = t.variables
         return out
@@ -1018,10 +1069,12 @@ class _TaskModel(_TuneMixin):
             files = list(data)
         if self.task == "segment":
             return SegmentationValidator(self.model, self.variables,
-                                         imgsz=self.imgsz)(files)
+                                         imgsz=self.imgsz,
+                                         callbacks=self.callbacks)(files)
         if self.task == "pose":
             return PoseValidator(self.model, self.variables,
-                                 imgsz=self.imgsz)(files)
+                                 imgsz=self.imgsz,
+                                 callbacks=self.callbacks)(files)
         return self._classify_val(data)
 
     def _classify_val(self, root) -> Dict[str, float]:
@@ -1093,15 +1146,21 @@ class _TaskModel(_TuneMixin):
                     v, bb, cok, protos, method=self.model.compose_masks)
                 return bb, ss, cc, mk
             compose = jax.jit(_full)
-        for path, img in make_source(source):
-            x, _ = preprocess(img, self.imgsz, scale_fill=True)
-            fn = compose or step
-            out = jax.tree.map(np.asarray, fn(self.variables,
-                                              jnp.asarray(x)))
-            if not as_results:
-                yield path, out
-                continue
-            yield path, self._to_results(out, img, path)
+        self.callbacks.fire("on_predict_start", model=self)
+        try:
+            n = 0
+            for path, img in make_source(source):
+                x, _ = preprocess(img, self.imgsz, scale_fill=True)
+                fn = compose or step
+                out = jax.tree.map(np.asarray, fn(self.variables,
+                                                  jnp.asarray(x)))
+                yield (path, out) if not as_results else \
+                    (path, self._to_results(out, img, path))
+                self.callbacks.fire("on_predict_batch_end", model=self,
+                                    step=n)
+                n += 1
+        finally:
+            self.callbacks.fire("on_predict_end", model=self)
 
     def _to_results(self, out, img, path):
         """Fixed-slot device outputs -> reference-style TrackResults in

@@ -32,11 +32,17 @@ class TrackPredictor:
     def __init__(self, model, variables, imgsz: int = 640,
                  conf: float = 0.5, names=None, classes=None,
                  vid_stride: int = 1, visualize: bool = False,
-                 workers: int = 2):
+                 workers: int = 2, callbacks=None):
         import jax
 
         from mo_yolo_tpu.data.letterbox import to_hw
+        from mo_yolo_tpu.utils.callbacks import CallbackBus
 
+        # predict-lifecycle event bus (reference BasePredictor fires
+        # on_predict_{start,batch_start,batch_end,end},
+        # engine/predictor.py:257-328); bare bus by default — predict
+        # stays logger-free unless the caller attaches integrations
+        self.callbacks = callbacks or CallbackBus()
         self.model = model
         self.variables = variables
         self.imgsz = imgsz               # int, (h, w), or "WxH" (rect)
@@ -117,6 +123,7 @@ class TrackPredictor:
         per-box crops (`save_crop`) under `save_dir`."""
         import jax.numpy as jnp
 
+        self.callbacks.fire("on_predict_start", predictor=self)
         state = self.reset_state()
         mot_fh = None
         if save_mot:
@@ -147,6 +154,8 @@ class TrackPredictor:
                     yield self._emit(pending, mot_fh, n, save, save_crop,
                                      save_dir, line_width, show_labels,
                                      show_conf, boxes, show)
+                    self.callbacks.fire("on_predict_batch_end",
+                                        predictor=self, step=n)
                     n += 1
                 pending = (path, meta, img, out)
                 t2 = time.perf_counter()
@@ -156,9 +165,12 @@ class TrackPredictor:
                 yield self._emit(pending, mot_fh, n, save, save_crop,
                                  save_dir, line_width, show_labels,
                                  show_conf, boxes, show)
+                self.callbacks.fire("on_predict_batch_end",
+                                    predictor=self, step=n)
         finally:
             if mot_fh is not None:
                 mot_fh.close()
+            self.callbacks.fire("on_predict_end", predictor=self)
 
     def _emit(self, pending, mot_fh, n, save=False, save_crop=False,
               save_dir="runs/track/predict", line_width=2, show_labels=True,

@@ -62,7 +62,12 @@ def dedup_for_map(boxes_xyxy: np.ndarray, scores: np.ndarray,
 class TrackValidator:
     def __init__(self, model, variables, imgsz: int = 640,
                  conf: float = 0.5, nc: Optional[int] = None,
-                 det_conf: float = 0.001):
+                 det_conf: float = 0.001, callbacks=None):
+        from mo_yolo_tpu.utils.callbacks import CallbackBus
+        # reference BaseValidator fires on_val_start/on_val_end
+        # (engine/validator.py:142-210); bare bus unless the caller
+        # attaches integrations
+        self.callbacks = callbacks or CallbackBus()
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
@@ -76,6 +81,7 @@ class TrackValidator:
         from mo_yolo_tpu.models.tracker import init_track_state
         import jax.numpy as jnp
 
+        self.callbacks.fire("on_val_start", validator=self)
         ds = TrackDataset(img_files, imgsz=self.imgsz, max_gt=max_gt,
                           clip_len=1)
         det = DetMetrics(self.nc)
@@ -143,6 +149,7 @@ class TrackValidator:
             out.update(pool_idf1(idf1_accum))
         out.update(det.compute())
         out["fps"] = len(ds) / max(time.perf_counter() - t0, 1e-9)
+        self.callbacks.fire("on_val_end", validator=self, metrics=out)
         return out
 
 
@@ -256,9 +263,11 @@ class DetectionValidator:
                  conf: float = 0.001, nc: Optional[int] = None,
                  save_json: bool = False,
                  save_dir: str = "runs/detect/val",
-                 save_hybrid: bool = False):
+                 save_hybrid: bool = False, callbacks=None):
         from mo_yolo_tpu.data.letterbox import to_hw
+        from mo_yolo_tpu.utils.callbacks import CallbackBus
 
+        self.callbacks = callbacks or CallbackBus()
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
@@ -276,6 +285,7 @@ class DetectionValidator:
                  ) -> Dict[str, float]:
         import jax.numpy as jnp
 
+        self.callbacks.fire("on_val_start", validator=self)
         ds = TrackDataset(img_files, imgsz=self.imgsz, max_gt=max_gt,
                           clip_len=1)
         det = DetMetrics(self.nc)
@@ -344,6 +354,7 @@ class DetectionValidator:
             p.mkdir(parents=True, exist_ok=True)
             with open(p / "predictions.json", "w") as f:
                 json.dump(jdict, f)
+        self.callbacks.fire("on_val_end", validator=self, metrics=out)
         return out
 
 
@@ -354,7 +365,9 @@ class SegmentationValidator:
     mask-IoU at the same 10 thresholds as boxes."""
 
     def __init__(self, model, variables, imgsz: int = 256,
-                 mask_size: int = 0):
+                 mask_size: int = 0, callbacks=None):
+        from mo_yolo_tpu.utils.callbacks import CallbackBus
+        self.callbacks = callbacks or CallbackBus()
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
@@ -372,6 +385,7 @@ class SegmentationValidator:
         from mo_yolo_tpu.metrics.segment_pose import SegmentMetrics
         from mo_yolo_tpu.models.heads_extra import SegmentHead
 
+        self.callbacks.fire("on_val_start", validator=self)
         m = SegmentMetrics(self.model.spec.nc)
         t0 = time.perf_counter()
         for f in img_files:
@@ -396,13 +410,17 @@ class SegmentationValidator:
                      np.asarray(cls[0])[keep], gb, gm, gcls)
         out = m.compute()
         out["fps"] = len(img_files) / max(time.perf_counter() - t0, 1e-9)
+        self.callbacks.fire("on_val_end", validator=self, metrics=out)
         return out
 
 
 class PoseValidator:
     """Keypoint OKS + box mAP loop (reference `models/yolo/pose/val.py`)."""
 
-    def __init__(self, model, variables, imgsz: int = 256):
+    def __init__(self, model, variables, imgsz: int = 256,
+                 callbacks=None):
+        from mo_yolo_tpu.utils.callbacks import CallbackBus
+        self.callbacks = callbacks or CallbackBus()
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
@@ -417,6 +435,7 @@ class PoseValidator:
         from mo_yolo_tpu.data.seg_pose_labels import parse_pose_label
         from mo_yolo_tpu.metrics.segment_pose import PoseMetrics
 
+        self.callbacks.fire("on_val_start", validator=self)
         K = self.model.kpt_shape[0]
         m = PoseMetrics(self.model.spec.nc)
         t0 = time.perf_counter()
@@ -437,4 +456,5 @@ class PoseValidator:
                      _xywhn2xyxy(gboxes, s), gk, gcls)
         out = m.compute()
         out["fps"] = len(img_files) / max(time.perf_counter() - t0, 1e-9)
+        self.callbacks.fire("on_val_end", validator=self, metrics=out)
         return out

@@ -69,7 +69,11 @@ class DetectTrainer:
                  log_every: int = 10, val_every: int = -1,
                  augment: bool = False, hyp=None, close_mosaic: int = 0,
                  fraction: float = 1.0, val: bool = True, pretrained=None,
-                 patience: int = 50):
+                 patience: int = 50, callbacks=None):
+        from mo_yolo_tpu.utils.callbacks import default_callbacks
+        # same 26-event bus as TrackTrainer (reference BaseTrainer
+        # `run_callbacks`, engine/trainer.py:167) — integrations attach here
+        self.callbacks = callbacks or default_callbacks(save_dir)
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -104,6 +108,7 @@ class DetectTrainer:
         from mo_yolo_tpu.utils.checkpoint import save_params
         from mo_yolo_tpu.utils.logging import LOGGER
 
+        self.callbacks.fire("on_train_start", trainer=self)
         d = load_dataset_yaml(self.data)
         if self.val_every < 0:      # auto: reference validates every epoch
             self.val_every = 1 if d.get("val") else 0
@@ -211,6 +216,8 @@ class DetectTrainer:
                 key, k = jax.random.split(key)
                 ts, m = step_fn(ts, batch, k)
                 ep_loss_dev.append(m["loss"])   # device scalar, no sync
+                self.callbacks.fire("on_train_batch_end", trainer=self,
+                                    step=i, metrics=m)
                 if i % self.log_every == 0:
                     loss = float(m["loss"])
                     losses.append(loss)
@@ -233,6 +240,8 @@ class DetectTrainer:
             if fitness > best_fitness:
                 best_fitness = fitness
                 save_params(str(save_dir / "best"), self.api.variables)
+            self.callbacks.fire("on_train_epoch_end", trainer=self,
+                                epoch=epoch, metrics=metrics)
             LOGGER.info(f"detect epoch {epoch} done in "
                         f"{time.time() - t_ep:.1f}s")
             if stopper(epoch, fitness):
@@ -250,6 +259,7 @@ class DetectTrainer:
             LOGGER.info(f"detect final eval (best): {metrics}")
         out = dict(metrics)
         out["final_loss"] = losses[-1] if losses else float("nan")
+        self.callbacks.fire("on_train_end", trainer=self, metrics=out)
         return out
 
 

@@ -135,7 +135,12 @@ class _TaskTrainer:
                  imgsz: int = 256, save_dir: str = "", seed: int = 0,
                  log_every: int = 10, hyp=None, fraction: float = 1.0,
                  pretrained=None, val_every: int = -1, val: bool = True,
-                 patience: int = 50):
+                 patience: int = 50, callbacks=None):
+        from mo_yolo_tpu.utils.callbacks import default_callbacks
+        # reference BaseTrainer event bus — every task trainer fires the
+        # same train-lifecycle events (engine/trainer.py:167 run_callbacks)
+        self.callbacks = callbacks or default_callbacks(
+            save_dir or f"runs/{self.task}")
         self.model = model
         self.variables = variables
         # -1 = auto: validate every epoch when the dataset has a val split
@@ -200,6 +205,7 @@ class _TaskTrainer:
         from mo_yolo_tpu.data.dataset import load_dataset_yaml
         from mo_yolo_tpu.utils.checkpoint import save_params
 
+        self.callbacks.fire("on_train_start", trainer=self)
         d = load_dataset_yaml(self.data)
         if self.val_every < 0:      # auto: reference validates every epoch
             self.val_every = 1 if d.get("val") else 0
@@ -251,6 +257,8 @@ class _TaskTrainer:
                 ts, m = step_fn(ts, self.batch_from(
                     [ds.load(j) for j in idx]))
                 ep_loss_dev.append(m["loss"])   # device scalar, no sync
+                self.callbacks.fire("on_train_batch_end", trainer=self,
+                                    step=i, metrics=m)
                 if i % self.log_every == 0:
                     loss = float(m["loss"])
                     losses.append(loss)
@@ -269,6 +277,8 @@ class _TaskTrainer:
             if fitness > best_fitness:
                 best_fitness = fitness
                 save_params(str(self.save_dir / "best"), self.variables)
+            self.callbacks.fire("on_train_epoch_end", trainer=self,
+                                epoch=epoch, metrics=metrics)
             LOGGER.info(f"{self.task} epoch {epoch} done in "
                         f"{time.time()-t0:.1f}s")
             if stopper(epoch, fitness):
@@ -284,6 +294,7 @@ class _TaskTrainer:
             LOGGER.info(f"{self.task} final eval (best): {metrics}")
         out = dict(metrics)
         out["final_loss"] = losses[-1] if losses else float("nan")
+        self.callbacks.fire("on_train_end", trainer=self, metrics=out)
         return out
 
 
@@ -385,6 +396,7 @@ class ClassifyTrainer(_TaskTrainer):
         import glob
         import os
 
+        self.callbacks.fire("on_train_start", trainer=self)
         root = Path(self.data)
         train_root, val_root = root, None
         if (root / "train").is_dir():
@@ -471,6 +483,8 @@ class ClassifyTrainer(_TaskTrainer):
                                        jax.random.PRNGKey(self.seed),
                                        epoch * steps + i))
                 ep_loss_dev.append(loss)        # device scalar, no sync
+                self.callbacks.fire("on_train_batch_end", trainer=self,
+                                    step=i, metrics={"loss": loss})
                 if i % self.log_every == 0:
                     losses.append(float(loss))
                     LOGGER.info(f"classify epoch {epoch} step {i}/{steps} "
@@ -490,6 +504,8 @@ class ClassifyTrainer(_TaskTrainer):
             if fitness > best_fitness:
                 best_fitness = fitness
                 save_params(str(self.save_dir / "best"), self.variables)
+            self.callbacks.fire("on_train_epoch_end", trainer=self,
+                                epoch=epoch, metrics=metrics)
             if stopper(epoch, fitness):
                 LOGGER.info(f"classify early stopping at epoch {epoch}")
                 break
@@ -502,6 +518,7 @@ class ClassifyTrainer(_TaskTrainer):
             LOGGER.info(f"classify final eval (best): {metrics}")
         out = dict(metrics)
         out["final_loss"] = losses[-1] if losses else float("nan")
+        self.callbacks.fire("on_train_end", trainer=self, metrics=out)
         return out
 
     def _accuracy(self, root, classes) -> Dict[str, float]:

@@ -39,6 +39,21 @@ class CallbackBus:
         for fn in self._cbs.get(event, []):
             fn(**kwargs)
 
+    def clear(self, event: str | None = None):
+        """Drop callbacks for one event, or all (reference
+        `Model.clear_callback` / `reset_callbacks`)."""
+        if event is None:
+            self._cbs.clear()
+        else:
+            self._cbs.pop(event, None)
+
+    def merge(self, other: "CallbackBus"):
+        """Append every callback from `other` (the reference merges the
+        Model facade's user callbacks into each trainer/predictor/
+        validator it spawns, `engine/model.py:660-676`)."""
+        for ev, fns in other._cbs.items():
+            self._cbs[ev].extend(fns)
+
 
 class JsonlLogger:
     """Minimal run logger: appends one JSON line per batch/epoch event."""
