@@ -1,0 +1,288 @@
+"""Deform-attn forward-kernel variant study (round 4 perf push).
+
+Times candidate Pallas formulations against the shipping one-hot-MXU
+kernel (`ops/deform_attn_pallas.py`) at both bench shapes. Hypothesis
+from the round-3 decomposition (stream_step 16.65 ms @1536x800, ~1.95
+ms per deform-attn call): the kernel pays (a) ~8 VPU passes per
+(head, level) building one-hot selector masks over [R, Hl*D] buffers
+and (b) f32-rate matmuls on the y-sum path. Variants:
+
+  v1  hat-function bilinear weights (exact same float values as the
+      one-hot pair: hat(c) = relu(1 - |x - c|)), broadcastable (1, N)
+      iotas hoisted per level, attention weight folded into the tiny
+      [R, D] per-level output instead of the [R, Wl] mask, y-sum matmul
+      in the value dtype, single psum matmul per head.
+  v2  v1 with heads on the Pallas grid (grid (B, H, QT)) instead of a
+      fori_loop, per-head value/loc/attn blocks -> Mosaic double-buffers
+      across grid steps.
+
+Both variants keep grid_sample(padding_mode='zeros', align_corners=False)
+semantics exactly: hat weights vanish outside [0, N-1] the same way the
+one-hot taps match no column.
+
+Run ON TPU: plain `python scripts/kernel_variants_bench.py`.
+"""
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mo_yolo_tpu.ops.deform_attn import ms_deform_attn
+from mo_yolo_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+
+
+# ---------------------------------------------------------------- v1
+
+def _kernel_v1(shapes, H, D, P, TQ, loc_ref, attn_ref, *refs):
+    v_refs, out_ref = refs[:-1], refs[-1]
+    R = TQ * P
+    cdtype = v_refs[0].dtype
+    qr = jax.lax.broadcasted_iota(jnp.int32, (TQ, R), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (TQ, R), 1)
+    psum_mat = (rr // P == qr).astype(cdtype)                 # [TQ, R]
+    # per-level statics, hoisted out of the head loop; (1, N) shapes
+    # broadcast against [R, 1] coordinates so the build is O(N) not O(R*N)
+    lvl_static = []
+    for (Hl, Wl) in shapes:
+        wif = jax.lax.broadcasted_iota(jnp.int32, (1, Wl), 1).astype(
+            jnp.float32)
+        yif = (jax.lax.broadcasted_iota(jnp.int32, (1, Hl * D), 1)
+               // D).astype(jnp.float32)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (Hl * D, D), 0) % D
+        gc = jax.lax.broadcasted_iota(jnp.int32, (Hl * D, D), 1)
+        g = (gr == gc).astype(cdtype)
+        lvl_static.append((wif, yif, g))
+
+    def head_body(h, _):
+        s_acc = jnp.zeros((R, D), jnp.float32)
+        for l, (Hl, Wl) in enumerate(shapes):
+            wif, yif, g = lvl_static[l]
+            v = v_refs[l][0, h]                               # [Wl, Hl*D]
+            x = loc_ref[0, :, h, l, 0:1] * Wl - 0.5           # [R, 1]
+            y = loc_ref[0, :, h, l, 1:2] * Hl - 0.5
+            aw = attn_ref[0, :, h, l][:, None]                # [R, 1]
+            cx = jnp.maximum(1.0 - jnp.abs(x - wif), 0.0)     # [R, Wl]
+            cyb = jnp.maximum(1.0 - jnp.abs(y - yif), 0.0)    # [R, Hl*D]
+            t = jnp.dot(cx.astype(cdtype), v,
+                        preferred_element_type=jnp.float32)   # [R, Hl*D]
+            u = (t * cyb).astype(cdtype)
+            s = jnp.dot(u, g, preferred_element_type=jnp.float32)
+            s_acc = s_acc + s * aw
+        acc = jnp.dot(psum_mat, s_acc.astype(cdtype),
+                      preferred_element_type=jnp.float32)     # [TQ, D]
+        out_ref[0, h, :, :] = acc.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, H, head_body, 0)
+
+
+def _prep(value, shapes, loc, attn, TQ):
+    loc = loc.astype(jnp.float32)
+    attn = attn.astype(jnp.float32)
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    L = len(shapes)
+    P = loc.shape[4]
+    v_levels = []
+    off = 0
+    for (Hl, Wl) in shapes:
+        v = jax.lax.dynamic_slice_in_dim(value, off, Hl * Wl, axis=1)
+        off += Hl * Wl
+        v = v.reshape(B, Hl, Wl, H, D).transpose(0, 3, 2, 1, 4)
+        v_levels.append(v.reshape(B, H, Wl, Hl * D))
+    qpad = -Q % TQ
+    if qpad:
+        loc = jnp.pad(loc, ((0, 0), (0, qpad), (0, 0), (0, 0), (0, 0),
+                            (0, 0)))
+        attn = jnp.pad(attn, ((0, 0), (0, qpad), (0, 0), (0, 0), (0, 0)))
+    Qp = Q + qpad
+    loc = loc.transpose(0, 1, 4, 2, 3, 5).reshape(B, Qp * P, H, L, 2)
+    attn = attn.transpose(0, 1, 4, 2, 3).reshape(B, Qp * P, H, L)
+    return v_levels, loc, attn, (B, S, H, D, Q, Qp, L, P)
+
+
+def fwd_v1(value, shapes, loc, attn, TQ=64):
+    v_levels, loc, attn, (B, S, H, D, Q, Qp, L, P) = _prep(
+        value, shapes, loc, attn, TQ)
+    grid = (B, Qp // TQ)
+    in_specs = [
+        pl.BlockSpec((1, TQ * P, H, L, 2), lambda b, q: (b, q, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TQ * P, H, L), lambda b, q: (b, q, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((1, H, Wl, Hl * D), lambda b, q: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for (Hl, Wl) in shapes
+    ]
+    out = pl.pallas_call(
+        functools.partial(_kernel_v1, tuple(shapes), H, D, P, TQ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, H, TQ, D), lambda b, q: (b, 0, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(loc, attn, *v_levels)
+    return out.transpose(0, 2, 1, 3).reshape(B, Qp, H * D)[:, :Q]
+
+
+# ---------------------------------------------------------------- v2
+
+def _kernel_v2(shapes, H, D, P, TQ, loc_ref, attn_ref, *refs):
+    v_refs, out_ref = refs[:-1], refs[-1]
+    R = TQ * P
+    cdtype = v_refs[0].dtype
+    qr = jax.lax.broadcasted_iota(jnp.int32, (TQ, R), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (TQ, R), 1)
+    psum_mat = (rr // P == qr).astype(cdtype)
+    s_acc = jnp.zeros((R, D), jnp.float32)
+    for l, (Hl, Wl) in enumerate(shapes):
+        v = v_refs[l][0, 0]                                   # [Wl, Hl*D]
+        wif = jax.lax.broadcasted_iota(jnp.int32, (1, Wl), 1).astype(
+            jnp.float32)
+        yif = (jax.lax.broadcasted_iota(jnp.int32, (1, Hl * D), 1)
+               // D).astype(jnp.float32)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (Hl * D, D), 0) % D
+        gc = jax.lax.broadcasted_iota(jnp.int32, (Hl * D, D), 1)
+        g = (gr == gc).astype(cdtype)
+        x = loc_ref[0, 0, :, l, 0:1] * Wl - 0.5
+        y = loc_ref[0, 0, :, l, 1:2] * Hl - 0.5
+        aw = attn_ref[0, 0, :, l][:, None]
+        cx = jnp.maximum(1.0 - jnp.abs(x - wif), 0.0)
+        cyb = jnp.maximum(1.0 - jnp.abs(y - yif), 0.0)
+        t = jnp.dot(cx.astype(cdtype), v,
+                    preferred_element_type=jnp.float32)
+        u = (t * cyb).astype(cdtype)
+        s = jnp.dot(u, g, preferred_element_type=jnp.float32)
+        s_acc = s_acc + s * aw
+    acc = jnp.dot(psum_mat, s_acc.astype(cdtype),
+                  preferred_element_type=jnp.float32)
+    out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
+
+
+def fwd_v2(value, shapes, loc, attn, TQ=64):
+    v_levels, loc, attn, (B, S, H, D, Q, Qp, L, P) = _prep(
+        value, shapes, loc, attn, TQ)
+    # head-major layouts so per-head blocks keep the last two dims full
+    loc = loc.transpose(0, 2, 1, 3, 4)    # [B, H, Qp*P, L, 2]
+    attn = attn.transpose(0, 2, 1, 3)     # [B, H, Qp*P, L]
+    grid = (B, H, Qp // TQ)
+    in_specs = [
+        pl.BlockSpec((1, 1, TQ * P, L, 2),
+                     lambda b, h, q: (b, h, q, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, TQ * P, L), lambda b, h, q: (b, h, q, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((1, 1, Wl, Hl * D), lambda b, h, q: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for (Hl, Wl) in shapes
+    ]
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, tuple(shapes), H, D, P, TQ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, TQ, D), lambda b, h, q: (b, h, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(loc, attn, *v_levels)
+    return out.transpose(0, 2, 1, 3).reshape(B, Qp, H * D)[:, :Q]
+
+
+# ---------------------------------------------------------------- bench
+
+VARIANTS = {
+    "v0": lambda v, s, l, a: ms_deform_attn_pallas(v, s, l, a),
+    "v1": lambda v, s, l, a: fwd_v1(v, s, l, a, TQ=64),
+    "v1t128": lambda v, s, l, a: fwd_v1(v, s, l, a, TQ=128),
+    "v2": lambda v, s, l, a: fwd_v2(v, s, l, a, TQ=64),
+    "v2t128": lambda v, s, l, a: fwd_v2(v, s, l, a, TQ=128),
+}
+
+
+def level_shapes(h, w):
+    return tuple((h // s, w // s) for s in (8, 16, 32))
+
+
+def make_inputs(h, w, q=600, heads=8, d=32, p=4, dtype=jnp.bfloat16):
+    shp = level_shapes(h, w)
+    S = sum(a * b for a, b in shp)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    v = jax.random.normal(k1, (1, S, heads, d), dtype)
+    loc = jax.random.uniform(k2, (1, q, heads, len(shp), p, 2),
+                             jnp.float32, 0.05, 0.95)
+    aw = jax.nn.softmax(
+        jax.random.normal(k3, (1, q, heads, len(shp), p)),
+        axis=-1).astype(dtype)
+    return v, shp, loc, aw
+
+
+def check_parity(h, w):
+    v, shp, loc, aw = make_inputs(h, w, dtype=jnp.float32)
+    ref = ms_deform_attn(v, shp, loc, aw, impl="xla")
+    for name, fn in VARIANTS.items():
+        got = fn(v, shp, loc, aw)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        print(f"  parity {name} @{w}x{h}: max abs err {err:.2e}")
+        # on TPU f32 dots run at bf16-pass precision, so the oracle and
+        # kernels differ at ~2e-2; exact parity is asserted on CPU by
+        # tests/test_deform_attn_pallas.py
+        assert err < 5e-2, (name, err)
+
+
+def bench_variant(fn, h, w, q=600, iters=50):
+    v, shp, loc, aw = make_inputs(h, w, q=q)
+
+    def body(c, i):
+        l2 = jnp.clip(loc + i * 1e-6, 0.0, 1.0)
+        o = fn(v, shp, l2, aw)
+        return c + o.mean().astype(jnp.float32), None
+
+    @jax.jit
+    def run():
+        return jax.lax.scan(body, jnp.float32(0.0),
+                            jnp.arange(iters, dtype=jnp.float32))[0]
+
+    float(run())
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        val = float(run())
+        times.append((time.perf_counter() - t0) / iters * 1e3)
+    assert val == val, "nan"
+    return times[-1]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--q", type=int, default=600)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--parity", action="store_true")
+    ap.add_argument("--variants", type=str, default="")
+    args = ap.parse_args()
+    print(f"backend={jax.default_backend()} q={args.q}")
+    names = (args.variants.split(",") if args.variants
+             else list(VARIANTS))
+    if args.parity:
+        check_parity(320, 320)
+    for (h, w) in ((640, 640), (800, 1536)):
+        for name in names:
+            try:
+                ms = bench_variant(VARIANTS[name], h, w, q=args.q,
+                                   iters=args.iters)
+                print(f"{w}x{h} {name}: {ms:.3f} ms/call")
+            except Exception as e:
+                print(f"{w}x{h} {name}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}")
+
+
+if __name__ == "__main__":
+    main()
