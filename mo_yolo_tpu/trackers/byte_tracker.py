@@ -65,9 +65,32 @@ class STrack:
         self.frames_lost = 0
 
     def apply_gmc(self, warp: np.ndarray):
-        """Shift state by an estimated camera translation (dx, dy)."""
-        self.mean[0] += warp[0]
-        self.mean[1] += warp[1]
+        """Warp state by an estimated camera motion (2x3 similarity, or a
+        legacy (dx, dy) pair).
+
+        Reference `STrack.multi_gmc` (`trackers/byte_tracker.py:48-62`)
+        applies kron(I4, R) to the whole xyah state — i.e. it ROTATES the
+        (aspect, height) pair, which sends the aspect negative as soon as
+        sin(angle)*h is O(1) (any rotation beyond a fraction of a degree).
+        That stays latent on its MOT GMC files (tiny rotations) but is
+        geometrically wrong; here position/velocity rotate and height
+        scales by the similarity scale, aspect is invariant.
+        """
+        warp = np.asarray(warp, float)
+        if warp.shape == (2,):                      # translation only
+            self.mean[0] += warp[0]
+            self.mean[1] += warp[1]
+            return
+        R = warp[:2, :2]
+        scale = np.sqrt(max(np.linalg.det(R), 1e-12))
+        T = np.eye(8)
+        T[0:2, 0:2] = R
+        T[3, 3] = scale
+        T[4:6, 4:6] = R
+        T[7, 7] = scale
+        self.mean = T @ self.mean
+        self.mean[:2] += warp[:2, 2]
+        self.cov = T @ self.cov @ T.T
 
 
 def _iou_assign(tracks: List[STrack], dets: np.ndarray,
@@ -177,39 +200,10 @@ class BYTETracker:
         pass
 
 
-class GMC:
-    """Camera-motion estimation (reference `trackers/utils/gmc.py:11`).
-
-    The reference's methods (ORB/SIFT/ECC/sparse flow) require cv2; this
-    implementation estimates global translation by FFT phase correlation on
-    downsampled grayscale frames — numpy-only, robust for the dominant
-    (pan/jitter) case. Returns (dx, dy) in pixels.
-    """
-
-    def __init__(self, downscale: int = 4):
-        self.downscale = downscale
-        self._prev: Optional[np.ndarray] = None
-
-    def apply(self, img: np.ndarray) -> np.ndarray:
-        g = img.mean(axis=2) if img.ndim == 3 else img
-        g = g[::self.downscale, ::self.downscale].astype(np.float32)
-        if self._prev is None or self._prev.shape != g.shape:
-            self._prev = g
-            return np.zeros(2)
-        f1 = np.fft.rfft2(self._prev)
-        f2 = np.fft.rfft2(g)
-        cross = f1 * np.conj(f2)
-        cross /= np.abs(cross) + 1e-9
-        corr = np.fft.irfft2(cross, s=self._prev.shape)
-        peak = np.unravel_index(np.argmax(corr), corr.shape)
-        dy, dx = peak
-        h, w = corr.shape
-        if dy > h // 2:
-            dy -= h
-        if dx > w // 2:
-            dx -= w
-        self._prev = g
-        return -np.array([dx, dy], float) * self.downscale
+# GMC moved to its own module (sparse-flow + RANSAC similarity estimation,
+# reference `trackers/utils/gmc.py:11-80`); re-exported here for
+# backwards compatibility.
+from mo_yolo_tpu.trackers.gmc import GMC  # noqa: E402
 
 
 class BOTSORT(BYTETracker):
