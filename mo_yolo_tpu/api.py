@@ -51,6 +51,19 @@ def _resolve_model_cfg(name: str) -> str:
                             f"(searched {_MODEL_DIR})")
 
 
+def _merged_bus(*buses):
+    """Fresh CallbackBus containing every callback from `buses`, in
+    order. Used when attaching facade callbacks to a trainer: merging
+    INTO a caller-supplied bus would mutate the caller's object (repeat
+    train() calls would then fire facade hooks multiple times)."""
+    from mo_yolo_tpu.utils.callbacks import CallbackBus
+    out = CallbackBus()
+    for b in buses:
+        if b is not None:
+            out.merge(b)
+    return out
+
+
 class _CallbackMixin:
     """Reference `Model` callback surface (`engine/model.py:660-697`
     add_callback/clear_callback/reset_callbacks): callbacks added on the
@@ -291,8 +304,10 @@ class MOTRTrack(_CallbackMixin, _TuneMixin):
                                resume=resume, accumulate=accumulate,
                                augment=augment, **kw)
         # facade-added callbacks ride along (reference Model.train merges
-        # self.callbacks into the trainer, engine/model.py:660-676)
-        trainer.callbacks.merge(self.callbacks)
+        # self.callbacks into the trainer, engine/model.py:660-676);
+        # merge into a FRESH bus so a caller-supplied callbacks= object is
+        # never mutated (repeated train() would duplicate facade hooks)
+        trainer.callbacks = _merged_bus(trainer.callbacks, self.callbacks)
         return trainer.run()
 
     # keys the TrackTrainer takes as constructor kwargs; every other
@@ -716,7 +731,7 @@ class Detector(_CallbackMixin, _TuneMixin):
                            "RT-DETR head; use the NAS (v8 Detect) family. "
                            "Running the plain forward.")
 
-        self.callbacks.fire("on_predict_start", model=self)
+        self.callbacks.fire("on_predict_start", predictor=self, model=self)
         try:
             n = 0
             for path, img in make_source(source):
@@ -738,11 +753,11 @@ class Detector(_CallbackMixin, _TuneMixin):
                                    track_id=np.full(int(keep.sum()), -1),
                                    orig_shape=meta["orig_shape"], path=path,
                                    names=self.names, orig_img=img)
-                self.callbacks.fire("on_predict_batch_end", model=self,
+                self.callbacks.fire("on_predict_batch_end", predictor=self, model=self,
                                     step=n)
                 n += 1
         finally:
-            self.callbacks.fire("on_predict_end", model=self)
+            self.callbacks.fire("on_predict_end", predictor=self, model=self)
 
     def train(self, data: str, epochs: int = 1, batch: int = 8,
               lr: float = 1e-4, max_gt: int = 64,
@@ -757,7 +772,7 @@ class Detector(_CallbackMixin, _TuneMixin):
                           lr=lr, max_gt=max_gt, save_dir=save_dir,
                           seed=seed, log_every=log_every,
                           augment=augment, **kw)
-        t.callbacks.merge(self.callbacks)
+        t.callbacks = _merged_bus(t.callbacks, self.callbacks)
         return t.run()
 
     _tune_save_dir = "runs/detect/tune"   # DetectTrainer has no resume:
@@ -1023,7 +1038,7 @@ class _TaskModel(_CallbackMixin, _TuneMixin):
         cls = {"segment": SegTrainer, "pose": PoseTrainer,
                "classify": ClassifyTrainer}[self.task]
         t = cls(self.model, self.variables, data, imgsz=self.imgsz, **kw)
-        t.callbacks.merge(self.callbacks)
+        t.callbacks = _merged_bus(t.callbacks, self.callbacks)
         out = t.run()
         self.variables = t.variables
         return out
@@ -1146,7 +1161,7 @@ class _TaskModel(_CallbackMixin, _TuneMixin):
                     v, bb, cok, protos, method=self.model.compose_masks)
                 return bb, ss, cc, mk
             compose = jax.jit(_full)
-        self.callbacks.fire("on_predict_start", model=self)
+        self.callbacks.fire("on_predict_start", predictor=self, model=self)
         try:
             n = 0
             for path, img in make_source(source):
@@ -1156,11 +1171,11 @@ class _TaskModel(_CallbackMixin, _TuneMixin):
                                                   jnp.asarray(x)))
                 yield (path, out) if not as_results else \
                     (path, self._to_results(out, img, path))
-                self.callbacks.fire("on_predict_batch_end", model=self,
+                self.callbacks.fire("on_predict_batch_end", predictor=self, model=self,
                                     step=n)
                 n += 1
         finally:
-            self.callbacks.fire("on_predict_end", model=self)
+            self.callbacks.fire("on_predict_end", predictor=self, model=self)
 
     def _to_results(self, out, img, path):
         """Fixed-slot device outputs -> reference-style TrackResults in

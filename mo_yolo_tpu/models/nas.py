@@ -118,10 +118,15 @@ class NASModel(nn.Module):
                               jnp.concatenate(all_c, 1), (H, W))
 
 
-class NAS:
+from mo_yolo_tpu.api import _CallbackMixin  # noqa: E402
+
+
+class NAS(_CallbackMixin):
     """Reference-shaped facade (`nas/model.py`): predict/val/export over
     a yolo_nas graph; weight loading comes from orbax params (no
-    super-gradients checkpoints in a TPU deployment)."""
+    super-gradients checkpoints in a TPU deployment). Inherits the
+    reference Model callback surface (add_callback / on_export_*) like
+    every other facade."""
 
     def __init__(self, model: str = "yolo_nas_s.yaml", nc: Optional[int] = None,
                  imgsz: int = 640, dtype: str = "float32",
@@ -193,8 +198,8 @@ class NAS:
         return {"params": int(n), "nc": self.model.spec.nc,
                 "strides": tuple(self.model.spec.out_strides)}
 
-    def export(self, fmt: str = "jaxexport", path: str = "nas_export",
-               half: bool = False, optimize: bool = False):
+    def _export_impl(self, fmt: str = "jaxexport", path: str = "nas_export",
+                     half: bool = False, optimize: bool = False):
         """Export the jitted predict step — 'params' / 'jaxexport' /
         'stablehlo' (TPU serving), plus the torch-interop formats for the
         v8 Detect family: 'pt' (reference-format checkpoint, inverse of
