@@ -68,11 +68,15 @@ class TrackDecoder(nn.Module):
         for i, f in enumerate(feats):
             p = nn.Conv(self.hd, (1, 1), use_bias=False, dtype=self.dtype,
                         name=f"input_proj{i}_conv")(f)
-            # reference input_proj uses a DEFAULT nn.BatchNorm2d
-            # (`head.py:838`): eps=1e-5 / torch momentum 0.1, unlike the
-            # backbone Conv BNs (1e-3/0.03) — must match for import parity
-            p = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
+            # the source constructs a DEFAULT nn.BatchNorm2d (`head.py:838`)
+            # but `initialize_weights` (`tasks.py:253` ->
+            # `torch_utils.py:261-263`) then rewrites EVERY BatchNorm2d to
+            # eps=1e-3 / torch momentum 0.03 — the built model runs 1e-3,
+            # and import parity must match it (caught by the composed
+            # stream A/B: at running_var=1 the eps difference is a 5e-4
+            # relative error on every projected feature)
+            p = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                             epsilon=1e-3, dtype=self.dtype,
                              name=f"input_proj{i}_bn")(p)
             srcs.append(p.reshape(B, -1, self.hd))
         memory = jnp.concatenate(srcs, axis=1)  # [B, S, hd]
@@ -114,8 +118,13 @@ class TrackDecoder(nn.Module):
         # reference applies pos2posemb to the LOGIT-space refer_bbox
         # (`head.py:1054`: query_pos = pos2posemb(refer_bbox) before the
         # .sigmoid()) — imported weights only reproduce the reference
-        # function if we embed the same space
-        det_query_pos = pos2posemb(det_ref_in, self.hd // 4)       # [B,nq,hd]
+        # function if we embed the same space. NOTE the gradient path:
+        # the reference computes query_pos BEFORE the training-time
+        # detach (`head.py:1054` vs `:1088`), so decoder gradients DO
+        # flow back through pos2posemb -> enc_bbox_head -> backbone
+        # (caught by the torch training-parity A/B grad-norm bisect) —
+        # only the decoder's refer input is detached
+        det_query_pos = pos2posemb(det_ref, self.hd // 4)          # [B,nq,hd]
 
         # track-query class embedding (reference reuses the denoising class
         # embedding table for track content, `head.py:888-899`)

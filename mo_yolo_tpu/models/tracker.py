@@ -230,8 +230,12 @@ def track_train_assign(obj_id: jnp.ndarray,       # [N] current track ids
     track_slot_of_gt = jnp.argmax(eq, axis=0)                    # [G]
 
     from mo_yolo_tpu.ops.matching import hungarian_jv, match_cost
+    # the reference's LAST-layer track matching runs the head's
+    # HungarianMatcherGroup with default cost_gain class=1 (head.py:123,
+    # ops.py:899-902) — NOT the criterion's internal aux matcher
+    # (loss.py:450, class=2)
     cost = match_cost(det_boxes, det_logits, gt_boxes, gt_cls,
-                      gt_mask & ~gt_tracked)
+                      gt_mask & ~gt_tracked, gain_class=1.0)
     det_assign = hungarian_jv(cost[None], (gt_mask & ~gt_tracked)[None])[0]
 
     assign = jnp.where(gt_tracked, track_slot_of_gt,

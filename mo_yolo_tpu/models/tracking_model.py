@@ -142,13 +142,22 @@ class TrackingModel(nn.Module):
         )
         N = self.tracker.n_slots
         kdn, kdrop, kfp = jax.random.split(key, 3)
-        cdn = build_cdn_group(kdn, gt_cls, gt_boxes, gt_mask, self.spec.nc,
-                              n_main=N + self.nq,
-                              num_denoising=self.num_denoising)
-        out, _ = self.frame_forward(images, state, dn_cls=cdn.dn_cls,
-                                    dn_bbox_logit=cdn.dn_bbox_logit,
-                                    dn_attn_mask=cdn.attn_mask, train=True)
-        n_dn = cdn.num_dn
+        if self.num_denoising > 0:
+            cdn = build_cdn_group(kdn, gt_cls, gt_boxes, gt_mask,
+                                  self.spec.nc, n_main=N + self.nq,
+                                  num_denoising=self.num_denoising)
+            out, _ = self.frame_forward(images, state, dn_cls=cdn.dn_cls,
+                                        dn_bbox_logit=cdn.dn_bbox_logit,
+                                        dn_attn_mask=cdn.attn_mask,
+                                        train=True)
+            n_dn, num_group = cdn.num_dn, cdn.num_group
+        else:
+            # no-CDN path (reference `get_track_cdn_group` returns Nones
+            # when num_dn <= 0, `models/utils/ops.py:293-294`) — used by
+            # the torch training-parity harness, where the two frameworks'
+            # noise sources cannot be synchronized
+            out, _ = self.frame_forward(images, state, train=True)
+            n_dn, num_group = 0, 0
         boxes, logits = out["dec_bboxes"], out["dec_scores"]   # [L,B,Qt,...]
         dn_boxes, main_boxes = boxes[:, :, :n_dn], boxes[:, :, n_dn:]
         dn_logits, main_logits = logits[:, :, :n_dn], logits[:, :, n_dn:]
@@ -192,25 +201,40 @@ class TrackingModel(nn.Module):
             "dn_boxes": f32(dn_boxes), "dn_logits": f32(dn_logits),
             "enc_boxes": f32(out["enc_bboxes"]),
             "enc_logits": f32(out["enc_scores"]),
-            "assign": assign, "num_dn_group": cdn.num_group,
+            "assign": assign, "num_dn_group": num_group,
+            # which main-layer query rows were REAL queries this frame:
+            # active/FP track slots + every detect query. Inactive slots
+            # exist only for the static layout and carry no loss.
+            "query_valid": jnp.concatenate(
+                [state.obj_id != -1,
+                 jnp.ones((images.shape[0], self.nq), bool)], axis=1),
         }
         return new_state, outs
 
 
 def build_tracking_model(cfg_path: str, nc: Optional[int] = None,
                          impl: Optional[str] = None, dtype=jnp.float32,
-                         tracker: Optional[TrackerConfig] = None) -> TrackingModel:
+                         tracker: Optional[TrackerConfig] = None,
+                         nq: Optional[int] = None,
+                         num_denoising: Optional[int] = None) -> TrackingModel:
     """Build the flagship model from an ultralytics-style yaml
     (drop-in for the reference's `yolo_track.yaml` and variants).
 
     impl=None auto-selects the deformable-attention path: the Pallas kernel
     on TPU (27% faster end-to-end), the XLA gather path elsewhere.
+    nq overrides the detect-query count (reference `head.decoder.num_queries`);
+    num_denoising the CDN budget (reference `nd`, <=0 disables CDN).
     """
     if impl is None:
         impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     spec = parse_model_yaml(cfg_path, nc=nc)
+    kw = {}
+    if nq is not None:
+        kw["nq"] = nq
+    if num_denoising is not None:
+        kw["num_denoising"] = num_denoising
     return TrackingModel(spec=spec, tracker=tracker or TrackerConfig(),
-                         impl=impl, dtype=dtype)
+                         impl=impl, dtype=dtype, **kw)
 
 
 def init_variables(model: TrackingModel, key, image_size=(640, 640), batch=1):

@@ -127,6 +127,7 @@ def layer_loss(cfg: LossConfig,
 def matched_layer_losses(cfg: LossConfig, dec_boxes, dec_logits, gt_boxes,
                          gt_cls, gt_mask, last_assign,
                          aux_query_mask: Optional[jnp.ndarray] = None,
+                         main_query_mask: Optional[jnp.ndarray] = None,
                          postfix: str = "") -> Dict[str, jnp.ndarray]:
     """Last-layer loss with the given matching + per-layer re-matched aux
     losses (reference `_get_loss_aux`, `loss.py:533-588`).
@@ -134,10 +135,16 @@ def matched_layer_losses(cfg: LossConfig, dec_boxes, dec_logits, gt_boxes,
     dec_boxes/dec_logits: [L, B, Q, ...]; layer L-1 uses `last_assign`,
     layers 0..L-2 are re-matched by Hungarian each (on the aux query subset
     when `aux_query_mask` is given — `loss.py:682-696`).
+    `main_query_mask` restricts the LAST layer's background class loss to
+    queries that actually participated this frame — our static query
+    layout always carries n_slots track rows, but inactive (masked) slots
+    are not queries in the reference and must not contribute loss (caught
+    by the torch training-parity A/B).
     """
     L = dec_boxes.shape[0]
     out = dict_prefix(layer_loss(cfg, dec_boxes[-1], dec_logits[-1], gt_boxes,
-                                 gt_cls, gt_mask, last_assign), postfix)
+                                 gt_cls, gt_mask, last_assign,
+                                 query_mask=main_query_mask), postfix)
     aux = {"loss_class": 0.0, "loss_bbox": 0.0, "loss_giou": 0.0}
     for i in range(L - 1):
         pb, pl = dec_boxes[i], dec_logits[i]

@@ -182,7 +182,8 @@ def frame_losses(lcfg: LossConfig, outs: Dict, gt_cls, gt_boxes, gt_mask,
 
     main = matched_layer_losses(lcfg, outs["main_boxes"], outs["main_logits"],
                                 gt_boxes, gt_cls, gt_mask, outs["assign"],
-                                aux_query_mask=det_mask)
+                                aux_query_mask=det_mask,
+                                main_query_mask=outs.get("query_valid"))
     # encoder layer (detect queries only, fresh Hungarian)
     enc_cost = jax.vmap(match_cost)(outs["enc_boxes"], outs["enc_logits"],
                                     gt_boxes, gt_cls, gt_mask)
