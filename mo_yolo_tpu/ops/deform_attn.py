@@ -90,10 +90,73 @@ def ms_deform_attn_xla(value: jnp.ndarray,
     return out.reshape(B, Q, H * D)
 
 
+def ms_deform_attn_onehot(value: jnp.ndarray,
+                          shapes: Sequence[Tuple[int, int]],
+                          sampling_locations: jnp.ndarray,
+                          attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """One-hot-matmul formulation in plain XLA — the TPU hot path.
+
+    Bilinear sampling is separable: each (query, point) row builds a
+    2-tap hat-function row over the level's W axis (attention weight
+    folded in) and the per-level gather becomes ONE MXU matmul with all
+    heads batched in a single `dot_general`; the y-interp applies as a
+    lane mask and a reshape-reduction. Same zeros-padding semantics as
+    `grid_sample` (hat weights vanish outside [0, N-1]).
+
+    This formulation came out of the round-4 kernel study
+    (`scripts/kernel_variants_bench.py` vx): XLA's scheduler pipelines
+    the many small ops here better than any of the 12 Pallas variants
+    tried (0.70 vs 1.05 ms/call best-Pallas @640^2, 1.15 vs 1.31
+    @1536x800, q=600, slope method) — and autodiff provides the backward
+    pass for free, replacing the fused Pallas VJP on the training path.
+    Replaces the reference CUDA sampler
+    (`MOTR/models/ops/src/cuda/ms_deform_im2col_cuda.cuh`).
+    """
+    loc = sampling_locations.astype(jnp.float32)
+    attn = attention_weights.astype(jnp.float32)
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    P = loc.shape[4]
+    cdtype = value.dtype
+    R = Q * P
+    # rows r = q*P + p
+    locr = loc.transpose(0, 1, 4, 2, 3, 5).reshape(B, R, H, len(shapes), 2)
+    attnr = attn.transpose(0, 1, 4, 2, 3).reshape(B, R, H, len(shapes))
+    out = jnp.zeros((B, R, H, D), jnp.float32)
+    off = 0
+    for l, (Hl, Wl) in enumerate(shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, off, Hl * Wl, axis=1)
+        off += Hl * Wl
+        v = v.reshape(B, Hl, Wl, H, D).transpose(0, 3, 2, 1, 4)
+        v = v.reshape(B, H, Wl, Hl * D)                       # [B,H,Wl,HlD]
+        x = locr[..., l, 0] * Wl - 0.5                        # [B,R,H]
+        y = locr[..., l, 1] * Hl - 0.5
+        aw = attnr[..., l]
+        wif = jnp.arange(Wl, dtype=jnp.float32)
+        cx = jnp.maximum(1.0 - jnp.abs(x[..., None] - wif), 0.0) \
+            * aw[..., None]                                   # [B,R,H,Wl]
+        yif = (jnp.arange(Hl * D) // D).astype(jnp.float32)
+        cyb = jnp.maximum(1.0 - jnp.abs(y[..., None] - yif), 0.0)
+        # heads batched: [B,H,R,Wl] @ [B,H,Wl,HlD] -> [B,H,R,HlD]
+        t = jax.lax.dot_general(
+            cx.transpose(0, 2, 1, 3).astype(cdtype), v,
+            (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)
+        u = (t * cyb.transpose(0, 2, 1, 3)).astype(cdtype)
+        s = u.reshape(B, H, R, Hl, D).sum(axis=3)             # y-sum
+        out = out + s.transpose(0, 2, 1, 3).astype(jnp.float32)
+    out = out.reshape(B, Q, P, H, D).sum(axis=2)              # point sum
+    return out.reshape(B, Q, H * D).astype(cdtype)
+
+
 def ms_deform_attn(value, shapes, sampling_locations, attention_weights,
                    impl: str = "xla"):
-    """Dispatch between the XLA oracle and the Pallas kernel."""
+    """Dispatch: 'onehot' (TPU hot path), 'pallas' (fused kernel),
+    anything else -> the gather oracle."""
     if impl == "pallas":
         from mo_yolo_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
         return ms_deform_attn_pallas(value, shapes, sampling_locations, attention_weights)
+    if impl == "onehot":
+        return ms_deform_attn_onehot(value, shapes, sampling_locations,
+                                     attention_weights)
     return ms_deform_attn_xla(value, shapes, sampling_locations, attention_weights)

@@ -356,7 +356,10 @@ def _kernel_v45(shapes, H, D, P, TQ, compact_cy, loc_ref, attn_ref, *refs):
             wi = jax.lax.broadcasted_iota(jnp.int32, (R, Wl), 1)
             cx = (jnp.where(wi == x0i, (1.0 - tx) * aw, 0.0) +
                   jnp.where(wi == x0i + 1, tx * aw, 0.0)).astype(cdtype)
-            t = jnp.dot(cx, v, preferred_element_type=cdtype)  # [R, Hl*D]
+            # Mosaic requires 32-bit matmul accumulators; materialize the
+            # OUTPUT in the value dtype to halve VMEM traffic
+            t = jnp.dot(cx, v,
+                        preferred_element_type=jnp.float32).astype(cdtype)
             if compact_cy:
                 yi = jax.lax.broadcasted_iota(jnp.int32, (R, Hl), 1)
                 cy = (jnp.where(yi == y0i, 1.0 - ty, 0.0) +
@@ -364,7 +367,9 @@ def _kernel_v45(shapes, H, D, P, TQ, compact_cy, loc_ref, attn_ref, *refs):
                 er = jax.lax.broadcasted_iota(jnp.int32, (Hl, Hl * D), 0)
                 ec = jax.lax.broadcasted_iota(jnp.int32, (Hl, Hl * D), 1) // D
                 e_mat = (er == ec).astype(cdtype)
-                cyb = jnp.dot(cy, e_mat, preferred_element_type=cdtype)
+                cyb = jnp.dot(
+                    cy, e_mat,
+                    preferred_element_type=jnp.float32).astype(cdtype)
             else:
                 yi = jax.lax.broadcasted_iota(jnp.int32, (R, Hl * D), 1) // D
                 cyb = (jnp.where(yi == y0i, 1.0 - ty, 0.0) +
@@ -478,6 +483,340 @@ def fwd_nocy(value, shapes, loc, attn, TQ=64):
         value, shapes, loc, attn, TQ)
 
 
+# ---------------------------------------------------------------- v6
+#
+# psum-FIRST reassociation of v0. v0 pays its single biggest cost in
+# s = u @ g with N=D=32 (25% MXU lane use) at R = TQ*P rows; the final
+# psum (point-sum) is linear, so   psum @ (u @ g) == (psum @ u) @ g
+# and doing psum first shrinks the row count 4x (R -> TQ) before the
+# narrow-N matmul. Everything else identical to v0.
+
+def _kernel_v6(shapes, H, D, P, TQ, loc_ref, attn_ref, *refs):
+    v_refs, out_ref = refs[:-1], refs[-1]
+    R = TQ * P
+    qr = jax.lax.broadcasted_iota(jnp.int32, (TQ, R), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (TQ, R), 1)
+    psum_mat = (rr // P == qr).astype(jnp.float32)           # [TQ, R]
+
+    def head_body(h, _):
+        acc_h = jnp.zeros((TQ, D), jnp.float32)
+        for l, (Hl, Wl) in enumerate(shapes):
+            v = v_refs[l][0, h]                              # [Wl, Hl*D]
+            x = loc_ref[0, :, h, l, 0:1] * Wl - 0.5          # [R, 1]
+            y = loc_ref[0, :, h, l, 1:2] * Hl - 0.5
+            aw = attn_ref[0, :, h, l][:, None]               # [R, 1]
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            tx = x - x0
+            ty = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            wi = jax.lax.broadcasted_iota(jnp.int32, (R, Wl), 1)
+            cx = jnp.where(wi == x0i, 1.0 - tx, 0.0) + \
+                jnp.where(wi == x0i + 1, tx, 0.0)            # [R, Wl]
+            cx = cx * aw
+            yi = jax.lax.broadcasted_iota(jnp.int32, (R, Hl * D), 1) // D
+            cyb = jnp.where(yi == y0i, 1.0 - ty, 0.0) + \
+                jnp.where(yi == y0i + 1, ty, 0.0)            # [R, Hl*D]
+            t = jnp.dot(cx.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)  # [R, Hl*D]
+            u = t * cyb
+            # psum-first: [TQ, R] @ [R, Hl*D] (full lanes), THEN the
+            # narrow y-sum at only TQ rows
+            su = jnp.dot(psum_mat, u,
+                         preferred_element_type=jnp.float32)  # [TQ, Hl*D]
+            gr = jax.lax.broadcasted_iota(jnp.int32, (Hl * D, D), 0) % D
+            gc = jax.lax.broadcasted_iota(jnp.int32, (Hl * D, D), 1)
+            g = (gr == gc).astype(jnp.float32)
+            acc_h = acc_h + jnp.dot(su, g,
+                                    preferred_element_type=jnp.float32)
+        out_ref[0, h, :, :] = acc_h.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, H, head_body, 0)
+
+
+def fwd_v6(value, shapes, loc, attn, TQ=64):
+    return _fwd_like_v0(
+        functools.partial(_kernel_v6, tuple(shapes),
+                          value.shape[2], value.shape[3], loc.shape[4], TQ),
+        value, shapes, loc, attn, TQ)
+
+
+# ---------------------------------------------------------------- v7
+#
+# v3's block-diagonal level fusion (one x-matmul + one y-sum matmul per
+# (head, q-tile)) COMBINED with v2's heads-on-the-grid (Mosaic pipelines
+# grid steps, a fori_loop body is serialized) and v4's bf16 chain. The
+# three levers that each helped a little, together.
+
+def _kernel_v7(shapes, H, D, P, TQ, loc_ref, attn_ref, vbd_ref, out_ref):
+    R = TQ * P
+    SW = sum(w for _, w in shapes)
+    SC = sum(h * D for h, _ in shapes)
+    cdtype = vbd_ref.dtype
+    qr = jax.lax.broadcasted_iota(jnp.int32, (TQ, R), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (TQ, R), 1)
+    psum_mat = (rr // P == qr).astype(cdtype)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (R, SW), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (R, SC), 1)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (SC, D), 0) % D
+    gc = jax.lax.broadcasted_iota(jnp.int32, (SC, D), 1)
+    g = (gr == gc).astype(cdtype)
+
+    vbd = vbd_ref[0, 0]                                   # [SW, SC]
+    cxc = jnp.zeros((R, SW), jnp.float32)
+    cyc = jnp.zeros((R, SC), jnp.float32)
+    roff = 0
+    coff = 0
+    for l, (Hl, Wl) in enumerate(shapes):
+        x = loc_ref[0, 0, :, l, 0:1] * Wl - 0.5           # [R, 1]
+        y = loc_ref[0, 0, :, l, 1:2] * Hl - 0.5
+        aw = attn_ref[0, 0, :, l][:, None]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        w_x0 = jnp.where((x0i >= 0) & (x0i < Wl), (1.0 - tx) * aw, 0.0)
+        w_x1 = jnp.where((x0i + 1 >= 0) & (x0i + 1 < Wl), tx * aw, 0.0)
+        cxc = cxc + jnp.where(wi == roff + x0i, w_x0, 0.0) \
+            + jnp.where(wi == roff + x0i + 1, w_x1, 0.0)
+        w_y0 = jnp.where((y0i >= 0) & (y0i < Hl), 1.0 - ty, 0.0)
+        w_y1 = jnp.where((y0i + 1 >= 0) & (y0i + 1 < Hl), ty, 0.0)
+        yl = (ci - coff) // D
+        in_seg = (ci >= coff) & (ci < coff + Hl * D)
+        cyc = cyc + jnp.where(in_seg & (yl == y0i), w_y0, 0.0) \
+            + jnp.where(in_seg & (yl == y0i + 1), w_y1, 0.0)
+        roff += Wl
+        coff += Hl * D
+    t = jnp.dot(cxc.astype(cdtype), vbd,
+                preferred_element_type=jnp.float32)        # [R, SC]
+    u = (t * cyc).astype(cdtype)
+    s = jnp.dot(u, g, preferred_element_type=jnp.float32)  # [R, D]
+    acc = jnp.dot(psum_mat, s.astype(cdtype),
+                  preferred_element_type=jnp.float32)      # [TQ, D]
+    out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
+
+
+def fwd_v7(value, shapes, loc, attn, TQ=64):
+    loc = loc.astype(jnp.float32)
+    attn = attn.astype(jnp.float32)
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    L = len(shapes)
+    P = loc.shape[4]
+    SC = sum(h * D for h, _ in shapes)
+
+    blocks = []
+    off = 0
+    coff = 0
+    for (Hl, Wl) in shapes:
+        v = jax.lax.dynamic_slice_in_dim(value, off, Hl * Wl, axis=1)
+        off += Hl * Wl
+        v = v.reshape(B, Hl, Wl, H, D).transpose(0, 3, 2, 1, 4)
+        v = v.reshape(B, H, Wl, Hl * D)
+        blocks.append(jnp.pad(
+            v, ((0, 0), (0, 0), (0, 0), (coff, SC - coff - Hl * D))))
+        coff += Hl * D
+    vbd = jnp.concatenate(blocks, axis=2)                  # [B, H, SW, SC]
+    SW = vbd.shape[2]
+
+    qpad = -Q % TQ
+    if qpad:
+        loc = jnp.pad(loc, ((0, 0), (0, qpad), (0, 0), (0, 0), (0, 0),
+                            (0, 0)))
+        attn = jnp.pad(attn, ((0, 0), (0, qpad), (0, 0), (0, 0), (0, 0)))
+    Qp = Q + qpad
+    loc = loc.transpose(0, 1, 4, 2, 3, 5).reshape(B, Qp * P, H, L, 2)
+    attn = attn.transpose(0, 1, 4, 2, 3).reshape(B, Qp * P, H, L)
+    loc = loc.transpose(0, 2, 1, 3, 4)    # [B, H, Qp*P, L, 2]
+    attn = attn.transpose(0, 2, 1, 3)     # [B, H, Qp*P, L]
+
+    grid = (B, H, Qp // TQ)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v7, tuple(shapes), H, D, P, TQ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, TQ * P, L, 2),
+                         lambda b, h, q: (b, h, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TQ * P, L), lambda b, h, q: (b, h, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SW, SC), lambda b, h, q: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TQ, D), lambda b, h, q: (b, h, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(loc, attn, vbd)
+    return out.transpose(0, 2, 1, 3).reshape(B, Qp, H * D)[:, :Q]
+
+
+# ---------------------------------------------------------------- v8
+#
+# v2's heads-on-the-grid + v45's bf16 chain + v6's psum-first
+# reassociation, with per-level statics hoisted. The three levers that
+# each helped a little, combined on the best-measured base (v2t128).
+
+def _kernel_v8(shapes, H, D, P, TQ, loc_ref, attn_ref, *refs):
+    v_refs, out_ref = refs[:-1], refs[-1]
+    R = TQ * P
+    cdtype = v_refs[0].dtype
+    qr = jax.lax.broadcasted_iota(jnp.int32, (TQ, R), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (TQ, R), 1)
+    psum_mat = (rr // P == qr).astype(cdtype)                 # [TQ, R]
+    acc = jnp.zeros((TQ, D), jnp.float32)
+    for l, (Hl, Wl) in enumerate(shapes):
+        v = v_refs[l][0, 0]                                   # [Wl, Hl*D]
+        wif = jax.lax.broadcasted_iota(jnp.int32, (1, Wl), 1).astype(
+            jnp.float32)
+        yif = (jax.lax.broadcasted_iota(jnp.int32, (1, Hl * D), 1)
+               // D).astype(jnp.float32)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (Hl * D, D), 0) % D
+        gc = jax.lax.broadcasted_iota(jnp.int32, (Hl * D, D), 1)
+        g = (gr == gc).astype(cdtype)
+        x = loc_ref[0, 0, :, l, 0:1] * Wl - 0.5
+        y = loc_ref[0, 0, :, l, 1:2] * Hl - 0.5
+        aw = attn_ref[0, 0, :, l][:, None]
+        cx = jnp.maximum(1.0 - jnp.abs(x - wif), 0.0) * aw    # [R, Wl]
+        cyb = jnp.maximum(1.0 - jnp.abs(y - yif), 0.0)        # [R, Hl*D]
+        t = jnp.dot(cx.astype(cdtype), v,
+                    preferred_element_type=jnp.float32)
+        u = (t * cyb).astype(cdtype)
+        # psum-first: [TQ, R] @ [R, Hl*D] (full lanes), then the narrow
+        # y-sum at only TQ rows
+        su = jnp.dot(psum_mat, u, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(su.astype(cdtype), g,
+                            preferred_element_type=jnp.float32)
+    out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
+
+
+def fwd_v8(value, shapes, loc, attn, TQ=128):
+    v_levels, loc, attn, (B, S, H, D, Q, Qp, L, P) = _prep(
+        value, shapes, loc, attn, TQ)
+    loc = loc.transpose(0, 2, 1, 3, 4)    # [B, H, Qp*P, L, 2]
+    attn = attn.transpose(0, 2, 1, 3)     # [B, H, Qp*P, L]
+    grid = (B, H, Qp // TQ)
+    in_specs = [
+        pl.BlockSpec((1, 1, TQ * P, L, 2),
+                     lambda b, h, q: (b, h, q, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, TQ * P, L), lambda b, h, q: (b, h, q, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((1, 1, Wl, Hl * D), lambda b, h, q: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for (Hl, Wl) in shapes
+    ]
+    out = pl.pallas_call(
+        functools.partial(_kernel_v8, tuple(shapes), H, D, P, TQ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, TQ, D), lambda b, h, q: (b, h, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(loc, attn, *v_levels)
+    return out.transpose(0, 2, 1, 3).reshape(B, Qp, H * D)[:, :Q]
+
+
+# ---------------------------------------------------------------- vx
+#
+# The SAME one-hot-matmul algorithm in plain XLA: heads batched in one
+# dot_general per level (batch dim h), elementwise mask builds left to
+# XLA fusion. Tests whether XLA's scheduler beats Mosaic's pipeline on
+# this many-small-ops workload.
+
+def fwd_vx(value, shapes, loc, attn, TQ=None):
+    loc = loc.astype(jnp.float32)
+    attn = attn.astype(jnp.float32)
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    L = len(shapes)
+    P = loc.shape[4]
+    cdtype = value.dtype
+    R = Q * P
+    # rows r = q*P + p
+    locr = loc.transpose(0, 1, 4, 2, 3, 5).reshape(B, R, H, L, 2)
+    attnr = attn.transpose(0, 1, 4, 2, 3).reshape(B, R, H, L)
+    out = jnp.zeros((B, R, H, D), jnp.float32)
+    off = 0
+    for l, (Hl, Wl) in enumerate(shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, off, Hl * Wl, axis=1)
+        off += Hl * Wl
+        v = v.reshape(B, Hl, Wl, H, D).transpose(0, 3, 2, 1, 4)
+        v = v.reshape(B, H, Wl, Hl * D)                       # [B,H,Wl,HlD]
+        x = locr[..., l, 0] * Wl - 0.5                        # [B,R,H]
+        y = locr[..., l, 1] * Hl - 0.5
+        aw = attnr[..., l]
+        wif = jnp.arange(Wl, dtype=jnp.float32)
+        cx = jnp.maximum(1.0 - jnp.abs(x[..., None] - wif), 0.0) \
+            * aw[..., None]                                   # [B,R,H,Wl]
+        yif = (jnp.arange(Hl * D) // D).astype(jnp.float32)
+        cyb = jnp.maximum(1.0 - jnp.abs(y[..., None] - yif), 0.0)
+        # heads batched: [B,H,R,Wl] @ [B,H,Wl,HlD] -> [B,H,R,HlD]
+        t = jax.lax.dot_general(
+            cx.transpose(0, 2, 1, 3).astype(cdtype), v,
+            (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)
+        u = (t * cyb.transpose(0, 2, 1, 3)).astype(cdtype)
+        s = u.reshape(B, H, R, Hl, D).sum(axis=3)             # y-sum
+        out = out + s.transpose(0, 2, 1, 3).astype(jnp.float32)
+    out = out.reshape(B, Q, P, H, D).sum(axis=2)              # point sum
+    return out.reshape(B, Q, H * D).astype(cdtype)
+
+
+# ---------------------------------------------------------------- vx2
+#
+# vx with the memory-traffic screws tightened: bf16 dot OUTPUT (the MXU
+# still accumulates f32 internally; the [B,H,R,Hl*D] intermediate halves),
+# y-sum and point-sum fused into ONE reduction, accumulation over levels
+# at the small [B,H,Q,D] shape.
+
+def fwd_vx2(value, shapes, loc, attn, TQ=None):
+    loc = loc.astype(jnp.float32)
+    attn = attn.astype(jnp.float32)
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    L = len(shapes)
+    P = loc.shape[4]
+    cdtype = value.dtype
+    R = Q * P
+    locr = loc.transpose(0, 1, 4, 2, 3, 5).reshape(B, R, H, L, 2)
+    attnr = attn.transpose(0, 1, 4, 2, 3).reshape(B, R, H, L)
+    out = jnp.zeros((B, H, Q, D), jnp.float32)
+    off = 0
+    for l, (Hl, Wl) in enumerate(shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, off, Hl * Wl, axis=1)
+        off += Hl * Wl
+        v = v.reshape(B, Hl, Wl, H, D).transpose(0, 3, 2, 1, 4)
+        v = v.reshape(B, H, Wl, Hl * D)                       # [B,H,Wl,HlD]
+        x = locr[..., l, 0] * Wl - 0.5                        # [B,R,H]
+        y = locr[..., l, 1] * Hl - 0.5
+        aw = attnr[..., l]
+        wif = jnp.arange(Wl, dtype=jnp.float32)
+        cx = (jnp.maximum(1.0 - jnp.abs(x[..., None] - wif), 0.0)
+              * aw[..., None]).astype(cdtype)                 # [B,R,H,Wl]
+        yif = (jnp.arange(Hl * D) // D).astype(jnp.float32)
+        cyb = jnp.maximum(1.0 - jnp.abs(y[..., None] - yif),
+                          0.0).astype(cdtype)                 # [B,R,H,HlD]
+        t = jax.lax.dot_general(
+            cx.transpose(0, 2, 1, 3), v,
+            (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=cdtype)                    # [B,H,R,HlD]
+        u = t * cyb.transpose(0, 2, 1, 3)
+        # fused y-sum + point-sum: [B,H,Q,P,Hl,D] -> [B,H,Q,D]
+        s = u.reshape(B, H, Q, P, Hl, D).sum(axis=(3, 4),
+                                             dtype=jnp.float32)
+        out = out + s
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(cdtype)
+
+
 # ---------------------------------------------------------------- bench
 
 VARIANTS = {
@@ -491,7 +830,17 @@ VARIANTS = {
     "v4": lambda v, s, l, a: fwd_v4(v, s, l, a, TQ=64, compact_cy=True),
     "v4t128": lambda v, s, l, a: fwd_v4(v, s, l, a, TQ=128, compact_cy=True),
     "v5": lambda v, s, l, a: fwd_v4(v, s, l, a, TQ=64, compact_cy=False),
+    "v6": lambda v, s, l, a: fwd_v6(v, s, l, a, TQ=64),
+    "v6t128": lambda v, s, l, a: fwd_v6(v, s, l, a, TQ=128),
     "nocy": lambda v, s, l, a: fwd_nocy(v, s, l, a, TQ=64),
+    "v7": lambda v, s, l, a: fwd_v7(v, s, l, a, TQ=64),
+    "v7t128": lambda v, s, l, a: fwd_v7(v, s, l, a, TQ=128),
+    "v7t256": lambda v, s, l, a: fwd_v7(v, s, l, a, TQ=256),
+    "v8": lambda v, s, l, a: fwd_v8(v, s, l, a, TQ=64),
+    "v8t128": lambda v, s, l, a: fwd_v8(v, s, l, a, TQ=128),
+    "v8t256": lambda v, s, l, a: fwd_v8(v, s, l, a, TQ=256),
+    "vx": lambda v, s, l, a: fwd_vx(v, s, l, a),
+    "vx2": lambda v, s, l, a: fwd_vx2(v, s, l, a),
 }
 
 

@@ -114,3 +114,39 @@ def test_pallas_grads_out_of_range_and_batch():
     for a, b in zip(g_pl, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-2)
+
+
+# ----------------------------------------------------------------------
+# one-hot-matmul XLA path (round-4 hot path, `ms_deform_attn_onehot`)
+# ----------------------------------------------------------------------
+
+def test_onehot_matches_oracle():
+    from mo_yolo_tpu.ops.deform_attn import ms_deform_attn_onehot
+    value, shapes, loc, attn = _rand_inputs()
+    got = np.asarray(ms_deform_attn_onehot(value, shapes, loc, attn))
+    want = np.asarray(ms_deform_attn_xla(value, shapes, loc, attn))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_onehot_out_of_bounds_zero():
+    from mo_yolo_tpu.ops.deform_attn import ms_deform_attn_onehot
+    value, shapes, loc, attn = _rand_inputs(Q=8, seed=3)
+    loc = jnp.full_like(loc, 3.0)  # far outside every level
+    got = np.asarray(ms_deform_attn_onehot(value, shapes, loc, attn))
+    np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
+def test_onehot_grads_match_oracle():
+    from mo_yolo_tpu.ops.deform_attn import ms_deform_attn_onehot
+    value, shapes, loc, attn = _rand_inputs(Q=20, seed=5)
+
+    def f(fn):
+        def loss(v, l, a):
+            return jnp.sum(fn(v, shapes, l, a) ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2))(value, loc, attn)
+
+    g_one = f(lambda v, s, l, a: ms_deform_attn_onehot(v, s, l, a))
+    g_ora = f(ms_deform_attn_xla)
+    for a, b in zip(g_one, g_ora):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
