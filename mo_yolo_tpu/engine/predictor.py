@@ -32,7 +32,8 @@ class TrackPredictor:
     def __init__(self, model, variables, imgsz: int = 640,
                  conf: float = 0.5, names=None, classes=None,
                  vid_stride: int = 1, visualize: bool = False,
-                 workers: int = 2, callbacks=None):
+                 workers: int = 2, callbacks=None,
+                 device_preprocess: Optional[bool] = None):
         import jax
 
         from mo_yolo_tpu.data.letterbox import to_hw
@@ -57,6 +58,27 @@ class TrackPredictor:
             np.asarray(sorted({int(c) for c in np.atleast_1d(classes)}))
         from mo_yolo_tpu.utils.jit_cache import jitted_method
         self._step = jitted_method(model, "stream_step")
+        # on-device letterbox+normalize (round-4 north star): ship RAW
+        # uint8 frames (4x fewer PCIe bytes) and fuse resize/pad/normalize
+        # into the jitted step. Default ON off-CPU; host path kept for CPU
+        # (XLA-CPU resize is slower than the threaded C++ loader) and as
+        # an explicit opt-out.
+        if device_preprocess is None:
+            device_preprocess = jax.default_backend() != "cpu"
+        # visualize's extra feature forward consumes the preprocessed
+        # frame on the host path — keep the two modes exclusive
+        self.device_preprocess = bool(device_preprocess) and not visualize
+        if self.device_preprocess:
+            from mo_yolo_tpu.ops.preprocess import device_letterbox
+            hw, mdt = (self.in_h, self.in_w), model.dtype
+
+            def _raw_step(v, s, u8):
+                x = device_letterbox(u8, hw, scale_fill=True, dtype=mdt)
+                return model.apply(v, s, x, method=model.stream_step)
+
+            self._step_raw = jax.jit(_raw_step)
+        else:
+            self._step_raw = None
         # reference `visualize`: dump per-stage feature-map grids under
         # save_dir (extra traced forward — debug mode only)
         self.visualize = visualize
@@ -81,6 +103,17 @@ class TrackPredictor:
         back to PIL preprocessing.
         """
         from mo_yolo_tpu.native import frameloader as nfl
+
+        if self.device_preprocess:
+            # RAW path: decode only (C++/PIL); resize+pad+normalize run on
+            # the device inside the jitted step (ops/preprocess.py). uint8
+            # crosses the bus; meta mirrors the host `preprocess` exactly.
+            from mo_yolo_tpu.ops.preprocess import device_preprocess_meta
+            for path, img in make_source(source, vid_stride=self.vid_stride):
+                meta = device_preprocess_meta(img.shape[:2],
+                                              (self.in_h, self.in_w))
+                yield path, img[None], meta, img
+            return
 
         if isinstance(source, (str, Path)) or (
                 isinstance(source, (list, tuple)) and source and
@@ -120,7 +153,13 @@ class TrackPredictor:
                show: bool = False) -> Iterator[TrackResults]:
         """Yield TrackResults per frame; optionally write MOT txt,
         annotated frames (`save`, reference BasePredictor `save`) and
-        per-box crops (`save_crop`) under `save_dir`."""
+        per-box crops (`save_crop`) under `save_dir`.
+
+        Generator semantics (same as the reference's `stream_inference`):
+        predict lifecycle callbacks are driven by CONSUMPTION of the
+        stream — on_predict_start fires on the first next(), per-batch
+        events as frames are pulled, and on_predict_end in the generator's
+        finally block (i.e. at exhaustion, explicit close, or GC)."""
         import jax.numpy as jnp
 
         self.callbacks.fire("on_predict_start", predictor=self)
@@ -137,9 +176,10 @@ class TrackPredictor:
             # software pipeline: dispatch frame t+1 before fetching frame t's
             # results, hiding per-dispatch latency behind device compute
             # (jax dispatch is async; the fetch is the only sync point)
+            step = self._step_raw if self.device_preprocess else self._step
             for path, x, meta, img in self._frames(source):
                 t0, t1 = t1, time.perf_counter()  # t1-t0 = decode+preprocess
-                state, out = self._step(self.variables, state, jnp.asarray(x))
+                state, out = step(self.variables, state, jnp.asarray(x))
                 if self._feat_step is not None:
                     from mo_yolo_tpu.utils.plotting import (
                         feature_visualization)
