@@ -98,8 +98,11 @@ def test_gmc_estimates_translation():
     g = GMC(downscale=1)
     g.apply(base)
     shifted = np.roll(np.roll(base, 6, axis=0), 10, axis=1)
-    d = g.apply(shifted)
-    assert abs(d[0] - 10) <= 1 and abs(d[1] - 6) <= 1
+    H = g.apply(shifted)          # 2x3 affine (round-4 GMC returns a
+    assert H.shape == (2, 3)      # similarity transform, gmc.py:263)
+    # pure translation: rotation/scale part ~identity, t = (dx, dy)
+    np.testing.assert_allclose(H[:, :2], np.eye(2), atol=0.05)
+    assert abs(H[0, 2] - 10) <= 1 and abs(H[1, 2] - 6) <= 1
 
 
 def test_botsort_runs_with_images():
