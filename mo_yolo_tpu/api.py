@@ -205,7 +205,7 @@ class MOTRTrack(_CallbackMixin, _TuneMixin):
             cfg = _resolve_model_cfg(str(model))
             if model_kw:
                 if impl is None:
-                    impl = ("pallas" if jax.default_backend() not in ("cpu",)
+                    impl = ("onehot" if jax.default_backend() not in ("cpu",)
                             else "xla")
                 self.model = TrackingModel(
                     spec=parse_model_yaml(cfg, nc=nc),
@@ -446,7 +446,7 @@ class MOTRTrack(_CallbackMixin, _TuneMixin):
         self._impl = meta.get("impl")
         impl = self._impl
         if impl is None:
-            impl = ("pallas" if jax.default_backend() not in ("cpu",)
+            impl = ("onehot" if jax.default_backend() not in ("cpu",)
                     else "xla")
         jdt = {"bfloat16": jnp.bfloat16,
                "float32": jnp.float32}[self._dtype_str]

@@ -64,7 +64,7 @@ def build_detection_model(cfg_path: str, nc: Optional[int] = None,
                           impl: Optional[str] = None,
                           dtype=jnp.float32) -> DetectionModel:
     if impl is None:
-        impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        impl = "onehot" if jax.default_backend() not in ("cpu",) else "xla"
     spec = parse_model_yaml(cfg_path, nc=nc)
     return DetectionModel(spec=spec, impl=impl, dtype=dtype)
 

@@ -56,7 +56,7 @@ class TrackTrainer:
                  warmup_momentum: float = 0.8, warmup_bias_lr: float = 0.0,
                  nbs: int = -1, fraction: float = 1.0,
                  warmup_epochs: float = -1.0, val: bool = True,
-                 pretrained=None):
+                 pretrained=None, amp: bool = True):
         self.api = api_model
         self.data = data
         self.epochs = epochs
@@ -159,6 +159,16 @@ class TrackTrainer:
                 perspective=float(hyp.get("perspective", 0.0)),
                 seed=self.seed)
         model = self.api.model
+        if self.amp and model.dtype == jnp.float32 and \
+                jax.default_backend() not in ("cpu",):
+            # mixed precision (reference trains AMP,
+            # `models/MOTRtrack/train.py:223`): the TRAIN twin computes in
+            # bf16 while params/optimizer/losses stay f32 — flax modules
+            # cast at op sites (dtype=), the loss path and tracker state
+            # already accumulate f32 (train_step.py), and the final
+            # variables are identical pytrees usable by the f32 facade
+            model = model.clone(dtype=jnp.bfloat16)
+            LOGGER.info("amp: training with bf16 activations (f32 params)")
         lcfg = LossConfig(nc=model.spec.nc)
         if self.batch == -1:
             # autobatch (reference `check_train_batch_size`, batch=-1):

@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--imgsz", type=int, default=320)
     ap.add_argument("--clip", type=int, default=3)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 activations (the trainer amp path)")
+    ap.add_argument("--impl", type=str, default=None)
     args = ap.parse_args()
 
     import jax
@@ -31,7 +34,9 @@ def main():
     from mo_yolo_tpu.train.train_step import TrainConfig, make_train_step
 
     model = build_tracking_model("mo_yolo_tpu/cfg/models/yolo_track.yaml",
-                                 nc=1)
+                                 nc=1, impl=args.impl,
+                                 dtype=jnp.bfloat16 if args.bf16
+                                 else jnp.float32)
     v = init_variables(model, jax.random.PRNGKey(0),
                        image_size=(args.imgsz, args.imgsz))
     T, B, G = args.clip, 1, 16
@@ -65,7 +70,8 @@ def main():
     float(m["loss"])
     dt = (time.time() - t0) / args.iters
     print(f"bwd={os.environ.get('MO_YOLO_DEFORM_BWD', 'pallas')} "
-          f"impl={model.impl} steady step: {dt*1000:.1f} ms")
+          f"impl={model.impl} dtype={model.dtype.__name__} "
+          f"steady step: {dt*1000:.1f} ms")
 
 
 if __name__ == "__main__":
