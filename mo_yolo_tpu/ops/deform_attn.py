@@ -104,13 +104,15 @@ def ms_deform_attn_onehot(value: jnp.ndarray,
     `grid_sample` (hat weights vanish outside [0, N-1]).
 
     This formulation came out of the round-4 kernel study
-    (`scripts/kernel_variants_bench.py` vx): XLA's scheduler pipelines
-    the many small ops here better than any of the 12 Pallas variants
-    tried (0.70 vs 1.05 ms/call best-Pallas @640^2, 1.15 vs 1.31
-    @1536x800, q=600, slope method) — and autodiff provides the backward
-    pass for free, replacing the fused Pallas VJP on the training path.
-    Replaces the reference CUDA sampler
-    (`MOTR/models/ops/src/cuda/ms_deform_im2col_cuda.cuh`).
+    (`scripts/kernel_variants_bench.py` vx/vx3): XLA's scheduler
+    pipelines the many small ops here better than any of the 12 Pallas
+    variants tried, and emitting the dot OUTPUT in the value dtype
+    (accumulation stays f32 inside the MXU) halves the HBM traffic of
+    the [B,H,R,Hl*D] intermediate — 0.33 ms/call @640^2 and 0.48
+    @1536x800 (q=600, slope method) vs 1.05/1.31 for the best Pallas
+    variant. Autodiff provides the backward pass for free, replacing the
+    fused Pallas VJP on the training path. Replaces the reference CUDA
+    sampler (`MOTR/models/ops/src/cuda/ms_deform_im2col_cuda.cuh`).
     """
     loc = sampling_locations.astype(jnp.float32)
     attn = attention_weights.astype(jnp.float32)
@@ -122,7 +124,7 @@ def ms_deform_attn_onehot(value: jnp.ndarray,
     # rows r = q*P + p
     locr = loc.transpose(0, 1, 4, 2, 3, 5).reshape(B, R, H, len(shapes), 2)
     attnr = attn.transpose(0, 1, 4, 2, 3).reshape(B, R, H, len(shapes))
-    out = jnp.zeros((B, R, H, D), jnp.float32)
+    out = jnp.zeros((B, H, R, D), jnp.float32)
     off = 0
     for l, (Hl, Wl) in enumerate(shapes):
         v = jax.lax.dynamic_slice_in_dim(value, off, Hl * Wl, axis=1)
@@ -133,20 +135,23 @@ def ms_deform_attn_onehot(value: jnp.ndarray,
         y = locr[..., l, 1] * Hl - 0.5
         aw = attnr[..., l]
         wif = jnp.arange(Wl, dtype=jnp.float32)
-        cx = jnp.maximum(1.0 - jnp.abs(x[..., None] - wif), 0.0) \
-            * aw[..., None]                                   # [B,R,H,Wl]
+        cx = (jnp.maximum(1.0 - jnp.abs(x[..., None] - wif), 0.0)
+              * aw[..., None]).astype(cdtype)                 # [B,R,H,Wl]
         yif = (jnp.arange(Hl * D) // D).astype(jnp.float32)
-        cyb = jnp.maximum(1.0 - jnp.abs(y[..., None] - yif), 0.0)
-        # heads batched: [B,H,R,Wl] @ [B,H,Wl,HlD] -> [B,H,R,HlD]
+        cyb = jnp.maximum(1.0 - jnp.abs(y[..., None] - yif),
+                          0.0).astype(cdtype)
+        # heads batched: [B,H,R,Wl] @ [B,H,Wl,HlD] -> [B,H,R,HlD];
+        # output in the value dtype, f32 accumulation inside the MXU
         t = jax.lax.dot_general(
-            cx.transpose(0, 2, 1, 3).astype(cdtype), v,
+            cx.transpose(0, 2, 1, 3), v,
             (((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32)
-        u = (t * cyb.transpose(0, 2, 1, 3)).astype(cdtype)
-        s = u.reshape(B, H, R, Hl, D).sum(axis=3)             # y-sum
-        out = out + s.transpose(0, 2, 1, 3).astype(jnp.float32)
-    out = out.reshape(B, Q, P, H, D).sum(axis=2)              # point sum
-    return out.reshape(B, Q, H * D).astype(cdtype)
+            preferred_element_type=cdtype)
+        u = t * cyb.transpose(0, 2, 1, 3)
+        # y-sum: <=2 nonzero taps per row, accumulate f32
+        s = u.reshape(B, H, R, Hl, D).sum(axis=3, dtype=jnp.float32)
+        out = out + s
+    out = out.reshape(B, H, Q, P, D).sum(axis=3)              # point sum
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(cdtype)
 
 
 def ms_deform_attn(value, shapes, sampling_locations, attention_weights,

@@ -107,8 +107,19 @@ def import_torch_weights(pt_path: str, variables: Dict[str, Any],
     sd = model.state_dict() if hasattr(model, "state_dict") else model
     sd = {k: v.float().numpy() for k, v in sd.items()
           if hasattr(v, "numpy") or hasattr(v, "float")}
-    new_vars, _ = apply_torch_state_dict(sd, variables, strict=strict,
-                                         require_full=require_full)
+    new_vars, report = apply_torch_state_dict(sd, variables, strict=strict,
+                                              require_full=require_full)
+    # auditable import summary: the param-count delta vs the reference
+    # (~266k in reference-side dead modules) must be traceable to the
+    # exact keys that were not mapped
+    from mo_yolo_tpu.utils.logging import LOGGER
+    LOGGER.info(
+        f"torch import: mapped {len(report['mapped'])} leaves; "
+        f"skipped-by-design {len(report['skipped'])} torch keys"
+        + (f" {sorted(report['skipped'])[:8]}..." if report['skipped']
+           else "")
+        + (f"; UNMAPPED {len(report['missed'])} torch keys "
+           f"{sorted(report['missed'])[:8]}" if report['missed'] else ""))
     return new_vars
 
 

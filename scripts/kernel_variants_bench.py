@@ -817,6 +817,72 @@ def fwd_vx2(value, shapes, loc, attn, TQ=None):
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(cdtype)
 
 
+# ---------------------------------------------------------------- vx3
+#
+# vx with ONLY the bf16 dot-output change (halves the [B,H,R,Hl*D]
+# intermediate's HBM traffic); reductions stay separate and f32-
+# accumulated (vx2's fused 6-D reduction is what regressed it 3x).
+
+def fwd_vx3(value, shapes, loc, attn, TQ=None):
+    loc = loc.astype(jnp.float32)
+    attn = attn.astype(jnp.float32)
+    B, S, H, D = value.shape
+    Q = loc.shape[1]
+    P = loc.shape[4]
+    cdtype = value.dtype
+    R = Q * P
+    locr = loc.transpose(0, 1, 4, 2, 3, 5).reshape(B, R, H, len(shapes), 2)
+    attnr = attn.transpose(0, 1, 4, 2, 3).reshape(B, R, H, len(shapes))
+    out = jnp.zeros((B, H, R, D), jnp.float32)
+    off = 0
+    for l, (Hl, Wl) in enumerate(shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, off, Hl * Wl, axis=1)
+        off += Hl * Wl
+        v = v.reshape(B, Hl, Wl, H, D).transpose(0, 3, 2, 1, 4)
+        v = v.reshape(B, H, Wl, Hl * D)
+        x = locr[..., l, 0] * Wl - 0.5
+        y = locr[..., l, 1] * Hl - 0.5
+        aw = attnr[..., l]
+        wif = jnp.arange(Wl, dtype=jnp.float32)
+        cx = (jnp.maximum(1.0 - jnp.abs(x[..., None] - wif), 0.0)
+              * aw[..., None]).astype(cdtype)
+        yif = (jnp.arange(Hl * D) // D).astype(jnp.float32)
+        cyb = jnp.maximum(1.0 - jnp.abs(y[..., None] - yif),
+                          0.0).astype(cdtype)
+        t = jax.lax.dot_general(
+            cx.transpose(0, 2, 1, 3), v,
+            (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=cdtype)                    # [B,H,R,HlD]
+        u = t * cyb.transpose(0, 2, 1, 3)
+        s = u.reshape(B, H, R, Hl, D).sum(axis=3, dtype=jnp.float32)
+        out = out + s
+    out = out.reshape(B, H, Q, P, D).sum(axis=3)
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(cdtype)
+
+
+# ---------------------------------------------------------------- vh
+#
+# Per-level hybrid: the one-hot matmul costs R * (Hl*Wl) * D per level —
+# resolution-DEPENDENT — while the gather oracle's cost is ~R-bound. At
+# 1536x800 level 0 holds 76% of S; route IT through the gather path and
+# keep the cheap one-hot for levels 1-2.
+
+def fwd_vh(value, shapes, loc, attn, split=1):
+    from mo_yolo_tpu.ops.deform_attn import (ms_deform_attn_onehot,
+                                             ms_deform_attn_xla)
+    B, S, H, D = value.shape
+    big, small = list(shapes[:split]), list(shapes[split:])
+    Sb = sum(h * w for h, w in big)
+    vb = value[:, :Sb]
+    vs = value[:, Sb:]
+    out = ms_deform_attn_xla(vb, big, loc[:, :, :, :split],
+                             attn[:, :, :, :split])
+    if small:
+        out = out + ms_deform_attn_onehot(vs, small, loc[:, :, :, split:],
+                                          attn[:, :, :, split:])
+    return out
+
+
 # ---------------------------------------------------------------- bench
 
 VARIANTS = {
@@ -841,6 +907,9 @@ VARIANTS = {
     "v8t256": lambda v, s, l, a: fwd_v8(v, s, l, a, TQ=256),
     "vx": lambda v, s, l, a: fwd_vx(v, s, l, a),
     "vx2": lambda v, s, l, a: fwd_vx2(v, s, l, a),
+    "vx3": lambda v, s, l, a: fwd_vx3(v, s, l, a),
+    "vh": lambda v, s, l, a: fwd_vh(v, s, l, a, split=1),
+    "vh2": lambda v, s, l, a: fwd_vh(v, s, l, a, split=2),
 }
 
 
