@@ -25,6 +25,12 @@ import time
 BASELINE_FPS = 7.5      # MOTR reference inference speed (BASELINE.md)
 BASELINE_RES = (800, 1536)  # (H, W) of the MOTR measurement
 
+# nominal peak of the bench chip for the MFU line: TPU v5e, bf16
+# (PALLAS_AXON_TPU_GEN=v5e in this harness; slope-method microbench
+# measured 208 TF/s on 2048^3 matmuls, consistent with the 197 nominal).
+PEAK_FLOPS = {"v5e": 197e12}.get(
+    __import__("os").environ.get("PALLAS_AXON_TPU_GEN", "v5e"), 197e12)
+
 
 def _render_frames(k: int, h: int, w: int):
     """Deterministic moving-object video (same renderer as the eval
@@ -107,7 +113,24 @@ def measure_fps(h: int, w: int, n_streams: int, impl, dtype) -> float:
         state, out = step(variables, state, frames)
     float(out.sum())
     dt = time.perf_counter() - t0
-    return n_iter * K * n_streams / dt
+    fps = n_iter * K * n_streams / dt
+
+    # XLA-counted FLOPs of one frame for the MFU line: the compiled
+    # HLO's own cost analysis, i.e. FLOPs of the program AS SHIPPED —
+    # includes the one-hot deform-attn's gather matmuls (implementation
+    # FLOPs; a Pallas custom call would count 0). See README "Benchmarks"
+    # for the convention statement.
+    gflops = None
+    try:
+        from mo_yolo_tpu.utils.profiling import xla_flops
+        fl = xla_flops(
+            lambda v, s, f: model.apply(v, s, f, method=model.stream_step),
+            variables, state, frames[0])
+        if fl:
+            gflops = fl / n_streams / 1e9
+    except Exception:
+        pass
+    return fps, gflops
 
 
 def _measure_subprocess(h: int, w: int, n_streams: int,
@@ -135,7 +158,20 @@ def _measure_subprocess(h: int, w: int, n_streams: int,
     if proc.returncode != 0:
         return None
     m = re.search(r"_FPS_ ([0-9.]+)", stdout)
-    return float(m.group(1)) if m else None
+    if m is None:
+        return None
+    g = re.search(r"_GFLOPS_ ([0-9.]+)", stdout)
+    return float(m.group(1)), (float(g.group(1)) if g else None)
+
+
+def _add_mfu(rec: dict, fps: float, gflops) -> None:
+    """MFU = XLA-counted FLOPs/s of the shipped program over nominal chip
+    peak (convention stated in README "Benchmarks")."""
+    if not gflops:
+        return
+    rec["gflops_per_frame"] = round(gflops, 2)
+    rec["mfu"] = round(fps * gflops * 1e9 / PEAK_FLOPS, 4)
+    rec["peak_flops_assumed"] = PEAK_FLOPS
 
 
 def main():
@@ -146,7 +182,10 @@ def main():
         h, w, n_streams = (int(v) for v in sys.argv[i + 1:i + 4])
         dtype = jnp.bfloat16 if "--f32" not in sys.argv else jnp.float32
         impl = "xla" if "--xla" in sys.argv else None
-        print(f"_FPS_ {measure_fps(h, w, n_streams, impl, dtype):.3f}")
+        fps, gflops = measure_fps(h, w, n_streams, impl, dtype)
+        print(f"_FPS_ {fps:.3f}")
+        if gflops is not None:
+            print(f"_GFLOPS_ {gflops:.3f}")
         return
 
     n_streams = 1
@@ -173,25 +212,29 @@ def main():
     tag = "" if n_streams == 1 else f"_x{n_streams}streams"
     if explicit is not None:
         h, w = explicit
-        fps = _measure_subprocess(h, w, n_streams, extra, 3500)
-        if fps is None:
+        r = _measure_subprocess(h, w, n_streams, extra, 3500)
+        if r is None:
             raise SystemExit(f"measurement at {w}x{h} failed/timed out")
-        print(json.dumps({
+        fps, gflops = r
+        rec = {
             "metric": f"streaming_tracking_fps_{w}x{h}_per_chip{tag}",
             "value": round(fps, 2),
             "unit": "frames/s",
             "vs_baseline": round(fps / BASELINE_FPS, 2),
             "baseline_resolution_matched": (h, w) == BASELINE_RES,
-        }))
+        }
+        _add_mfu(rec, fps, gflops)
+        print(json.dumps(rec))
         return
 
     # default: matched-resolution headline + the 640^2 trend figure.
     # Sequential subprocesses (one TPU claim at a time); if the large
     # shape times out the 640 figure still ships, honestly labeled.
     bh, bw = BASELINE_RES
-    fps_640 = _measure_subprocess(640, 640, n_streams, extra, 2400)
-    fps_matched = _measure_subprocess(bh, bw, n_streams, extra, 3000)
-    if fps_matched is not None:
+    r_640 = _measure_subprocess(640, 640, n_streams, extra, 2400)
+    r_matched = _measure_subprocess(bh, bw, n_streams, extra, 3000)
+    if r_matched is not None:
+        fps_matched, gflops_matched = r_matched
         rec = {
             "metric": f"streaming_tracking_fps_{bw}x{bh}_per_chip{tag}",
             "value": round(fps_matched, 2),
@@ -199,19 +242,26 @@ def main():
             "vs_baseline": round(fps_matched / BASELINE_FPS, 2),
             "baseline_resolution_matched": True,
         }
-        if fps_640 is not None:
-            rec["fps_640"] = round(fps_640, 2)
+        _add_mfu(rec, fps_matched, gflops_matched)
+        if r_640 is not None:
+            rec["fps_640"] = round(r_640[0], 2)
             rec["vs_baseline_640_mismatched"] = round(
-                fps_640 / BASELINE_FPS, 2)
+                r_640[0] / BASELINE_FPS, 2)
+            if r_640[1]:
+                rec["mfu_640"] = round(r_640[0] * r_640[1] * 1e9 /
+                                       PEAK_FLOPS, 4)
     else:
+        fps_640 = r_640[0] if r_640 else 0.0
         rec = {
             "metric": f"streaming_tracking_fps_640x640_per_chip{tag}",
-            "value": round(fps_640 or 0.0, 2),
+            "value": round(fps_640, 2),
             "unit": "frames/s",
-            "vs_baseline": round((fps_640 or 0.0) / BASELINE_FPS, 2),
+            "vs_baseline": round(fps_640 / BASELINE_FPS, 2),
             "baseline_resolution_matched": False,
             "note": "1536x800 matched-resolution run timed out",
         }
+        if r_640:
+            _add_mfu(rec, fps_640, r_640[1])
     print(json.dumps(rec))
 
 
