@@ -1,13 +1,34 @@
-import numpy as np, jax, jax.numpy as jnp, time
+"""Tiny-model convergence smoke: loss must drop on a 2-frame synthetic clip.
+
+Also the f32-vs-bf16 AMP quality check (round 4): run with --dtype bf16 to
+train the same task with bf16 activations (f32 params/optimizer, the
+trainer's `amp=True` semantics) and compare trajectories — the reference
+trains AMP (`models/MOTRtrack/train.py:223`).
+
+Usage: python scripts/converge_check.py [--dtype f32|bf16] [--steps N]
+"""
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 from mo_yolo_tpu.models.graph import parse_model_yaml
-from mo_yolo_tpu.models.tracking_model import TrackingModel
 from mo_yolo_tpu.models.tracker import TrackerConfig, init_track_state
+from mo_yolo_tpu.models.tracking_model import TrackingModel
 from mo_yolo_tpu.train.losses import LossConfig
 from mo_yolo_tpu.train.train_step import TrainConfig, make_train_step
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+ap.add_argument("--steps", type=int, default=60)
+args = ap.parse_args()
+dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
 spec = parse_model_yaml('tests/tiny_track.yaml')
 model = TrackingModel(spec=spec, tracker=TrackerConfig(n_slots=8), nq=12,
-                      ndl=2, d_ffn=64, hd=32, num_denoising=8)
+                      ndl=2, d_ffn=64, hd=32, num_denoising=8, dtype=dtype)
 T, B, G, H = 2, 1, 2, 64
 # synthetic clip: two moving squares with consistent labels
 imgs = np.full((T, B, H, H, 3), 0.3, np.float32)
@@ -33,11 +54,11 @@ ts = init_fn(v)
 step = jax.jit(step_fn, donate_argnums=(0,))
 losses = []
 t0 = time.time()
-for i in range(60):
+for i in range(args.steps):
     key, k = jax.random.split(key)
     ts, m = step(ts, clip, k)
-    if i % 10 == 0 or i == 59:
+    if i % 10 == 0 or i == args.steps - 1:
         l = float(m['loss']); losses.append(l)
         print(f"step {i}: loss {l:.4f} ({time.time()-t0:.0f}s)", flush=True)
-print("first->last:", losses[0], "->", losses[-1],
+print(f"[{args.dtype}] first->last:", losses[0], "->", losses[-1],
       "ratio", losses[-1]/losses[0], flush=True)
