@@ -99,7 +99,12 @@ def measure_fps(h: int, w: int, n_streams: int, impl, dtype) -> float:
         return jax.lax.scan(body, s, frames)
 
     step = jax.jit(multi_step, donate_argnums=(1,))
-    frames = jnp.asarray(_render_frames(K, h, w))
+    # ship RAW uint8 frames — the production streaming contract (predictor
+    # device path): 4x fewer PCIe bytes, and the backbone stem consumes u8
+    # directly with /255 folded into its kernel (layers._TapStem)
+    frames = jnp.asarray(
+        np.clip(np.rint(_render_frames(K, h, w) * 255.0), 0, 255
+                ).astype(np.uint8))
     if n_streams > 1:
         frames = jnp.tile(frames, (1, n_streams, 1, 1, 1))
 

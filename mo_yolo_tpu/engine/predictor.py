@@ -69,11 +69,17 @@ class TrackPredictor:
         # frame on the host path — keep the two modes exclusive
         self.device_preprocess = bool(device_preprocess) and not visualize
         if self.device_preprocess:
+            import jax.numpy as jnp
+
             from mo_yolo_tpu.ops.preprocess import device_letterbox
-            hw, mdt = (self.in_h, self.in_w), model.dtype
+            hw = (self.in_h, self.in_w)
 
             def _raw_step(v, s, u8):
-                x = device_letterbox(u8, hw, scale_fill=True, dtype=mdt)
+                # letterbox stays uint8 (cv2 semantics); the backbone stem
+                # normalizes with /255 folded into its kernel, so no
+                # [B,H,W,3] float tensor ever hits HBM (layers._TapStem)
+                x = device_letterbox(u8, hw, scale_fill=True,
+                                     dtype=jnp.uint8)
                 return model.apply(v, s, x, method=model.stream_step)
 
             self._step_raw = jax.jit(_raw_step)

@@ -26,6 +26,43 @@ def autopad(k: int, d: int = 1) -> int:
     return k // 2
 
 
+class _TapStem(nn.Module):
+    """uint8-input k3 conv as 9 tap slices + one matmul, /255 folded in.
+
+    The stem conv is the one place a [B,H,W,3] tensor crosses HBM; XLA's
+    native lowering of that 3-channel conv costs ~20x its bandwidth bound
+    on TPU (trailing-dim-3 layout padding — measured in
+    scripts/stem_input_bench.py: 1.12 ms vs 0.033 ms for this formulation
+    at 1536x800). Reading the RAW uint8 frame instead, taking the 9 k3
+    taps as strided slices, concatenating to 9*C channels and contracting
+    with the reshaped kernel fuses into one cheap loop; the /255
+    normalization is linear, so it folds into the kernel — the whole
+    preprocess+stem is then a single matmul epilogue.
+
+    Param tree is identical to nn.Conv (name "kernel", shape [k,k,C,F]),
+    so checkpoint import/export and the float-input path share weights.
+    """
+
+    filters: int
+    stride: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_u8):
+        B, H, W, C = x_u8.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, C, self.filters))
+        wf = (w.astype(jnp.float32) * (1.0 / 255.0)).reshape(
+            9 * C, self.filters).astype(self.dtype)
+        xp = jnp.pad(x_u8, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        s = self.stride
+        taps = [xp[:, di:di + H:s, dj:dj + W:s, :]
+                for di in range(3) for dj in range(3)]
+        p = jnp.concatenate(taps, axis=-1).astype(self.dtype)
+        return jax.lax.dot_general(p, wf, (((3,), (0,)), ((), ())),
+                                   preferred_element_type=self.dtype)
+
+
 class ConvBnAct(nn.Module):
     """Conv2D + BatchNorm + activation (the reference's `Conv` primitive).
 
@@ -35,6 +72,11 @@ class ConvBnAct(nn.Module):
 
     act: True = SiLU (reference default), "relu" = ReLU (HG blocks),
     False = linear. padding: None = autopad ('same'), int = explicit.
+
+    Accepts RAW uint8 input (the streaming path ships unnormalized u8
+    frames): the k3 stem takes the `_TapStem` fast formulation with /255
+    folded into the kernel; any other geometry normalizes then convolves.
+    Both share the nn.Conv param tree.
     """
 
     filters: int
@@ -50,12 +92,19 @@ class ConvBnAct(nn.Module):
     def __call__(self, x, train: bool = False):
         p = self.padding if self.padding is not None else \
             autopad(self.kernel, self.dilation)
-        x = nn.Conv(self.filters, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((p, p), (p, p)),
-                    feature_group_count=self.groups,
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        if x.dtype == jnp.uint8 and self.kernel == 3 and p == 1 and \
+                self.groups == 1 and self.dilation == 1:
+            x = _TapStem(self.filters, stride=self.stride,
+                         dtype=self.dtype, name="conv")(x)
+        else:
+            if x.dtype == jnp.uint8:
+                x = x.astype(self.dtype) * (1.0 / 255.0)
+            x = nn.Conv(self.filters, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=((p, p), (p, p)),
+                        feature_group_count=self.groups,
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(x)
         if self.act == "relu":

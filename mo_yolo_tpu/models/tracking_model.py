@@ -54,7 +54,9 @@ class TrackingModel(nn.Module):
     def frame_forward(self, images, state: Optional[TrackState] = None,
                       dn_cls=None, dn_bbox_logit=None, dn_attn_mask=None,
                       train: bool = False):
-        """Raw decoder outputs for one frame. images [B,H,W,3] float in [0,1]."""
+        """Raw decoder outputs for one frame. images [B,H,W,3]: float in
+        [0,1], or RAW uint8 (normalization folds into the stem kernel —
+        `layers._TapStem`)."""
         feats = self.backbone(images, train=train)
         if state is None:
             return self.decoder(feats, train=train), feats

@@ -30,23 +30,38 @@ def device_letterbox(img_u8: jnp.ndarray, out_hw: Tuple[int, int],
     False letterboxes: aspect-preserving resize + centered `pad_value`
     borders (reference LetterBox defaults). All shapes static -> one
     compile per source geometry, like the host path.
+
+    dtype=jnp.uint8 keeps the output as a RAW letterboxed u8 frame (the
+    cv2 semantics: integer letterbox, normalization deferred) — the
+    backbone stem normalizes it itself with /255 folded into the conv
+    kernel (`models/layers.py:_TapStem`), which avoids ever materializing
+    a [B,H,W,3] float tensor in HBM (~20x the stem's bandwidth bound on
+    TPU; scripts/stem_input_bench.py).
     """
     B, h, w, C = img_u8.shape
     H, W = out_hw
-    x = img_u8.astype(jnp.float32)
-    if scale_fill or (h, w) == (H, W):
-        if (h, w) != (H, W):
-            x = jax.image.resize(x, (B, H, W, C), method="linear",
-                                 antialias=False)
+    as_u8 = dtype == jnp.uint8
+
+    def finish(x):
+        if as_u8:
+            return jnp.clip(jnp.rint(x), 0, 255).astype(jnp.uint8)
         return (x * (1.0 / 255.0)).astype(dtype)
+
+    if scale_fill or (h, w) == (H, W):
+        if (h, w) == (H, W):
+            return img_u8 if as_u8 else \
+                (img_u8.astype(jnp.float32) * (1.0 / 255.0)).astype(dtype)
+        x = jax.image.resize(img_u8.astype(jnp.float32), (B, H, W, C),
+                             method="linear", antialias=False)
+        return finish(x)
     gain = min(H / h, W / w)
     uh, uw = round(h * gain), round(w * gain)
-    x = jax.image.resize(x, (B, uh, uw, C), method="linear",
-                         antialias=False)
+    x = jax.image.resize(img_u8.astype(jnp.float32), (B, uh, uw, C),
+                         method="linear", antialias=False)
     py, px = (H - uh) // 2, (W - uw) // 2
     x = jnp.pad(x, ((0, 0), (py, H - uh - py), (px, W - uw - px), (0, 0)),
                 constant_values=float(pad_value))
-    return (x * (1.0 / 255.0)).astype(dtype)
+    return finish(x)
 
 
 def device_preprocess_meta(orig_hw: Tuple[int, int], out_hw: Tuple[int, int],
