@@ -19,8 +19,11 @@ Usage: python bench.py [--imgsz WxH | SIZE] [--streams N] [--xla] [--f32]
 """
 
 import json
+import os
 import sys
 import time
+
+import numpy as np
 
 BASELINE_FPS = 7.5      # MOTR reference inference speed (BASELINE.md)
 BASELINE_RES = (800, 1536)  # (H, W) of the MOTR measurement
@@ -29,7 +32,7 @@ BASELINE_RES = (800, 1536)  # (H, W) of the MOTR measurement
 # (PALLAS_AXON_TPU_GEN=v5e in this harness; slope-method microbench
 # measured 208 TF/s on 2048^3 matmuls, consistent with the 197 nominal).
 PEAK_FLOPS = {"v5e": 197e12}.get(
-    __import__("os").environ.get("PALLAS_AXON_TPU_GEN", "v5e"), 197e12)
+    os.environ.get("PALLAS_AXON_TPU_GEN", "v5e"), 197e12)
 
 
 def _render_frames(k: int, h: int, w: int):
@@ -37,10 +40,6 @@ def _render_frames(k: int, h: int, w: int):
     fixture) — content-bearing frames so data-dependent paths (duplicate
     suppression convergence, active-track lifecycle) run realistic
     iteration counts instead of the empty-scene fast path."""
-    import os
-
-    import numpy as np
-
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     size = max(h, w)
     try:
@@ -80,8 +79,20 @@ def measure_fps(h: int, w: int, n_streams: int, impl, dtype) -> float:
     from mo_yolo_tpu.models.tracking_model import (
         build_tracking_model, init_variables)
 
-    model = build_tracking_model("mo_yolo_tpu/cfg/models/yolo_track.yaml",
-                                 impl=impl, dtype=dtype)
+    yaml_path = os.environ.get("MO_YOLO_BENCH_YAML",
+                               "mo_yolo_tpu/cfg/models/yolo_track.yaml")
+    if os.environ.get("MO_YOLO_BENCH_TINY"):
+        # smoke-test hook (tests/test_driver_contract.py): same measure
+        # path, reduced model so the CPU compile stays in seconds
+        from mo_yolo_tpu.models.graph import parse_model_yaml
+        from mo_yolo_tpu.models.tracker import TrackerConfig
+        from mo_yolo_tpu.models.tracking_model import TrackingModel
+        model = TrackingModel(spec=parse_model_yaml(yaml_path),
+                              tracker=TrackerConfig(n_slots=12), nq=16,
+                              ndl=2, d_ffn=64, hd=32, num_denoising=8,
+                              dtype=dtype)
+    else:
+        model = build_tracking_model(yaml_path, impl=impl, dtype=dtype)
     variables = init_variables(model, jax.random.PRNGKey(0),
                                image_size=(h, w), batch=1)
     state = init_track_state(n_streams, model.tracker.n_slots, model.hd)
@@ -142,7 +153,13 @@ def _measure_subprocess(h: int, w: int, n_streams: int,
                         extra_args, timeout_s: int):
     """Run one measurement as its own (single-TPU-claim) process so a
     pathologically slow compile can be timed out without losing the other
-    measurement. Returns fps or None."""
+    measurement.
+
+    Returns ((fps, gflops) | None, note). A crash is NEVER reported as a
+    timeout (round-4 VERDICT weak #1: a NameError was recorded as "timed
+    out"): the note carries the failure kind and the child's last output
+    lines so the recorded artifact is diagnosable.
+    """
     import re
     import subprocess
     cmd = [sys.executable, __file__, "--_measure", str(h), str(w),
@@ -159,14 +176,16 @@ def _measure_subprocess(h: int, w: int, n_streams: int,
             proc.communicate(timeout=90)
         except subprocess.TimeoutExpired:
             pass
-        return None
+        return None, f"{w}x{h} timed out after {timeout_s}s"
+    tail = " | ".join(stdout.strip().splitlines()[-3:]) if stdout else ""
     if proc.returncode != 0:
-        return None
+        return None, (f"{w}x{h} worker CRASHED rc={proc.returncode}: "
+                      f"{tail[:500]}")
     m = re.search(r"_FPS_ ([0-9.]+)", stdout)
     if m is None:
-        return None
+        return None, f"{w}x{h} worker exited 0 without _FPS_: {tail[:500]}"
     g = re.search(r"_GFLOPS_ ([0-9.]+)", stdout)
-    return float(m.group(1)), (float(g.group(1)) if g else None)
+    return (float(m.group(1)), (float(g.group(1)) if g else None)), ""
 
 
 def _add_mfu(rec: dict, fps: float, gflops) -> None:
@@ -182,7 +201,14 @@ def _add_mfu(rec: dict, fps: float, gflops) -> None:
 def main():
     # worker mode: ONE measurement, claims the TPU, prints the raw number
     if "--_measure" in sys.argv:
+        import jax
         import jax.numpy as jnp
+        # persistent XLA compile cache: repeat benches (and the fast-suite
+        # contract smoke, tests/test_driver_contract.py) skip the compile
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 3)
         i = sys.argv.index("--_measure")
         h, w, n_streams = (int(v) for v in sys.argv[i + 1:i + 4])
         dtype = jnp.bfloat16 if "--f32" not in sys.argv else jnp.float32
@@ -217,9 +243,9 @@ def main():
     tag = "" if n_streams == 1 else f"_x{n_streams}streams"
     if explicit is not None:
         h, w = explicit
-        r = _measure_subprocess(h, w, n_streams, extra, 3500)
+        r, note = _measure_subprocess(h, w, n_streams, extra, 3500)
         if r is None:
-            raise SystemExit(f"measurement at {w}x{h} failed/timed out")
+            raise SystemExit(f"measurement failed: {note}")
         fps, gflops = r
         rec = {
             "metric": f"streaming_tracking_fps_{w}x{h}_per_chip{tag}",
@@ -236,8 +262,9 @@ def main():
     # Sequential subprocesses (one TPU claim at a time); if the large
     # shape times out the 640 figure still ships, honestly labeled.
     bh, bw = BASELINE_RES
-    r_640 = _measure_subprocess(640, 640, n_streams, extra, 2400)
-    r_matched = _measure_subprocess(bh, bw, n_streams, extra, 3000)
+    r_640, note_640 = _measure_subprocess(640, 640, n_streams, extra, 2400)
+    r_matched, note_matched = _measure_subprocess(bh, bw, n_streams,
+                                                  extra, 3000)
     if r_matched is not None:
         fps_matched, gflops_matched = r_matched
         rec = {
@@ -255,6 +282,8 @@ def main():
             if r_640[1]:
                 rec["mfu_640"] = round(r_640[0] * r_640[1] * 1e9 /
                                        PEAK_FLOPS, 4)
+        else:
+            rec["note"] = note_640
     else:
         fps_640 = r_640[0] if r_640 else 0.0
         rec = {
@@ -263,7 +292,7 @@ def main():
             "unit": "frames/s",
             "vs_baseline": round(fps_640 / BASELINE_FPS, 2),
             "baseline_resolution_matched": False,
-            "note": "1536x800 matched-resolution run timed out",
+            "note": note_matched if r_640 else f"{note_matched}; {note_640}",
         }
         if r_640:
             _add_mfu(rec, fps_640, r_640[1])
