@@ -5,6 +5,11 @@ multi-chip sharding on host CPU with XLA's virtual device count, which is
 how JAX code is validated without a pod. The re-exec that disables the
 harness's TPU tunnel for unit tests lives in tests/axon_guard.py (loaded
 early via pytest.ini) — by conftest time those env vars are already clean.
+
+Tiers (round-4 VERDICT weak #7): the default `pytest -q` is the fast gate
+(<10 min on this 1-core host). `heavy`-marked files — the multi-minute
+torch-parity suites — need `--runheavy`; `slow`-marked tests (real-chip
+perf assertions etc.) need `--runslow`. `--runall` enables both.
 """
 
 import os
@@ -20,12 +25,20 @@ import pytest  # noqa: E402
 def pytest_addoption(parser):
     parser.addoption("--runslow", action="store_true", default=False,
                      help="run slow tests")
+    parser.addoption("--runheavy", action="store_true", default=False,
+                     help="run heavy (multi-minute torch-parity) tests")
+    parser.addoption("--runall", action="store_true", default=False,
+                     help="run every tier (slow + heavy)")
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--runslow"):
-        return
+    run_all = config.getoption("--runall")
+    run_slow = run_all or config.getoption("--runslow")
+    run_heavy = run_all or config.getoption("--runheavy")
     skip_slow = pytest.mark.skip(reason="need --runslow option to run")
+    skip_heavy = pytest.mark.skip(reason="need --runheavy option to run")
     for item in items:
-        if "slow" in item.keywords:
+        if not run_slow and "slow" in item.keywords:
             item.add_marker(skip_slow)
+        if not run_heavy and "heavy" in item.keywords:
+            item.add_marker(skip_heavy)
