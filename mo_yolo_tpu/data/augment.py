@@ -243,6 +243,147 @@ def copy_paste(img: np.ndarray, lab: np.ndarray, rng: np.random.Generator,
     return img, lab
 
 
+# ---------------------------------------------------------------------------
+# Photometric transforms — the reference's Albumentations block
+# (`ultralytics/data/augment.py:648-668`: Blur p=.01, MedianBlur p=.01,
+# ToGray p=.01, CLAHE p=.01, RandomBrightnessContrast p=0, RandomGamma p=0,
+# ImageCompression p=0), re-implemented in numpy/PIL since the package does
+# not exist in this image. Label-free (photometric only), so they slot in
+# ahead of the geometric chain exactly like the reference composition
+# (`v8_transforms`, augment.py:803).
+# ---------------------------------------------------------------------------
+
+def blur(img: np.ndarray, k: int = 5) -> np.ndarray:
+    """Box blur with an odd kernel (A.Blur semantics)."""
+    from PIL import ImageFilter
+    return np.asarray(Image.fromarray(img).filter(
+        ImageFilter.BoxBlur((k - 1) // 2)))
+
+
+def median_blur(img: np.ndarray, k: int = 5) -> np.ndarray:
+    from PIL import ImageFilter
+    return np.asarray(Image.fromarray(img).filter(
+        ImageFilter.MedianFilter(size=k)))
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    g = np.asarray(Image.fromarray(img).convert("L"))
+    return np.repeat(g[..., None], 3, axis=2)
+
+
+def clahe(img: np.ndarray, clip_limit: float = 4.0,
+          tiles: int = 8) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization on the luma channel
+    (A.CLAHE defaults: clip_limit 4.0, 8x8 tile grid): per-tile clipped
+    histogram -> CDF mapping, bilinearly interpolated between tile centers
+    (the standard CLAHE recipe cv2 implements)."""
+    ycc = np.asarray(Image.fromarray(img).convert("YCbCr"), np.float32)
+    y = ycc[..., 0].astype(np.uint8)
+    h, w = y.shape
+    th, tw = max(h // tiles, 1), max(w // tiles, 1)
+    ny, nx = (h + th - 1) // th, (w + tw - 1) // tw
+    # per-tile clipped-CDF LUTs [ny, nx, 256]
+    luts = np.empty((ny, nx, 256), np.float32)
+    clip_at = max(clip_limit * th * tw / 256.0, 1.0)
+    for i in range(ny):
+        for j in range(nx):
+            tile = y[i * th:(i + 1) * th, j * tw:(j + 1) * tw]
+            hist = np.bincount(tile.ravel(), minlength=256).astype(np.float32)
+            excess = np.clip(hist - clip_at, 0, None).sum()
+            hist = np.minimum(hist, clip_at) + excess / 256.0
+            cdf = hist.cumsum()
+            cdf = cdf / max(cdf[-1], 1e-9) * 255.0
+            luts[i, j] = cdf
+    # bilinear interpolation between the four surrounding tile mappings
+    yy = (np.arange(h, dtype=np.float32) - th / 2) / th
+    xx = (np.arange(w, dtype=np.float32) - tw / 2) / tw
+    y0 = np.clip(np.floor(yy).astype(int), 0, ny - 1)
+    x0 = np.clip(np.floor(xx).astype(int), 0, nx - 1)
+    y1 = np.minimum(y0 + 1, ny - 1)
+    x1 = np.minimum(x0 + 1, nx - 1)
+    fy = np.clip(yy - y0, 0, 1)[:, None]
+    fx = np.clip(xx - x0, 0, 1)[None, :]
+    v = y.astype(int)
+    g00 = luts[y0[:, None], x0[None, :], v]
+    g01 = luts[y0[:, None], x1[None, :], v]
+    g10 = luts[y1[:, None], x0[None, :], v]
+    g11 = luts[y1[:, None], x1[None, :], v]
+    out_y = (g00 * (1 - fy) * (1 - fx) + g01 * (1 - fy) * fx +
+             g10 * fy * (1 - fx) + g11 * fy * fx)
+    ycc[..., 0] = np.clip(out_y, 0, 255)
+    return np.asarray(Image.fromarray(ycc.astype(np.uint8), "YCbCr")
+                      .convert("RGB"))
+
+
+def brightness_contrast(img: np.ndarray, brightness: float,
+                        contrast: float) -> np.ndarray:
+    """A.RandomBrightnessContrast: x*(1+contrast) + brightness*255."""
+    x = img.astype(np.float32) * (1.0 + contrast) + brightness * 255.0
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+def gamma(img: np.ndarray, g: float) -> np.ndarray:
+    lut = (np.linspace(0, 1, 256) ** g * 255.0).astype(np.uint8)
+    return lut[img]
+
+
+def jpeg_compression(img: np.ndarray, quality: int) -> np.ndarray:
+    import io
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=int(quality))
+    return np.asarray(Image.open(buf).convert("RGB"))
+
+
+@dataclasses.dataclass
+class Photometrics:
+    """The reference Albumentations composition with its shipped
+    probabilities; each transform fires independently. `sample(rng)`
+    freezes one draw (clip coherence), `apply` runs it on a frame."""
+
+    blur_p: float = 0.01
+    median_p: float = 0.01
+    gray_p: float = 0.01
+    clahe_p: float = 0.01
+    bc_p: float = 0.0          # RandomBrightnessContrast (reference p=0)
+    gamma_p: float = 0.0       # RandomGamma (reference p=0)
+    compression_p: float = 0.0  # ImageCompression (reference p=0)
+
+    def sample(self, rng: np.random.Generator) -> dict:
+        return {
+            "blur_k": int(rng.choice([3, 5, 7]))
+            if rng.random() < self.blur_p else 0,
+            "median_k": int(rng.choice([3, 5]))
+            if rng.random() < self.median_p else 0,
+            "gray": rng.random() < self.gray_p,
+            "clahe": rng.random() < self.clahe_p,
+            "bc": (float(rng.uniform(-0.2, 0.2)),
+                   float(rng.uniform(-0.2, 0.2)))
+            if rng.random() < self.bc_p else None,
+            "gamma": float(rng.uniform(0.8, 1.2))
+            if rng.random() < self.gamma_p else None,
+            "jpeg_q": int(rng.integers(75, 101))
+            if rng.random() < self.compression_p else 0,
+        }
+
+    @staticmethod
+    def apply(img: np.ndarray, d: dict) -> np.ndarray:
+        if d["blur_k"]:
+            img = blur(img, d["blur_k"])
+        if d["median_k"]:
+            img = median_blur(img, d["median_k"])
+        if d["gray"]:
+            img = to_gray(img)
+        if d["clahe"]:
+            img = clahe(img)
+        if d["bc"] is not None:
+            img = brightness_contrast(img, *d["bc"])
+        if d["gamma"] is not None:
+            img = gamma(img, d["gamma"])
+        if d["jpeg_q"]:
+            img = jpeg_compression(img, d["jpeg_q"])
+        return img
+
+
 @dataclasses.dataclass
 class ClipAugmenter:
     """Per-clip frozen augmentation for video training: geometric params are
@@ -260,9 +401,15 @@ class ClipAugmenter:
     shear: float = 0.0
     perspective: float = 0.0
     seed: int = 0
+    # reference pipeline order: Albumentations(p=1) runs before HSV/flips
+    # (`v8_transforms`, reference augment.py:803); frozen per clip here
+    photometrics: Optional[Photometrics] = dataclasses.field(
+        default_factory=Photometrics)
 
     def begin_clip(self, clip_index: int):
         self._rng = np.random.default_rng(self.seed * 100003 + clip_index)
+        self._photo = (self.photometrics.sample(self._rng)
+                       if self.photometrics is not None else None)
         self._flip = self._rng.uniform() < self.fliplr_p
         self._flipud = self._rng.uniform() < self.flipud_p
         self._affine_params = None
@@ -270,6 +417,8 @@ class ClipAugmenter:
 
     def __call__(self, img: np.ndarray, lab: np.ndarray):
         rng = np.random.default_rng(self._hsv_rng_state)
+        if self._photo is not None:
+            img = Photometrics.apply(img, self._photo)
         if self.hsv and (self.hsv_h or self.hsv_s or self.hsv_v):
             img = random_hsv(img, rng, hgain=self.hsv_h,
                              sgain=self.hsv_s, vgain=self.hsv_v)

@@ -69,7 +69,7 @@ class DetectTrainer:
                  log_every: int = 10, val_every: int = -1,
                  augment: bool = False, hyp=None, close_mosaic: int = 0,
                  fraction: float = 1.0, val: bool = True, pretrained=None,
-                 patience: int = 50, callbacks=None):
+                 patience: int = 50, callbacks=None, plots: bool = True):
         from mo_yolo_tpu.utils.callbacks import default_callbacks
         # same 26-event bus as TrackTrainer (reference BaseTrainer
         # `run_callbacks`, engine/trainer.py:167) — integrations attach here
@@ -96,6 +96,7 @@ class DetectTrainer:
             self.val_every = 0
         # reference `pretrained`: load saved weights before training
         self.pretrained = pretrained if isinstance(pretrained, str) else None
+        self.plots = plots
 
     def run(self):
         import random
@@ -174,6 +175,22 @@ class DetectTrainer:
         key = jax.random.PRNGKey(self.seed)
         save_dir = Path(self.save_dir)
         save_dir.mkdir(parents=True, exist_ok=True)
+        if self.plots:
+            # labels.jpg + labels_correlogram.jpg (reference plot_labels
+            # from BaseTrainer when plots=True) — cached rows, no decode
+            try:
+                from mo_yolo_tpu.utils.plotting import (
+                    plot_labels, plot_labels_correlogram)
+                rows = [ds._label(i) for i in range(len(ds))]
+                rows = [r for r in rows if len(r)]
+                if rows:
+                    lab = np.concatenate(rows, axis=0)
+                    plot_labels(lab[:, 0], lab[:, 1:5],
+                                str(save_dir / "labels.jpg"))
+                    plot_labels_correlogram(
+                        lab[:, 1:5], str(save_dir / "labels_correlogram.jpg"))
+            except Exception as e:
+                LOGGER.warning(f"label plots failed: {e}")
         losses = []
         from mo_yolo_tpu.train.trainer import EarlyStopping
         stopper = EarlyStopping(self.patience)
@@ -213,6 +230,18 @@ class DetectTrainer:
                     "gt_mask": jnp.asarray(
                         np.stack([f.mask for f in frames])),
                 }
+                if self.plots and epoch == 0 and i < 3:
+                    # train_batch{i}.jpg (reference plot_training_samples)
+                    try:
+                        from mo_yolo_tpu.utils.plotting import \
+                            save_train_batch
+                        save_train_batch(
+                            np.stack([f.image for f in frames]),
+                            np.stack([f.boxes for f in frames]),
+                            str(save_dir / f"train_batch{i}.jpg"),
+                            mask=np.stack([f.mask for f in frames]))
+                    except Exception as e:
+                        LOGGER.warning(f"train-batch plot failed: {e}")
                 key, k = jax.random.split(key)
                 ts, m = step_fn(ts, batch, k)
                 ep_loss_dev.append(m["loss"])   # device scalar, no sync

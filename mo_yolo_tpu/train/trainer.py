@@ -280,6 +280,8 @@ class TrackTrainer:
                     f"{steps_per_epoch} steps/epoch x {self.epochs} epochs, "
                     f"clip_len={self.clip_lens}, mesh={mesh.devices.shape}")
         self.save_dir.mkdir(parents=True, exist_ok=True)
+        if self.plots:
+            self._plot_labels(ds)
         csv_path = self.save_dir / "results.csv"
         csv_rows = ["epoch,step,loss,grad_norm,num_objects,sec_per_step"]
         best_fitness = resumed_best_fitness
@@ -299,6 +301,8 @@ class TrackTrainer:
             loss_dev = []   # device scalars; ONE batched fetch at epoch end
             for i, clip in enumerate(clip_loader(ds, self.batch, shuffle=True,
                                                  seed=self.seed + epoch)):
+                if self.plots and epoch == start_epoch and i < 3:
+                    self._plot_train_batch(clip, i)
                 key, k = jax.random.split(key)
                 t0 = time.time()
                 clip = {kk: np_to_jnp(v) for kk, v in clip.items()}
@@ -375,6 +379,41 @@ class TrackTrainer:
             metrics.get("final_loss", -best_fitness)
         return metrics
 
+
+    def _plot_labels(self, ds) -> None:
+        """Label-statistics artifacts at train start (reference
+        `plot_labels` -> labels.jpg + labels_correlogram.jpg, fired from
+        `BaseTrainer._setup_train` when plots=True). Reads the cached
+        6-col label rows directly — no image decode."""
+        try:
+            rows = [ds._label(i) for i in range(len(ds))]
+            lab = np.concatenate([r for r in rows if len(r)], axis=0) \
+                if any(len(r) for r in rows) else np.zeros((0, 6))
+            if not len(lab):
+                return
+            from mo_yolo_tpu.utils.plotting import (plot_labels,
+                                                    plot_labels_correlogram)
+            plot_labels(lab[:, 0], lab[:, 1:5],
+                        str(self.save_dir / "labels.jpg"))
+            plot_labels_correlogram(
+                lab[:, 1:5], str(self.save_dir / "labels_correlogram.jpg"))
+        except Exception as e:  # plotting must never fail a run
+            LOGGER.warning(f"label plots failed: {e}")
+
+    def _plot_train_batch(self, clip, i: int) -> None:
+        """train_batch{i}.jpg mosaic with boxes + track ids (reference
+        `plot_training_samples` -> `plot_images`): first clip frames of
+        the first epoch, exactly what the model will see."""
+        try:
+            from mo_yolo_tpu.utils.plotting import save_train_batch
+            T, B = clip["images"].shape[:2]
+            flat = lambda a: np.asarray(a).reshape((T * B,) + a.shape[2:])
+            save_train_batch(flat(clip["images"]), flat(clip["gt_boxes"]),
+                             str(self.save_dir / f"train_batch{i}.jpg"),
+                             ids=flat(clip["gt_track_id"]),
+                             mask=flat(clip["gt_mask"]))
+        except Exception as e:
+            LOGGER.warning(f"train-batch plot failed: {e}")
 
     def _autobatch(self, model, lcfg, candidates=(1, 2, 4, 8)) -> int:
         """Largest per-device stream count whose compiled train step fits

@@ -149,6 +149,64 @@ def plot_image_grid(images: Sequence[np.ndarray],
     return out_png
 
 
+def plot_labels_correlogram(boxes_xywhn: np.ndarray, out_png: str) -> str:
+    """Pairwise x/y/w/h distribution matrix (reference `plot_labels`'s
+    seaborn-pairplot `labels_correlogram.jpg`, plotting.py:241-262):
+    histograms on the diagonal, 2-D density off it."""
+    plt = _plt()
+    b = np.asarray(boxes_xywhn, np.float32).reshape(-1, 4)
+    names = ["x", "y", "width", "height"]
+    fig, axes = plt.subplots(4, 4, figsize=(9, 9))
+    for i in range(4):
+        for j in range(4):
+            ax = axes[i][j]
+            if i == j:
+                ax.hist(b[:, i], bins=40, range=(0, 1), color="C0")
+            else:
+                ax.hist2d(b[:, j], b[:, i], bins=40,
+                          range=[[0, 1], [0, 1]], cmap="Blues")
+            if i == 3:
+                ax.set_xlabel(names[j], fontsize=9)
+            if j == 0:
+                ax.set_ylabel(names[i], fontsize=9)
+            ax.set_xticks([])
+            ax.set_yticks([])
+    fig.tight_layout()
+    Path(out_png).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return out_png
+
+
+def save_train_batch(images: np.ndarray, boxes_cxcywhn: np.ndarray,
+                     out_png: str, ids: Optional[np.ndarray] = None,
+                     mask: Optional[np.ndarray] = None,
+                     max_images: int = 16) -> str:
+    """Annotated train-batch mosaic (reference `plot_images` as fired from
+    `plot_training_samples` -> runs/train_batch{N}.jpg): images [N,H,W,3]
+    float[0,1] or uint8, boxes [N,G,4] normalized cxcywh, optional track
+    ids [N,G] and validity mask [N,G] (padded GT rows dropped)."""
+    imgs = np.asarray(images)
+    h, w = imgs.shape[1:3]
+    bxs, idl = [], []
+    for k in range(len(imgs)):
+        b = np.asarray(boxes_cxcywhn[k]).reshape(-1, 4)
+        m = (np.asarray(mask[k]).ravel().astype(bool) if mask is not None
+             else b.any(axis=1))
+        b = b[m]
+        xy = np.stack([(b[:, 0] - b[:, 2] / 2) * w,
+                       (b[:, 1] - b[:, 3] / 2) * h,
+                       (b[:, 0] + b[:, 2] / 2) * w,
+                       (b[:, 1] + b[:, 3] / 2) * h], 1)
+        bxs.append(xy)
+        idl.append(np.asarray(ids[k]).ravel()[m] if ids is not None
+                   else np.zeros(len(xy), int) - 1)
+    use_ids = ids is not None
+    return plot_image_grid(list(imgs), bxs, out_png,
+                           ids_per_image=idl if use_ids else None,
+                           max_images=max_images)
+
+
 def plot_confusion_matrix(matrix: np.ndarray, out_png: str,
                           names: Optional[List[str]] = None) -> str:
     """Confusion-matrix heatmap (reference `ConfusionMatrix.plot`)."""

@@ -268,3 +268,55 @@ def test_mosaic_varies_across_epochs(tmp_path):
     e0b = ds.load_frame(0, augment=True, aug_index=0 * len(ds) + 0)
     np.testing.assert_array_equal(e0.image, e0b.image)  # deterministic
     assert not np.array_equal(e0.image, e1.image)       # varies per epoch
+
+
+def test_photometrics_suite():
+    """The reference Albumentations block rebuilt in numpy/PIL
+    (ultralytics/data/augment.py:648-668): every transform changes the
+    image photometrically, keeps shape/dtype, and never touches labels."""
+    from mo_yolo_tpu.data.augment import (
+        Photometrics, blur, brightness_contrast, clahe, gamma,
+        jpeg_compression, median_blur, to_gray)
+
+    img = _img(96, 128)
+    for out in (blur(img, 5), median_blur(img, 3), to_gray(img),
+                clahe(img), brightness_contrast(img, 0.1, 0.1),
+                gamma(img, 1.2), jpeg_compression(img, 80)):
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert not np.array_equal(out, img)
+    # gray really is gray; blur really smooths
+    g = to_gray(img)
+    assert np.array_equal(g[..., 0], g[..., 1])
+    assert np.abs(np.diff(blur(img, 7).astype(int), axis=1)).mean() < \
+        np.abs(np.diff(img.astype(int), axis=1)).mean()
+    # CLAHE spreads a low-contrast histogram (noisy fixture: uniform tiles
+    # hit the clip floor and map near-identity, as in cv2)
+    rng2 = np.random.default_rng(1)
+    low = rng2.normal(110, 6, (128, 128)).clip(90, 130).astype(np.uint8)
+    low = np.repeat(low[..., None], 3, axis=2)
+    assert clahe(low).std() > 2 * low.std()
+    # deterministic per-draw; p=1 fires, p=0 never does
+    rng = np.random.default_rng(0)
+    d = Photometrics(blur_p=1, median_p=1, gray_p=1, clahe_p=1,
+                     bc_p=1, gamma_p=1, compression_p=1).sample(rng)
+    assert d["blur_k"] and d["gray"] and d["bc"] is not None
+    d0 = Photometrics(blur_p=0, median_p=0, gray_p=0, clahe_p=0).sample(rng)
+    assert not (d0["blur_k"] or d0["median_k"] or d0["gray"] or d0["clahe"])
+    assert np.array_equal(Photometrics.apply(img, d0), img)
+
+
+def test_photometrics_clip_frozen():
+    """ClipAugmenter freezes the photometric draw per clip: identical
+    frames inside one clip get identical photometric treatment."""
+    from mo_yolo_tpu.data.augment import ClipAugmenter, Photometrics
+
+    aug = ClipAugmenter(hsv=False, fliplr_p=0.0, translate=0, scale=0,
+                        photometrics=Photometrics(blur_p=1.0, gray_p=1.0),
+                        seed=3)
+    aug.begin_clip(0)
+    img = _img(64, 64)
+    a1, _ = aug(img, _lab())
+    a2, _ = aug(img, _lab())
+    np.testing.assert_array_equal(a1, a2)
+    g = a1
+    assert np.array_equal(g[..., 0], g[..., 1])  # gray fired clip-wide

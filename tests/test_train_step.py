@@ -198,6 +198,9 @@ def test_trainer_end_to_end_on_disk_dataset(tmp_path):
     assert (root / "run" / "results.csv").exists()
     assert (root / "run" / "best").exists()
     assert (root / "run" / "last_full").exists()
+    # plots=True default artifacts (reference BaseTrainer when plots on)
+    for name in ("labels.jpg", "labels_correlogram.jpg", "train_batch0.jpg"):
+        assert (root / "run" / name).exists(), name
     # resume: continue the same run to epoch 2 from last_full
     import json
     cfg0 = json.load(open(root / "run" / "last_full.config.json"))
