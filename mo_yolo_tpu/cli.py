@@ -321,20 +321,33 @@ def main(argv=None):
         source = kv.pop("source")
         save_mot = kv.pop("save_mot", None)
         verbose = kv.pop("verbose", True)
+        # reference predict `save_txt`/`save_conf` (engine/predictor.py
+        # write_results -> Results.save_txt): one label txt per frame
+        # under <save_dir>/labels
+        save_txt = bool(kv.pop("save_txt", False))
+        save_conf = bool(kv.pop("save_conf", False))
+        save_dir = kv.pop("save_dir", "runs/track/predict")
         kv = route_kwargs(kv, m.predict, allow_hyp=False)
+        kv.pop("save_dir", None)
         n = 0
         for r in m.predict(source, conf=kv.pop("conf", 0.5),
                            save_mot=save_mot,
                            vid_stride=int(kv.pop("vid_stride", 1)),
                            save=bool(kv.pop("save", False)),
                            save_crop=bool(kv.pop("save_crop", False)),
-                           save_dir=kv.pop("save_dir", "runs/track/predict"),
+                           save_dir=save_dir,
                            line_width=int(kv.pop("line_width", 2)),
                            show_labels=bool(kv.pop("show_labels", True)),
                            show_conf=bool(kv.pop("show_conf", True)),
                            rect=bool(kv.pop("rect", False)),
                            visualize=bool(kv.pop("visualize", False)),
                            **kv):
+            if save_txt:
+                from pathlib import Path as _P
+                stem = _P(r.path).stem if r.path else f"{n:06d}"
+                lp = _P(save_dir) / "labels"
+                lp.mkdir(parents=True, exist_ok=True)
+                r.save_txt(str(lp / f"{stem}.txt"), save_conf=save_conf)
             n += 1
             if verbose:
                 LOGGER.info(f"{r.path}: {len(r)} tracks "

@@ -62,7 +62,8 @@ def dedup_for_map(boxes_xyxy: np.ndarray, scores: np.ndarray,
 class TrackValidator:
     def __init__(self, model, variables, imgsz: int = 640,
                  conf: float = 0.5, nc: Optional[int] = None,
-                 det_conf: float = 0.001, callbacks=None):
+                 det_conf: float = 0.001, callbacks=None,
+                 collect: bool = False):
         from mo_yolo_tpu.utils.callbacks import CallbackBus
         # reference BaseValidator fires on_val_start/on_val_end
         # (engine/validator.py:142-210); bare bus unless the caller
@@ -74,6 +75,13 @@ class TrackValidator:
         self.conf = conf
         self.det_conf = det_conf
         self.nc = nc or model.spec.nc
+        # collect=True retains per-sequence frame buffers on
+        # self.sequences: [(seq_key, gt_ids, pr_ids, sims, gt_boxes,
+        # pr_boxes)] — the raw per-frame accumulation stream the metrics
+        # are computed from, for external oracles (e.g. replaying the
+        # reference's own HOTA accumulation, `MOTRtrack/val.py:292-330`)
+        self.collect = collect
+        self.sequences: List[tuple] = []
         from mo_yolo_tpu.utils.jit_cache import jitted_method
         self._step = jitted_method(model, "stream_step")
 
@@ -92,7 +100,10 @@ class TrackValidator:
         gt_ids_seq: List[np.ndarray] = []
         pr_ids_seq: List[np.ndarray] = []
         sim_seq: List[np.ndarray] = []
+        gt_boxes_seq: List[np.ndarray] = []
+        pr_boxes_seq: List[np.ndarray] = []
         state = None
+        self.sequences = []
         t0 = time.perf_counter()
 
         def flush():
@@ -101,12 +112,18 @@ class TrackValidator:
                     hota_m.eval_sequence(gt_ids_seq, pr_ids_seq, sim_seq))
                 clear_accum.append(clear_mot(gt_ids_seq, pr_ids_seq, sim_seq))
                 idf1_accum.append(idf1(gt_ids_seq, pr_ids_seq, sim_seq))
+                if self.collect:
+                    self.sequences.append(
+                        (cur_seq, list(gt_ids_seq), list(pr_ids_seq),
+                         list(sim_seq), list(gt_boxes_seq),
+                         list(pr_boxes_seq)))
 
         for i in range(len(ds)):
             seq = video_key(ds.files[i])
             if seq != cur_seq:
                 flush()
                 gt_ids_seq, pr_ids_seq, sim_seq = [], [], []
+                gt_boxes_seq, pr_boxes_seq = [], []
                 cur_seq = seq
                 state = init_track_state(1, self.model.tracker.n_slots,
                                          self.model.hd)
@@ -124,6 +141,9 @@ class TrackValidator:
             gt_ids_seq.append(gt_ids)
             pr_ids_seq.append(pr_ids)
             sim_seq.append(sim)
+            if self.collect:
+                gt_boxes_seq.append(gt_boxes)
+                pr_boxes_seq.append(pr_boxes)
             # mAP sees the full (near-unthresholded) prediction set so the
             # PR curve is not truncated at the tracking conf — the reference
             # validator scores detections at conf~0.001 (`val.py:99-123`);

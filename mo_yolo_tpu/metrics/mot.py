@@ -123,8 +123,13 @@ def pool_idf1(per_seq: Sequence[Dict[str, float]]) -> Dict[str, float]:
 def write_mot_txt(fh: TextIO, frame_idx: int, ids: np.ndarray,
                   boxes_xyxy: np.ndarray, conf: np.ndarray = None) -> None:
     """Append one frame in MOT-challenge format:
-    frame,id,x1,y1,w,h,1,-1,-1,-1 (1-indexed frames)."""
+    frame,id,x1,y1,w,h,1,-1,-1,-1 (1-indexed frames). Unassigned rows
+    (id < 0) are dropped, matching the reference writer
+    (`MOTR/submit.py:415-416`); row-identity with it is pinned by
+    tests/test_mot_challenge_e2e.py."""
     for k in range(len(ids)):
+        if int(ids[k]) < 0:
+            continue
         x1, y1, x2, y2 = boxes_xyxy[k]
         fh.write(f"{frame_idx + 1},{int(ids[k])},{x1:.2f},{y1:.2f},"
                  f"{x2 - x1:.2f},{y2 - y1:.2f},1,-1,-1,-1\n")

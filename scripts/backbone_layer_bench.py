@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--imgsz", default="1536x800")
     ap.add_argument("--yaml", default="mo_yolo_tpu/cfg/models/yolo_track.yaml")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--u8", action="store_true",
+                    help="feed RAW uint8 frames (production streaming "
+                         "contract: _TapStem consumes u8 directly)")
+    ap.add_argument("--from-node", type=int, default=0)
     args = ap.parse_args()
     w, h = (int(v) for v in args.imgsz.split("x"))
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
@@ -53,14 +57,21 @@ def main():
     bb = BackboneNeck(spec, dtype=dtype)
     img = jnp.full((1, h, w, 3), 0.5, jnp.float32)
     variables = bb.init(jax.random.PRNGKey(0), img)
+    if args.u8:
+        img = jnp.full((1, h, w, 3), 128, jnp.uint8)
     n_nodes = len(spec.nodes)
-    print(f"{w}x{h} {args.dtype}, {n_nodes} nodes")
+    print(f"{w}x{h} {args.dtype} u8={args.u8}, {n_nodes} nodes")
 
     prev = 0.0
-    for i in range(n_nodes):
+    for i in range(args.from_node, n_nodes):
         def pre(a, t, i=i):
             v, im = a
-            im = im + t * 1e-6
+            if im.dtype == jnp.uint8:
+                # loop-variant u8 input: keep dtype, perturb a corner pixel
+                im = im.at[0, 0, 0, 0].set(
+                    (t.astype(jnp.int32) % 7).astype(jnp.uint8))
+            else:
+                im = im + t * 1e-6
             y = bb.apply(v, im, train=False, upto=i)
             if isinstance(y, (list, tuple)):
                 y = y[-1]
@@ -69,7 +80,8 @@ def main():
         ms = slope(pre, (variables, img))
         node = spec.nodes[i]
         print(f"  node {i:2d} {node.module:12s} args={node.args!r:28s} "
-              f"rep={node.repeats} cum={ms:7.3f} ms  delta={ms - prev:6.3f} ms")
+              f"rep={node.repeats} cum={ms:7.3f} ms  delta={ms - prev:6.3f} ms",
+              flush=True)
         prev = ms
 
 

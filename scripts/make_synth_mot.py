@@ -109,6 +109,46 @@ def render_sequence(seed: int, size: int, n_frames: int, n_obj: int,
             f.write("\n".join(lines) + "\n")
 
 
+def make_mot_fixture(root: str, n_seq: int = 2, size: int = 96,
+                     n_frames: int = 10, n_obj: int = 3, seed: int = 0,
+                     split: str = "train") -> str:
+    """Render synthetic sequences in the REAL MOT-challenge directory
+    layout (`<root>/images/<split>/<seq>/img1/000001.png` + `gt/gt.txt` +
+    `seqinfo.ini` — the tree `MOTR/submit.py:381` / `util/evaluation.py:126`
+    consume), 1-indexed frames, pixel-space gt rows
+    `frame,id,x,y,w,h,1,1,1`. Returns the split root."""
+    from mo_yolo_tpu.data.mot_challenge import write_mot_gt
+    base = os.path.join(root, "images", split)
+    for s in range(n_seq):
+        seq = f"MOT17-{s + 1:02d}"
+        seq_dir = os.path.join(base, seq)
+        img1 = os.path.join(seq_dir, "img1")
+        lab_tmp = os.path.join(seq_dir, "_labels_tmp")
+        render_sequence(seed * 1009 + s, size, n_frames, n_obj,
+                        img1, lab_tmp, nc=1)
+        rows = []
+        # re-index 0-based render output to MOT's 1-based frames; highest
+        # first, else 000000->000001 overwrites the real frame 1
+        for t in range(n_frames - 1, -1, -1):
+            os.replace(os.path.join(img1, f"{t:06d}.png"),
+                       os.path.join(img1, f"{t + 1:06d}.png"))
+        for t in range(n_frames):
+            lab = np.loadtxt(os.path.join(lab_tmp, f"{t:06d}.txt"),
+                             ndmin=2)
+            for cls, cx, cy, w, h, tid in lab:
+                rows.append([t + 1, int(tid) + 1, (cx - w / 2) * size,
+                             (cy - h / 2) * size, w * size, h * size,
+                             1, 1, 1.0])
+            os.remove(os.path.join(lab_tmp, f"{t:06d}.txt"))
+        os.rmdir(lab_tmp)
+        write_mot_gt(os.path.join(seq_dir, "gt", "gt.txt"), rows)
+        with open(os.path.join(seq_dir, "seqinfo.ini"), "w") as f:
+            f.write(f"[Sequence]\nname={seq}\nimDir=img1\nframeRate=30\n"
+                    f"seqLength={n_frames}\nimWidth={size}\n"
+                    f"imHeight={size}\nimExt=.png\n")
+    return base
+
+
 def make_dataset(root: str, size: int = 320, n_frames: int = 80,
                  n_train_seq: int = 4, n_val_seq: int = 2,
                  n_obj: int = 4, seed: int = 0, nc: int = 1) -> str:

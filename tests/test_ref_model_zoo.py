@@ -8,6 +8,12 @@ rows (v3-tiny), nn.ConvTranspose2d head rows (v6), and the P6 4-tap
 Detect (v5-p6).
 """
 
+
+import pytest
+
+# heavy tier (round-4 VERDICT weak #7): multi-minute reference-torch
+# comparison; run with --runheavy / --runall
+pytestmark = pytest.mark.heavy
 import numpy as np
 import pytest
 import yaml

@@ -3,6 +3,12 @@ map onto every flax leaf (methodology mirrors the track-model importer
 test: no real weights ship in-repo, so coverage is proven by inverting
 the mapping)."""
 
+
+import pytest
+
+# heavy tier (round-4 VERDICT weak #7): multi-minute reference-torch
+# comparison; run with --runheavy / --runall
+pytestmark = pytest.mark.heavy
 import numpy as np
 import pytest
 

@@ -9,6 +9,12 @@ aux losses on identical predictions, GT, and last-layer match indices —
 including the aux layers' independent Hungarian re-matching (scipy there,
 on-device Jonker-Volgenant here)."""
 
+
+import pytest
+
+# heavy tier (round-4 VERDICT weak #7): multi-minute reference-torch
+# comparison; run with --runheavy / --runall
+pytestmark = pytest.mark.heavy
 import numpy as np
 import pytest
 

@@ -13,6 +13,12 @@ TrackingModel('yolo_track.yaml') backbone+MYDecoder forward vs our
 TrackingModel after `apply_torch_state_dict` of its state_dict.
 """
 
+
+import pytest
+
+# heavy tier (round-4 VERDICT weak #7): multi-minute reference-torch
+# comparison; run with --runheavy / --runall
+pytestmark = pytest.mark.heavy
 import numpy as np
 import pytest
 

@@ -6,6 +6,12 @@ Closes the "no pt direct inference" gap: the TPU path imports weights via
 `load_torch`; this backend is the torch-side ground truth for A/B checks.
 """
 
+
+import pytest
+
+# heavy tier (round-4 VERDICT weak #7): multi-minute reference-torch
+# comparison; run with --runheavy / --runall
+pytestmark = pytest.mark.heavy
 import numpy as np
 import pytest
 

@@ -11,6 +11,12 @@ layout, strict landing of every exported tensor in the real reference
 module, and that the pickled module is live (loads + runs eval forward).
 """
 
+
+import pytest
+
+# heavy tier (round-4 VERDICT weak #7): multi-minute reference-torch
+# comparison; run with --runheavy / --runall
+pytestmark = pytest.mark.heavy
 import numpy as np
 import pytest
 

@@ -24,6 +24,12 @@ only).
    rather than replicated.
 """
 
+
+import pytest
+
+# heavy tier (round-4 VERDICT weak #7): multi-minute reference-torch
+# comparison; run with --runheavy / --runall
+pytestmark = pytest.mark.heavy
 import types
 
 import numpy as np

@@ -9,6 +9,12 @@ image + the same GT, and compares the per-component losses. This pins
 the TaskAlignedAssigner + CIoU + DFL chain, not just the forward.
 """
 
+
+import pytest
+
+# heavy tier (round-4 VERDICT weak #7): multi-minute reference-torch
+# comparison; run with --runheavy / --runall
+pytestmark = pytest.mark.heavy
 import numpy as np
 import pytest
 

@@ -15,6 +15,12 @@ eval activations aren't degenerate (fresh mean-0/var-1 stats collapse
 untrained outputs toward constants, which would hide real bugs).
 """
 
+
+import pytest
+
+# heavy tier (round-4 VERDICT weak #7): multi-minute reference-torch
+# comparison; run with --runheavy / --runall
+pytestmark = pytest.mark.heavy
 import numpy as np
 import pytest
 

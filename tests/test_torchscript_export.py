@@ -9,6 +9,12 @@ image. BN batch_stats are randomized before export so a transposed
 kernel or swapped stat cannot hide behind identity normalization.
 """
 
+
+import pytest
+
+# heavy tier (round-4 VERDICT weak #7): multi-minute reference-torch
+# comparison; run with --runheavy / --runall
+pytestmark = pytest.mark.heavy
 import shutil
 
 import numpy as np
