@@ -75,9 +75,9 @@ class TrackPredictor:
             hw = (self.in_h, self.in_w)
 
             def _raw_step(v, s, u8):
-                # letterbox stays uint8 (cv2 semantics); the backbone stem
-                # normalizes with /255 folded into its kernel, so no
-                # [B,H,W,3] float tensor ever hits HBM (layers._TapStem)
+                # letterbox stays uint8 (cv2 semantics) so the PCIe
+                # payload is 4x smaller; the backbone stem normalizes
+                # on device (layers._TapStem)
                 x = device_letterbox(u8, hw, scale_fill=True,
                                      dtype=jnp.uint8)
                 return model.apply(v, s, x, method=model.stream_step)

@@ -12,6 +12,7 @@ imported reference weights reproduce activations exactly.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -27,17 +28,17 @@ def autopad(k: int, d: int = 1) -> int:
 
 
 class _TapStem(nn.Module):
-    """uint8-input k3 conv as 9 tap slices + one matmul, /255 folded in.
+    """uint8-input k3 conv: normalize on device, then the native conv.
 
-    The stem conv is the one place a [B,H,W,3] tensor crosses HBM; XLA's
-    native lowering of that 3-channel conv costs ~20x its bandwidth bound
-    on TPU (trailing-dim-3 layout padding — measured in
-    scripts/stem_input_bench.py: 1.12 ms vs 0.033 ms for this formulation
-    at 1536x800). Reading the RAW uint8 frame instead, taking the 9 k3
-    taps as strided slices, concatenating to 9*C channels and contracting
-    with the reshaped kernel fuses into one cheap loop; the /255
-    normalization is linear, so it folds into the kernel — the whole
-    preprocess+stem is then a single matmul epilogue.
+    HISTORY (round-5 correction): round 4 shipped this as 9 strided tap
+    slices + one 27-wide matmul, based on a benchmark harness whose
+    `sum(conv(x))` reduction XLA strength-reduced away — the "0.033 ms"
+    reading measured nothing. Honest re-measurement (abs-reduction,
+    /tmp-probe preserved as scripts/backbone_opt_bench.py methodology)
+    puts the tap formulation at **22.7 ms** at 1536x800 — strided u8
+    sub-lane slicing is catastrophic on TPU — vs **1.23 ms** for the
+    plain convert+conv below. The u8 streaming contract itself stands
+    (4x fewer PCIe bytes); only the on-device stem math changed.
 
     Param tree is identical to nn.Conv (name "kernel", shape [k,k,C,F]),
     so checkpoint import/export and the float-input path share weights.
@@ -49,18 +50,104 @@ class _TapStem(nn.Module):
 
     @nn.compact
     def __call__(self, x_u8):
-        B, H, W, C = x_u8.shape
+        C = x_u8.shape[-1]
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (3, 3, C, self.filters))
-        wf = (w.astype(jnp.float32) * (1.0 / 255.0)).reshape(
-            9 * C, self.filters).astype(self.dtype)
-        xp = jnp.pad(x_u8, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        s = self.stride
-        taps = [xp[:, di:di + H:s, dj:dj + W:s, :]
+        x = x_u8.astype(self.dtype) * (1.0 / 255.0)
+        return jax.lax.conv_general_dilated(
+            x, w.astype(self.dtype), (self.stride, self.stride),
+            ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
+
+
+class _S2DConv(nn.Module):
+    """k3 stride-2 conv on a low-channel tensor as space-to-depth + k2s1.
+
+    XLA's native lowering of a k3s2 conv with 64 input channels runs ~5x
+    off its roofline on TPU (half-empty lanes + a stride-2 access
+    pattern Mosaic pipelines poorly — measured 0.50 vs roofline 0.098 ms
+    for the /2->/4 node of yolo_track at 1536x800,
+    scripts/backbone_opt_bench.py). Packing 2x2 spatial blocks into
+    channels (4C wide) and convolving k2/s1 with the rearranged kernel
+    computes the identical function — w2[p,q,(2a+b)C+c,f] =
+    w[2p+a-1,2q+b-1,c,f], out-of-range taps zero — at full lane width:
+    measured 0.33 ms (1.78x the FLOPs, ~3x the utilization).
+
+    Param tree is identical to nn.Conv ("kernel", [3,3,C,F]) so
+    checkpoint import/export and the generic path share weights.
+    """
+
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, C, self.filters)).astype(self.dtype)
+        zero = jnp.zeros_like(w[0, 0])
+        rows = []
+        for p in range(2):
+            cols = []
+            for q in range(2):
+                blocks = []
+                for a in range(2):
+                    for b in range(2):
+                        u, v = 2 * p + a - 1, 2 * q + b - 1
+                        blocks.append(w[u, v] if 0 <= u <= 2 and
+                                      0 <= v <= 2 else zero)
+                cols.append(jnp.concatenate(blocks, axis=0))    # [4C, F]
+            rows.append(jnp.stack(cols, 0))
+        w2 = jnp.stack(rows, 0)                             # [2,2,4C,F]
+        # pad 2 top/left on the unpacked tensor == pad 1 packed unit; the
+        # k2/s1/VALID output row i then reads packed rows (i-1, i) —
+        # exactly the stride-2 window of out(i)
+        xp = jnp.pad(x, ((0, 0), (2, 0), (2, 0), (0, 0)))
+        xp = xp.reshape(B, (H + 2) // 2, 2, (W + 2) // 2, 2, C)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, (H + 2) // 2, (W + 2) // 2, 4 * C)
+        return jax.lax.conv_general_dilated(
+            xp, w2, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
+
+
+class _TapConv(nn.Module):
+    """k3 stride-1 conv on a low-channel tensor as 9 tap slices + one
+    matmul (im2col in XLA; the stem's `_TapStem` trick without the /255
+    fold). The 64-channel bottleneck convs inside the /4 C2f run ~5x off
+    roofline as native convs (0.17-0.22 ms vs 0.033 at 1536x800);
+    contracting all 9 taps in one 576-wide dot measured 0.06 ms
+    (scripts/backbone_opt_bench.py `tj`). Param tree identical to
+    nn.Conv ("kernel", [3,3,C,F])."""
+
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, C, self.filters))
+        wf = w.reshape(9 * C, self.filters).astype(self.dtype)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = [xp[:, di:di + H, dj:dj + W, :]
                 for di in range(3) for dj in range(3)]
-        p = jnp.concatenate(taps, axis=-1).astype(self.dtype)
+        p = jnp.concatenate(taps, axis=-1)
         return jax.lax.dot_general(p, wf, (((3,), (0,)), ((), ())),
                                    preferred_element_type=self.dtype)
+
+
+# Channel thresholds below which k3 convs route to the reformulations
+# above. ISOLATED probes showed low-channel convs 3-5x off roofline with
+# big reformulation wins (scripts/backbone_opt_bench.py), but IN CONTEXT
+# the full backbone measured *slower* with them (5.06 ms plain vs
+# 6.15 ms reformulated at 1536x800 u8): XLA fuses conv+BN+SiLU chains it
+# cannot fuse across the concat/dot formulations. Default OFF; the env
+# knobs remain the A/B instrument for future XLA versions.
+_LOW_CH_S2D = int(os.environ.get("MO_YOLO_LOW_CH_S2D", "0"))
+_LOW_CH_TAPS = int(os.environ.get("MO_YOLO_LOW_CH_TAPS", "0"))
 
 
 class ConvBnAct(nn.Module):
@@ -76,7 +163,8 @@ class ConvBnAct(nn.Module):
     Accepts RAW uint8 input (the streaming path ships unnormalized u8
     frames): the k3 stem takes the `_TapStem` fast formulation with /255
     folded into the kernel; any other geometry normalizes then convolves.
-    Both share the nn.Conv param tree.
+    Low-channel k3 convs route to `_S2DConv`/`_TapConv` (same function,
+    TPU-friendly layout). All paths share the nn.Conv param tree.
     """
 
     filters: int
@@ -92,10 +180,20 @@ class ConvBnAct(nn.Module):
     def __call__(self, x, train: bool = False):
         p = self.padding if self.padding is not None else \
             autopad(self.kernel, self.dilation)
-        if x.dtype == jnp.uint8 and self.kernel == 3 and p == 1 and \
-                self.groups == 1 and self.dilation == 1:
+        plain_k3 = (self.kernel == 3 and p == 1 and self.groups == 1
+                    and self.dilation == 1)
+        # lower bound excludes the 3-channel float stem (handled above
+        # for u8; reformulations measured no win on float 3-ch)
+        C_in = x.shape[-1]
+        even_hw = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        if x.dtype == jnp.uint8 and plain_k3:
             x = _TapStem(self.filters, stride=self.stride,
                          dtype=self.dtype, name="conv")(x)
+        elif plain_k3 and 8 <= C_in <= _LOW_CH_S2D and self.stride == 2 \
+                and even_hw:
+            x = _S2DConv(self.filters, dtype=self.dtype, name="conv")(x)
+        elif plain_k3 and 8 <= C_in <= _LOW_CH_TAPS and self.stride == 1:
+            x = _TapConv(self.filters, dtype=self.dtype, name="conv")(x)
         else:
             if x.dtype == jnp.uint8:
                 x = x.astype(self.dtype) * (1.0 / 255.0)

@@ -121,9 +121,12 @@ class TrackTrainer:
         # reference `pretrained`: checkpoint (params dir) loaded into the
         # model before training starts
         self.pretrained = pretrained if isinstance(pretrained, str) else None
+        # reference `amp` (bf16 activations on TPU); consumed in run()
+        self.amp = bool(amp)
 
     def run(self) -> Dict[str, float]:
         import jax
+        import jax.numpy as jnp
         from mo_yolo_tpu.data.dataset import (
             TrackDataset, clip_loader, load_dataset_yaml)
         from mo_yolo_tpu.parallel.mesh import make_mesh, make_sharded_train_step

@@ -34,12 +34,17 @@ PEAK_BW = 600e9
 
 
 def timed_chain(fn, args, chain, iters=20):
+    """fn returns the probe's raw output tensor; the harness reduces it
+    through abs() — sum-of-a-linear-op is algebraically collapsible and
+    XLA DID collapse it (first run of this script measured a 20-GFLOP
+    conv at 0.010 ms); abs() blocks that strength reduction."""
     @jax.jit
     def run(*args):
         def body(c, i):
             acc = jnp.float32(0.0)
             for _ in range(chain):
-                acc = acc + fn(args, i + acc * 1e-30)
+                y = fn(args, i + acc * 1e-30)
+                acc = acc + jnp.abs(y).sum().astype(jnp.float32)
             return c + acc, None
         return jax.lax.scan(body, jnp.float32(0.0),
                             jnp.arange(iters, dtype=jnp.float32))[0]
@@ -54,7 +59,7 @@ def timed_chain(fn, args, chain, iters=20):
     return t
 
 
-def slope(fn, args, iters=20):
+def slope(fn, args, iters=150):
     return (timed_chain(fn, args, 3, iters) -
             timed_chain(fn, args, 1, iters)) / 2.0
 
@@ -111,7 +116,7 @@ def main():
 
     def h0(a, t):
         x, w = a
-        return conv(x + t.astype(bf) * 0, w, stride=2).sum().astype(jnp.float32)
+        return conv(x + t.astype(bf) * bf(1e-6), w, stride=2)
 
     # parity check of the s2d formulation (f32, small)
     xs = jnp.asarray(rng.standard_normal((1, 16, 20, 64)), jnp.float32)
@@ -131,8 +136,7 @@ def main():
 
     def h1(a, t):
         x, w = a
-        return conv(x + t.astype(bf) * 0, w, stride=1, pad=0)[
-            :, 1:, 1:, :].sum().astype(jnp.float32)
+        return conv(x + t.astype(bf) * bf(1e-6), w, stride=1, pad=0)
 
     fl_h = 2 * 200 * 384 * 128 * 9 * 64
     by_h = (400 * 768 * 64 + 200 * 384 * 128) * 2
@@ -148,7 +152,7 @@ def main():
 
         def j0(a, t):
             x, w = a
-            return conv(x + t.astype(bf) * 0, w).sum().astype(jnp.float32)
+            return conv(x + t.astype(bf) * bf(1e-6), w)
 
         fl = 2 * 200 * 384 * C * 9 * C
         by = (200 * 384 * C * 2) * 2
@@ -167,14 +171,14 @@ def main():
 
     def m0(a, t):
         a5, a4, w = a
-        y = jnp.concatenate([up2(a5 + t.astype(bf) * 0), a4], -1)
-        return conv(y, w, pad=0).sum().astype(jnp.float32)
+        y = jnp.concatenate([up2(a5 + t.astype(bf) * bf(1e-6)), a4], -1)
+        return conv(y, w, pad=0)
 
     def m1(a, t):
         a5, a4, w = a
-        lo = conv(a5 + t.astype(bf) * 0, w[:, :, :512, :], pad=0)
+        lo = conv(a5 + t.astype(bf) * bf(1e-6), w[:, :, :512, :], pad=0)
         hi = conv(a4, w[:, :, 512:, :], pad=0)
-        return (up2(lo) + hi).sum().astype(jnp.float32)
+        return (up2(lo) + hi)
 
     # parity
     pm0 = jnp.concatenate([up2(p5), p4], -1)
@@ -187,6 +191,64 @@ def main():
     print(f"m0 up+cat+1x1:    {slope(m0, (p5, p4, wm)):7.3f} ms")
     print(f"m1 commuted:      {slope(m1, (p5, p4, wm)):7.3f} ms")
 
+    # ---------------- every stride-2 conv geometry in yolo_track.yaml,
+    # as-shipped vs s2d (node index: in-ch -> out-ch @ input HxW)
+    for tag, (Hh, Ww, Ci, Co) in {
+            "n1 @768x400  64->128": (400, 768, 64, 128),
+            "n3 @384x200 128->256": (200, 384, 128, 256),
+            "n5 @192x100 256->512": (100, 192, 256, 512),
+            "n7 @96x50  512->512": (50, 96, 512, 512),
+    }.items():
+        xg = jnp.asarray(rng.standard_normal((1, Hh, Ww, Ci)), bf)
+        wg = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)) * 0.05, bf)
+
+        def g0(a, t):
+            x, w = a
+            return conv(x + t.astype(bf) * bf(1e-6), w, stride=2)
+
+        xgp = s2d(jnp.pad(xg, ((0, 0), (2, 0), (2, 0), (0, 0))))
+        wgp = pack_kernel_s2d(wg).astype(bf)
+
+        def g1(a, t):
+            x, w = a
+            return conv(x + t.astype(bf) * bf(1e-6), w, stride=1, pad=0)
+
+        fl = 2 * (Hh // 2) * (Ww // 2) * Co * 9 * Ci
+        by = (Hh * Ww * Ci + (Hh // 2) * (Ww // 2) * Co) * 2
+        print(f"{tag}: conv {slope(g0, (xg, wg)):7.3f}  "
+              f"s2d {slope(g1, (xgp, wgp)):7.3f}  "
+              f"(roofline {roofline(fl, by):.3f})", flush=True)
+
+    # ---------------- taps (im2col) re-probe with the abs harness —
+    # the round-4 "taps lose for >=64ch" verdict came from the elidable
+    # sum harness (stem_input_bench2.py), so re-measure honestly
+    def taps(x, wf, stride, Hh, Ww):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        t = [xp[:, di:di + Hh:stride, dj:dj + Ww:stride, :]
+             for di in range(3) for dj in range(3)]
+        p = jnp.concatenate(t, axis=-1)
+        return jax.lax.dot_general(p, wf[None, None],
+                                   (((3,), (2,)), ((), ())),
+                                   preferred_element_type=bf)
+
+    wf1 = jnp.concatenate([w1[i, j] for i in range(3) for j in range(3)], 0)
+
+    def t1(a, t):
+        x, w = a
+        return taps(x + t.astype(bf) * bf(1e-6), w, 2, 400, 768)
+
+    print(f"t1 node1 taps576: {slope(t1, (x1, wf1)):7.3f} ms", flush=True)
+
+    xj = jnp.asarray(rng.standard_normal((1, 200, 384, 64)), bf)
+    wj = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.05, bf)
+    wfj = jnp.concatenate([wj[i, j] for i in range(3) for j in range(3)], 0)
+
+    def tj(a, t):
+        x, w = a
+        return taps(x + t.astype(bf) * bf(1e-6), w, 1, 200, 384)
+
+    print(f"tj j64 taps576:   {slope(tj, (xj, wfj)):7.3f} ms", flush=True)
+
     # ---------------- c0: full C2f(128, n=3, shortcut) @ /4
     from mo_yolo_tpu.models.layers import C2f
     mod = C2f(128, 3, True, dtype=bf)
@@ -195,7 +257,7 @@ def main():
 
     def c0(a, t):
         v, x = a
-        return mod.apply(v, x + t.astype(bf) * 0).sum().astype(jnp.float32)
+        return mod.apply(v, x + t.astype(bf) * bf(1e-6))
 
     print(f"c0 C2f(128,n3):   {slope(c0, (vc, xc)):7.3f} ms")
 

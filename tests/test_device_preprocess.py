@@ -97,7 +97,7 @@ def test_predictor_raw_path_matches_host_path(tmp_path):
     for (nh, bh), (nd, bd) in zip(host, dev):
         assert nh == nd
         if nh:
-            # u8 frame -> _TapStem (/255 folded into the kernel) vs the
+            # u8 frame -> _TapStem (on-device /255 + conv) vs the
             # host float path: identical math, sub-pixel agreement
             assert float(np.abs(bh - bd).max()) <= 0.1
 
@@ -115,10 +115,11 @@ def test_predictor_raw_path_matches_host_path(tmp_path):
 
 
 def test_tap_stem_matches_float_conv():
-    """uint8 input through ConvBnAct (the `_TapStem` tap-slice matmul with
-    /255 folded into the kernel) must equal the float path conv(x/255) on
-    the SAME params — exactness gate for the stem fast path
-    (scripts/stem_input_bench.py: 34x on TPU)."""
+    """uint8 input through ConvBnAct (`_TapStem`: on-device /255 then the
+    native conv) must equal the float path conv(x/255) on the SAME params
+    — exactness gate for the u8 stem entry point. (Round-5 note: the
+    round-4 tap-slice matmul formulation this class originally shipped
+    was removed after honest re-measurement — see _TapStem docstring.)"""
     from mo_yolo_tpu.models.layers import ConvBnAct
 
     rng = np.random.default_rng(3)
