@@ -198,6 +198,40 @@ def _add_mfu(rec: dict, fps: float, gflops) -> None:
     rec["peak_flops_assumed"] = PEAK_FLOPS
 
 
+def _parse_args(argv):
+    """((h, w) | None, n_streams, extra_flags). Tested by
+    tests/test_driver_contract.py — a `--streams 4` value must NOT parse
+    as a legacy positional 4x4 image size (round-5 regression)."""
+    n_streams = 1
+    if "--streams" in argv:
+        n_streams = int(argv[argv.index("--streams") + 1])
+    extra = [a for a in argv if a in ("--xla", "--f32")]
+
+    explicit = None
+    if "--imgsz" in argv:
+        spec = argv[argv.index("--imgsz") + 1].strip()
+        if spec[:1] in "[(":        # "[h, w]" list form (default.yaml rect)
+            h, w = (int(float(v)) for v in spec.strip("[]()").split(","))
+        elif "x" in spec:           # "WxH" bench convention
+            w, h = (int(v) for v in spec.split("x"))
+        else:
+            w = h = int(spec)
+        explicit = (h, w)
+    else:  # legacy positional SIZE (skip values belonging to flags)
+        skip_next = False
+        for a in argv:
+            if skip_next:
+                skip_next = False
+                continue
+            if a in ("--streams", "--imgsz"):
+                skip_next = True
+                continue
+            if a.isdigit():
+                explicit = (int(a), int(a))
+                break
+    return explicit, n_streams, extra
+
+
 def main():
     # worker mode: ONE measurement, claims the TPU, prints the raw number
     if "--_measure" in sys.argv:
@@ -219,27 +253,7 @@ def main():
             print(f"_GFLOPS_ {gflops:.3f}")
         return
 
-    n_streams = 1
-    if "--streams" in sys.argv:
-        n_streams = int(sys.argv[sys.argv.index("--streams") + 1])
-    extra = [a for a in sys.argv[1:] if a in ("--xla", "--f32")]
-
-    explicit = None
-    if "--imgsz" in sys.argv:
-        spec = sys.argv[sys.argv.index("--imgsz") + 1].strip()
-        if spec[:1] in "[(":        # "[h, w]" list form (default.yaml rect)
-            h, w = (int(float(v)) for v in spec.strip("[]()").split(","))
-        elif "x" in spec:           # "WxH" bench convention
-            w, h = (int(v) for v in spec.split("x"))
-        else:
-            w = h = int(spec)
-        explicit = (h, w)
-    else:  # legacy positional SIZE
-        for a in sys.argv[1:]:
-            if a.isdigit():
-                explicit = (int(a), int(a))
-                break
-
+    explicit, n_streams, extra = _parse_args(sys.argv[1:])
     tag = "" if n_streams == 1 else f"_x{n_streams}streams"
     if explicit is not None:
         h, w = explicit

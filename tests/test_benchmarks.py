@@ -1,5 +1,9 @@
 """Export-format benchmark harness test (reference `utils/benchmarks.py`)."""
 
+
+import pytest
+
+pytestmark = pytest.mark.heavy  # multi-minute TF/TFLite conversions
 import numpy as np
 
 

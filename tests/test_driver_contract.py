@@ -94,3 +94,20 @@ def test_dryrun_multichip_within_budget():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_bench_arg_parsing():
+    """`--streams N` must not be eaten by the legacy positional-size
+    branch (round-5: `bench.py --streams 4` measured a 4x4 image)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench._parse_args([]) == (None, 1, [])   # driver default
+    assert bench._parse_args(["--streams", "4"]) == (None, 4, [])
+    assert bench._parse_args(["--streams", "2", "--imgsz", "1536x800"]) \
+        == ((800, 1536), 2, [])
+    assert bench._parse_args(["640"]) == ((640, 640), 1, [])
+    assert bench._parse_args(["--imgsz", "[320, 640]"]) == ((320, 640), 1, [])
+    assert bench._parse_args(["--xla", "--f32"])[2] == ["--xla", "--f32"]

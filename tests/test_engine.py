@@ -472,6 +472,7 @@ def test_cli_special_commands(tmp_path, monkeypatch, capsys):
     assert "devices" in capsys.readouterr().out
 
 
+@pytest.mark.heavy  # ~6 min full-train integration on this host
 def test_cli_cfg_file_drives_training(tmp_path, monkeypatch):
     """`cfg=custom.yaml` (the copy-cfg workflow): a FULL default.yaml copy
     drives train end-to-end; file values are the base, k=v args override,

@@ -1,6 +1,10 @@
 """Reference export knobs (`cfg/default.yaml:71-79`): half / int8 /
 dynamic / keras wired into `MOTRTrack.export`."""
 
+
+import pytest
+
+pytestmark = pytest.mark.heavy  # multi-minute TF/TFLite conversions
 import numpy as np
 import pytest
 

@@ -400,6 +400,7 @@ def test_save_period_epoch_numbered_checkpoints(tmp_path, monkeypatch):
     assert t2.save_period == -1
 
 
+@pytest.mark.heavy  # ~6 min full-train integration on this host
 def test_track_train_auto_val_and_final_eval(tmp_path):
     """val_every defaults to auto: when the dataset yaml has a val split,
     training validates every epoch (best selected by HOTA, the reference's
